@@ -1,0 +1,73 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; the same configuration
+keys are the ones that matter on a real cluster (AQE, shuffle partition
+sizing, broadcast threshold, Arrow batching). Nothing here is
+local-mode-specific except the master URL default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+#: Configuration applied to every session. On a 1000-executor cluster the
+#: same keys hold; only instance sizing (memory, shuffle partitions ≈ 2-3×
+#: total cores, s3a committers) moves to spark-submit conf.
+ENGINE_CONF: dict[str, str] = {
+    # Adaptive execution: runtime re-plan, partition coalescing, skew-join
+    # splitting. This is the 100TB insurance policy — static plans go stale
+    # at scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/supplier/part at any SF, the domain
+    # filter registry) must broadcast — never shuffle a fact table to join
+    # a dim.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for every pandas UDF / toPandas hop.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Vectorized parquet + pushdown (defaults, pinned so a packaging change
+    # can't silently regress them).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    # Read parquet NTZ timestamps as NTZ (testdata events.ts is ns, no tz).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # Partition sizing: 128MB scan splits is the right grain for 100TB too.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Deterministic UTC timestamp semantics regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "auto-set-below",
+}
+
+
+def get_spark(
+    app_name: str = "hcdc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine configuration.
+
+    ``shuffle_partitions`` defaults to 2× local cores — on a cluster pass
+    ~2-3× total executor cores instead (AQE coalesces the excess).
+    """
+    cpus = _cpus()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or max(cpus, 8))
+    conf.setdefault("spark.driver.memory", "8g")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
