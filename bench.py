@@ -1,0 +1,88 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully (count-collect of the final DataFrame) and is
+timed wall-clock. The first query absorbs JVM/session warmup; a separate
+tiny warmup query runs first so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from hcdc_spark.session import get_spark
+
+    spark = get_spark("hcdc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # Headline set: one per operator family, weighted toward the ones
+    # whose plans matter at scale (shuffle joins, windows, text ops).
+    headline = [
+        name
+        for name in (
+            "q01_pricing_summary",
+            "q03_join_topn_revenue",
+            "q04_left_outer_join",
+            "q05_star_join",
+            "q08_theta_join",
+            "q10_agg_distinct",
+            "q12_cube",
+            "q13_window_rank",
+            "q14_window_analytic",
+            "q16_set_ops",
+            "q22_explode_wordcount",
+            "q24_dedup_exact",
+            "q26_minhash_lsh",
+            "q30_knn_brute_force",
+            "q34_text_quality",
+        )
+        if name in qs
+    ]
+
+    # Warmup: parquet footer reads + codegen paths, not timed.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # noop sink materializes every output column (count() would let
+        # Catalyst prune the projection and under-measure).
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
