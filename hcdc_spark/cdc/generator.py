@@ -1,0 +1,204 @@
+"""Deterministic synthetic change-event logs (FIXTURES.md §1).
+
+Used by the golden tests and by the driver-visible CDC demo queries.
+Seeded ``random.Random`` → identical logs on every run, everywhere.
+The generator models a population of files living through HDFS-style
+lifecycles: create → add blocks → append/update → close, with renames,
+deletes, truncates, overwrites, duplicates (for the T4 guard) and
+directory ops mixed in.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hcdc_spark.cdc.model import empty_event
+
+
+def generate_events(
+    n_files: int = 50,
+    seed: int = 42,
+    namespace: str = "ns1",
+    with_dir_ops: bool = True,
+    with_duplicates: bool = True,
+    with_anomalies: bool = False,
+) -> list[dict]:
+    rng = random.Random(seed)
+    events: list[dict] = []
+    tx = 0
+    ts0 = 1_700_000_000_000
+    block_counter = 1000
+
+    def nxt() -> tuple[int, int]:
+        nonlocal tx
+        tx += 1
+        return tx, ts0 + tx * 1000
+
+    dirs = [f"/data/d{i}" for i in range(max(2, n_files // 10))]
+    live_paths: dict[int, str] = {}
+
+    for inode in range(1, n_files + 1):
+        d = rng.choice(dirs)
+        path = f"{d}/file_{inode}.parquet"
+        blk_size = 1 << 20
+        t, ts = nxt()
+        first_block = {
+            "block_id": (block_counter := block_counter + 1),
+            "size": 0,
+            "block_size": blk_size,
+            "generation_stamp": 1,
+            "start_offset": None,
+            "end_offset": None,
+            "delta_size": None,
+            "deleted": False,
+        }
+        events.append(
+            empty_event(
+                tx_id=t, op="ADD_FILE", ts=ts, namespace=namespace,
+                path=path, inode_id=inode, block_size=blk_size,
+                overwrite=False, modified_time=ts, blocks=[first_block],
+                mode="New",
+            )
+        )
+        live_paths[inode] = path
+        size = 0
+        blocks = [dict(first_block)]
+
+        for _ in range(rng.randint(1, 4)):
+            action = rng.random()
+            if action < 0.45:  # grow the last block
+                grow = rng.randint(1, blk_size // 2)
+                size += grow
+                blocks[-1] = dict(blocks[-1], size=(blocks[-1]["size"] or 0) + grow)
+                t, ts = nxt()
+                events.append(
+                    empty_event(
+                        tx_id=t, op="UPDATE_BLOCKS", ts=ts,
+                        namespace=namespace, path=live_paths[inode],
+                        inode_id=inode, blocks=[dict(blocks[-1])],
+                        mode="New",
+                    )
+                )
+            elif action < 0.7:  # new block (penultimate+last convention)
+                t, ts = nxt()
+                newb = {
+                    "block_id": (block_counter := block_counter + 1),
+                    "size": 0, "block_size": blk_size,
+                    "generation_stamp": 1, "start_offset": None,
+                    "end_offset": None, "delta_size": None, "deleted": False,
+                }
+                pair = [dict(blocks[-1]), newb] if blocks else [newb]
+                blocks.append(dict(newb))
+                events.append(
+                    empty_event(
+                        tx_id=t, op="ADD_BLOCK", ts=ts, namespace=namespace,
+                        path=live_paths[inode], inode_id=inode,
+                        blocks=pair, mode="New",
+                    )
+                )
+            elif action < 0.8:  # append marker
+                t, ts = nxt()
+                events.append(
+                    empty_event(
+                        tx_id=t, op="APPEND", ts=ts, namespace=namespace,
+                        path=live_paths[inode], inode_id=inode,
+                        new_block=False, mode="New",
+                    )
+                )
+            elif action < 0.9 and size > 10:  # truncate
+                new_len = rng.randint(0, size - 1)
+                t, ts = nxt()
+                events.append(
+                    empty_event(
+                        tx_id=t, op="TRUNCATE", ts=ts, namespace=namespace,
+                        path=live_paths[inode], inode_id=inode,
+                        truncate_new_length=new_len, mode="New",
+                    )
+                )
+                size = new_len
+            else:  # rename
+                new_path = f"{rng.choice(dirs)}/renamed_{inode}.parquet"
+                t, ts = nxt()
+                events.append(
+                    empty_event(
+                        tx_id=t, op="RENAME", ts=ts, namespace=namespace,
+                        path=live_paths[inode], inode_id=inode,
+                        dest_path=new_path, rename_opts="NONE", mode="New",
+                    )
+                )
+                live_paths[inode] = new_path
+
+        # close most files; leave some open, delete some
+        roll = rng.random()
+        if roll < 0.75:
+            t, ts = nxt()
+            events.append(
+                empty_event(
+                    tx_id=t, op="CLOSE", ts=ts, namespace=namespace,
+                    path=live_paths[inode], inode_id=inode,
+                    length=size, modified_time=ts, file_type="PARQUET",
+                    blocks=[dict(b) for b in blocks], mode="New",
+                )
+            )
+        elif roll < 0.85:
+            t, ts = nxt()
+            events.append(
+                empty_event(
+                    tx_id=t, op="DELETE", ts=ts, namespace=namespace,
+                    path=live_paths[inode], inode_id=inode, mode="New",
+                )
+            )
+            del live_paths[inode]
+
+    if with_dir_ops and live_paths:
+        # delete one whole directory (inode 900000+ = directory inodes)
+        victim_dir = dirs[0]
+        t, ts = nxt()
+        events.append(
+            empty_event(
+                tx_id=t, op="DELETE", ts=ts, namespace=namespace,
+                path=victim_dir, inode_id=900001, mode="New",
+            )
+        )
+        # rename another directory
+        t, ts = nxt()
+        events.append(
+            empty_event(
+                tx_id=t, op="RENAME", ts=ts, namespace=namespace,
+                path=dirs[1], inode_id=900002,
+                dest_path=f"{dirs[1]}_moved", rename_opts="NONE",
+                mode="New",
+            )
+        )
+
+    if with_anomalies:
+        # rows the reconciler must route to the error channel (T25)
+        t, ts = nxt()
+        events.append(
+            empty_event(
+                tx_id=t, op="APPEND", ts=ts, namespace=namespace,
+                path="/data/ghost.parquet", inode_id=999_777, mode="New",
+            )
+        )
+        if live_paths:
+            inode, path = next(iter(live_paths.items()))
+            t, ts = nxt()
+            events.append(
+                empty_event(
+                    tx_id=t, op="ADD_FILE", ts=ts, namespace=namespace,
+                    path=path, inode_id=inode, overwrite=False,
+                    blocks=[], mode="New",
+                )
+            )
+
+    if with_duplicates:
+        # replay a slice verbatim — the T4 guard must make this a no-op
+        events.extend(dict(e) for e in events[5:10])
+
+    return events
+
+
+def events_df(spark, events: list[dict]):
+    from hcdc_spark.cdc.model import CHANGE_EVENT_SCHEMA
+
+    return spark.createDataFrame(events, schema=CHANGE_EVENT_SCHEMA)

@@ -1,0 +1,283 @@
+"""Batch reconciler: replay a change-event log into the file_state table.
+
+Two phases, mirroring the reference's split between per-message handlers
+and state-store scans (SURVEY §2A T9-T12):
+
+1. **Rewrite pre-pass** — set-based, pure Catalyst. Directory
+   DELETE/RENAME cascades (reference walks its ZK state store with a
+   path-prefix scan, SourceTransactionProcessor.java:187-296) become
+   joins: the path history of every inode is reconstructed from
+   ADD_FILE/RENAME/DELETE events, each directory event (a rare row —
+   broadcast) picks up the files alive under it at its tx, and synthetic
+   per-child events are unioned back into the log. RENAME-with-OVERWRITE
+   synthesizes the destination DELETE the same way
+   (SourceTransactionProcessor.java:689-704).
+
+2. **Per-inode fold** — ``applyInPandas`` grouped by inode_id running
+   the pure-Python state machine. Keying by inode (not path, as the
+   reference does) keeps renames inside one group, so the
+   DELETE+ADD+CLOSE rename decomposition collapses to a path move and
+   the whole fold is embarrassingly parallel across inodes. At 100 TB /
+   billions of files this is a single shuffle by inode followed by
+   vectorized per-group folds — no global state, no locks (the
+   reference serializes everything behind ZK locks,
+   SourceChangeDeltaProcessor.java:87-99).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hcdc_spark.cdc.model import ERROR_SCHEMA, FILE_STATE_SCHEMA
+from hcdc_spark.cdc.statemachine import fold_events
+
+_FOLD_OUTPUT_SCHEMA = T.StructType(
+    list(FILE_STATE_SCHEMA.fields)
+    + [T.StructField("errors", T.ArrayType(ERROR_SCHEMA))]
+)
+
+_FILE_OPS_SETTING_PATH = ("ADD_FILE",)
+
+
+def detect_tx_gaps(events: DataFrame) -> DataFrame:
+    """T5: strict sequence check — report holes in the global tx stream.
+
+    Returns (prev_tx_id, tx_id, gap) rows where tx_id > prev+1. The
+    reference raises per message (TransactionProcessor.java:147-166);
+    set-based detection is one window over distinct txids.
+    """
+    w = Window.orderBy("tx_id")
+    return (
+        events.select("tx_id")
+        .distinct()
+        .withColumn("prev_tx_id", F.lag("tx_id").over(w))
+        .where(
+            F.col("prev_tx_id").isNotNull()
+            & (F.col("tx_id") > F.col("prev_tx_id") + 1)
+        )
+        .withColumn("gap", F.col("tx_id") - F.col("prev_tx_id") - 1)
+    )
+
+
+def _path_history(events: DataFrame) -> DataFrame:
+    """(inode_id, tx_id, path) timeline; path NULL ⇒ deleted at that tx."""
+    sets_path = events.where(F.col("op") == "ADD_FILE").select(
+        "inode_id", "tx_id", "path"
+    )
+    renames = events.where(
+        (F.col("op") == "RENAME") & F.col("inode_id").isNotNull()
+    ).select("inode_id", "tx_id", F.col("dest_path").alias("path"))
+    deletes = events.where(F.col("op") == "DELETE").select(
+        "inode_id", "tx_id", F.lit(None).cast("string").alias("path")
+    )
+    return sets_path.unionByName(renames).unionByName(deletes)
+
+
+def _file_inodes(events: DataFrame) -> DataFrame:
+    return (
+        events.where(F.col("op") == "ADD_FILE")
+        .select("inode_id")
+        .distinct()
+    )
+
+
+def expand_directory_events(events: DataFrame) -> DataFrame:
+    """Rewrite directory DELETE/RENAME into per-child synthetic events.
+
+    A DELETE/RENAME whose inode never had an ADD_FILE is a directory op.
+    For each such op, every inode whose *current* path (latest path-
+    setting event before the dir tx) lies under the directory gets a
+    synthetic child event at the same tx (mode=Backlog), exactly the
+    fan-out the reference materializes from its state store
+    (updateFileRecursiveRename/Delete). /tmp children are skipped on
+    delete (SourceTransactionProcessor.java:253).
+
+    Returns the full rewritten log: original events minus directory
+    rows, plus synthetic children, plus synthetic DELETEs for
+    RENAME-overwrite destinations.
+
+    Note: expansion is single-round — a directory op over paths that
+    only exist because of an *earlier directory op in the same log*
+    (e.g. rename dir A→B, then delete B) would need a second round;
+    chain cascades through ``reconcile_batch`` incrementally if logs
+    carry that pattern.
+    """
+    file_inodes = _file_inodes(events)
+
+    dir_ops = (
+        events.where(F.col("op").isin("DELETE", "RENAME"))
+        .join(file_inodes, "inode_id", "left_anti")
+        .select(
+            F.col("tx_id").alias("d_tx"),
+            F.col("op").alias("d_op"),
+            F.col("path").alias("d_path"),
+            F.col("dest_path").alias("d_dest"),
+            F.col("ts").alias("d_ts"),
+            F.col("namespace").alias("d_ns"),
+        )
+    )
+
+    history = _path_history(events)
+
+    # Current path of every inode at each directory tx. dir_ops is tiny
+    # → broadcast; the argmax is a window per (dir tx, inode).
+    w = Window.partitionBy("d_tx", "inode_id").orderBy(F.col("tx_id").desc())
+    located = (
+        history.join(F.broadcast(dir_ops), F.col("tx_id") < F.col("d_tx"))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & F.col("path").isNotNull())
+        .where(F.col("path").startswith(F.concat(F.col("d_path"), F.lit("/"))))
+    )
+
+    deletes = (
+        located.where(F.col("d_op") == "DELETE")
+        .where(~F.col("path").startswith("/tmp/"))
+        .select(
+            F.col("d_tx").alias("tx_id"),
+            F.lit("DELETE").alias("op"),
+            F.col("d_ts").alias("ts"),
+            F.col("d_ns").alias("namespace"),
+            "path",
+            "inode_id",
+            F.lit("Backlog").alias("mode"),
+        )
+    )
+    renames = located.where(F.col("d_op") == "RENAME").select(
+        F.col("d_tx").alias("tx_id"),
+        F.lit("RENAME").alias("op"),
+        F.col("d_ts").alias("ts"),
+        F.col("d_ns").alias("namespace"),
+        "path",
+        "inode_id",
+        F.concat(
+            F.col("d_dest"),
+            F.expr("substring(path, length(d_path) + 1)"),
+        ).alias("dest_path"),
+        F.lit("Backlog").alias("mode"),
+    )
+
+    # RENAME with OVERWRITE onto an existing file: synthesize the dest
+    # DELETE (reference does this inline before the rename).
+    file_renames = (
+        events.where(
+            (F.col("op") == "RENAME") & (F.col("rename_opts") == "OVERWRITE")
+        )
+        .join(file_inodes, "inode_id", "left_semi")
+        .select(
+            F.col("tx_id").alias("r_tx"),
+            F.col("dest_path").alias("r_dest"),
+            F.col("ts").alias("r_ts"),
+            F.col("namespace").alias("r_ns"),
+        )
+    )
+    w2 = Window.partitionBy("r_tx", "inode_id").orderBy(F.col("tx_id").desc())
+    overwrite_deletes = (
+        _path_history(events)
+        .join(F.broadcast(file_renames), F.col("tx_id") < F.col("r_tx"))
+        .withColumn("rn", F.row_number().over(w2))
+        .where(
+            (F.col("rn") == 1)
+            & F.col("path").isNotNull()
+            & (F.col("path") == F.col("r_dest"))
+        )
+        .select(
+            F.col("r_tx").alias("tx_id"),
+            F.lit("DELETE").alias("op"),
+            F.col("r_ts").alias("ts"),
+            F.col("r_ns").alias("namespace"),
+            "path",
+            "inode_id",
+            F.lit("Backlog").alias("mode"),
+        )
+    )
+
+    # Drop the directory rows themselves (tx ids are unique per event);
+    # dir_ops is tiny so the anti-join broadcasts.
+    base = events.join(
+        F.broadcast(dir_ops.select(F.col("d_tx").alias("tx_id"))),
+        "tx_id",
+        "left_anti",
+    )
+
+    synthetic = deletes.unionByName(renames, allowMissingColumns=True).unionByName(
+        overwrite_deletes, allowMissingColumns=True
+    )
+    for f in events.schema.fields:
+        if f.name not in synthetic.columns:
+            synthetic = synthetic.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    return base.unionByName(synthetic.select(*events.columns))
+
+
+_INT_FIELDS = {
+    "tx_id", "ts", "inode_id", "length", "block_size", "modified_time",
+    "accessed_time", "truncate_new_length", "block_id", "size",
+    "generation_stamp", "start_offset", "end_offset", "delta_size",
+}
+
+
+def _clean(key: str, v):
+    """Arrow→pandas artifacts back to plain Python: NaN→None, integral
+    floats→int (nullable long columns surface as float64 in pandas)."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if pd.isna(v):
+            return None
+        if key in _INT_FIELDS:
+            return int(v)
+        return v
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return [
+            {k: _clean(k, x) for k, x in dict(item).items()} for item in v
+        ]
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        return _clean(key, v.item())
+    return v
+
+
+def _fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("tx_id")
+    events = [
+        {k: _clean(k, v) for k, v in rec.items()}
+        for rec in pdf.to_dict("records")
+    ]
+    state, errors = fold_events(None, events)
+    if state is None:
+        # Never created (all events errored) — emit an error-only row.
+        state = {f.name: None for f in FILE_STATE_SCHEMA.fields}
+        state["inode_id"] = events[0].get("inode_id")
+        state["state"] = "Unknown"
+    state = dict(state)
+    state["errors"] = errors
+    return pd.DataFrame([state])
+
+
+def reconcile_batch(events: DataFrame, expand_dirs: bool = True) -> DataFrame:
+    """Fold an event log into file_state (+ per-file `errors` column).
+
+    One shuffle (by inode_id), then embarrassingly parallel per-group
+    folds. Use ``.drop("errors")`` for the pure FIXTURES §3 shape.
+    """
+    log = expand_directory_events(events) if expand_dirs else events
+    return (
+        log.where(F.col("inode_id").isNotNull())
+        .groupBy("inode_id")
+        .applyInPandas(_fold_group, schema=_FOLD_OUTPUT_SCHEMA)
+    )
+
+
+def reconcile_errors(state_with_errors: DataFrame) -> DataFrame:
+    """Explode the reconciler's error side-channel (T25 dead-letter)."""
+    return state_with_errors.select(
+        F.explode("errors").alias("e")
+    ).select("e.*")
+
+
+def gc_deleted(state: DataFrame) -> DataFrame:
+    """T27: drop Deleted-state rows (reference cleanFileState)."""
+    return state.where(F.col("state") != "Deleted")

@@ -1,0 +1,233 @@
+"""Driver-visible CDC queries.
+
+Two groups:
+
+- ``c0x_*``: the CDC reconciler driven end-to-end over a deterministic
+  synthetic event log (FIXTURES.md §1; the log is generated in-process,
+  so these are rows-only checks — the real semantics gate is
+  tests/test_cdc_batch.py, whose oracle is an independent pure-Python
+  fold).
+- ``q24..q26``: the CDC *patterns* (T4 latest-per-key dedup, session
+  windows, T16 interval merge) expressed over the driver's ``events``
+  table with full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hcdc_spark.catalog import event_ts_ms, load_tables
+from hcdc_spark.registry import Registry
+
+REG = Registry()
+
+
+# ------------------------------------------------------- reconciler demos
+
+def _demo_log(spark: SparkSession):
+    from hcdc_spark.cdc.generator import events_df, generate_events
+
+    return events_df(
+        spark, generate_events(n_files=60, seed=42, with_anomalies=True)
+    )
+
+
+@REG.add(
+    "c01_cdc_file_state",
+    None,
+    doc="End-to-end CDC replay: synthetic HDFS-style event log → "
+    "reconciled file_state table (SURVEY §2C). Rows-only check; "
+    "semantics gated by tests/test_cdc_batch.py golden oracle.",
+    tags=("cdc",),
+)
+def c01_cdc_file_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.cdc.reconcile import reconcile_batch
+
+    return (
+        reconcile_batch(_demo_log(spark))
+        .select(
+            "inode_id", "path", "state", "data_size", "num_blocks",
+            "last_tx_id", "file_type",
+        )
+        .orderBy("inode_id")
+    )
+
+
+@REG.add(
+    "c02_cdc_error_channel",
+    None,
+    doc="Reconciler dead-letter channel (T25): anomalies as rows.",
+    tags=("cdc",),
+)
+def c02_cdc_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.cdc.reconcile import reconcile_batch, reconcile_errors
+
+    return reconcile_errors(reconcile_batch(_demo_log(spark)))
+
+
+@REG.add(
+    "c03_cdc_change_set",
+    None,
+    doc="T16 compressed change set: per-block covering byte interval "
+    "for a tx range, computed from reconciled per-tx deltas.",
+    tags=("cdc",),
+)
+def c03_cdc_change_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.cdc.reconcile import reconcile_batch
+
+    state = reconcile_batch(_demo_log(spark))
+    # groupBy(block).agg(min,max) — the aggregation form of the
+    # reference's DFSBlockState.compressedChangeSet (SURVEY §2A-T16).
+    return (
+        state.select("inode_id", F.explode("blocks").alias("b"))
+        .select("inode_id", F.col("b.block_id").alias("block_id"),
+                F.explode("b.deltas").alias("d"))
+        .where((F.col("d.tx_id") > 0) & (F.col("d.tx_id") <= 1_000_000))
+        .groupBy("inode_id", "block_id")
+        .agg(
+            F.min("d.start_offset").alias("start_offset"),
+            F.max("d.end_offset").alias("end_offset"),
+            F.max(F.col("d.deleted").cast("int")).cast("boolean").alias("any_deleted"),
+            F.count(F.lit(1)).alias("n_deltas"),
+        )
+    )
+
+
+# ------------------------------------------- CDC patterns over `events`
+
+@REG.add(
+    "q24_latest_per_key",
+    """
+    SELECT user_id, event_id, event_type, ts_ms
+    FROM (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="T4 latest-per-key dedup as a ranking window: the per-file "
+    "last-txid guard generalized (SURVEY §2B windows row).",
+    tags=("cdc-pattern", "window"),
+)
+def q24_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ms").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id", "event_id", "event_type",
+            event_ts_ms().alias("ts_ms"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@REG.add(
+    "q25_sessionization",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ms,
+             CASE WHEN ms - LAG(ms) OVER w > 1800000 OR LAG(ms) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ms,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MAX(ms) - MIN(ms) AS duration_ms
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization (30-min gap) via gaps-and-islands — the "
+    "batch analogue of Structured Streaming session_window.",
+    tags=("cdc-pattern", "window"),
+)
+def q25_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    base = ev.select("user_id", "event_id", event_ts_ms().alias("ms"))
+    flagged = base.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ms") - F.lag("ms").over(w) > 1_800_000)
+            | F.lag("ms").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ms") - F.min("ms")).alias("duration_ms"),
+    )
+
+
+@REG.add(
+    "q26_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS s,
+             epoch_ms(ts) + CAST(FLOOR(value * 1000) AS BIGINT) AS e
+      FROM events
+    ), ordered AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ), flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_island
+      FROM ordered
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT user_id, island, MIN(s) AS start_ms, MAX(e) AS end_ms,
+           COUNT(*) AS n_intervals
+    FROM islands GROUP BY user_id, island
+    """,
+    doc="T16 interval merge at scale: overlapping [start,end] spans "
+    "merged per key with a running-max window (the reference's "
+    "compressedChangeSet as pure relational algebra).",
+    tags=("cdc-pattern", "window"),
+)
+def q26_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        event_ts_ms().alias("s"),
+        (event_ts_ms() + F.floor(F.col("value") * 1000).cast("bigint")).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    ordered = iv.withColumn(
+        "prev_max", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = ordered.withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_ms"),
+        F.max("e").alias("end_ms"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
