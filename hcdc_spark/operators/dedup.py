@@ -1,0 +1,283 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over `documents`:
+
+- exact (hash-groupBy) — one shuffle on the content hash;
+- n-gram/word Jaccard via an inverted-index token join — the scalable
+  exact-similarity formulation: pairs are only generated for documents
+  that *share a token*, never the full cross product;
+- MinHash + LSH banding — the sub-quadratic candidate generator
+  (shingle → minhash signature → band buckets → bucket join);
+- SimHash — bit-sign aggregate of hashed tokens, hamming-close pairs.
+
+Exact-Jaccard queries carry DuckDB oracles (list_intersect parity was
+verified bit-exact). MinHash/SimHash use Spark's xxhash64 — no DuckDB
+equivalent, so they are rows-only for the driver and are gated in
+pytest against the exact-Jaccard oracle (candidates ⊇ high-sim pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hcdc_spark.catalog import load_tables
+from hcdc_spark.functions.text import distinct_words, duck_words
+from hcdc_spark.registry import Registry
+
+REG = Registry()
+
+_W = duck_words("text")
+_DW = f"list_distinct({_W})"
+
+
+@REG.add(
+    "q27_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content. The canonical survivor "
+    "is min(doc_id). One shuffle on the hash — at 100 TB, partial agg "
+    "means only (hash, count, min) tuples move.",
+    tags=("dedup",),
+)
+def q27_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@REG.add(
+    "q28_jaccard_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_DW} AS ws FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+               / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard
+    FROM pairs WHERE jaccard >= 0.95
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 200
+    """,
+    doc="Near-dup detection by exact word-set Jaccard. Spark side uses "
+    "the inverted-index join (explode tokens, self-join on token, "
+    "count shared) — linear in corpus + shared-token pairs, not "
+    "quadratic; the oracle cross-joins within lang, feasible only at "
+    "test scale.",
+    tags=("dedup", "similarity"),
+)
+def q28_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = docs.select(
+        "doc_id", "lang", distinct_words("text").alias("ws")
+    ).withColumn("n_words", F.size("ws").cast("long"))
+    tokens = t.select(
+        "doc_id", "lang", "n_words", F.explode("ws").alias("w")
+    )
+    a = tokens.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_words").alias("n_a"),
+        "w",
+    )
+    b = tokens.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_words").alias("n_b"),
+        "w",
+    )
+    shared = (
+        a.join(b, ["w"])
+        .where((F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return (
+        shared.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.95)
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------- MinHash
+
+N_HASHES = 16
+N_BANDS = 4  # rows per band = 4
+_PRIME = (1 << 31) - 1  # Mersenne 2^31-1: a*h stays < 2^62 (ANSI-safe)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig array<long>) — minhash over distinct words.
+
+    h_i(w) = (a_i * (xxhash64(w) mod p) + b_i) mod p over the 31-bit
+    Mersenne prime, per-doc min. Computed as one explode + one groupBy
+    with n_hashes min() aggregates — all codegen, and the signature
+    shuffle carries only (doc_id, 16 longs).
+    """
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    coeffs = [
+        (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME))
+        for _ in range(n_hashes)
+    ]
+    tokens = docs.select(
+        "doc_id", F.explode(distinct_words("text")).alias("w")
+    ).withColumn("h", F.pmod(F.xxhash64("w"), F.lit(_PRIME)))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = tokens.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signatures and join within buckets → candidate pairs."""
+    rows_per_band = N_HASHES // n_bands
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows_per_band + j].cast(
+                                        "string"
+                                    )
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@REG.add(
+    "q29_minhash_lsh",
+    None,
+    doc="MinHash(16) + LSH(4 bands) near-dup candidates, verified by "
+    "exact Jaccard ≥ 0.9 on the candidate set only (sub-quadratic: "
+    "LSH prunes the pair space, exact check touches candidates only). "
+    "Rows-only for the driver (xxhash64 has no DuckDB equivalent); "
+    "recall vs exact Jaccard is gated in tests/test_dedup.py.",
+    tags=("dedup", "lsh"),
+)
+def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sig = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sig)
+    t = docs.select("doc_id", distinct_words("text").alias("ws"))
+    verified = (
+        cand.join(t.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ws", "ws_a"), "doc_a")
+        .join(t.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ws", "ws_b"), "doc_b")
+        .withColumn(
+            "shared",
+            F.size(F.array_intersect("ws_a", "ws_b")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.size("ws_a") + F.size("ws_b") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------- SimHash
+
+N_SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, n_bits: int = N_SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash long): sign-aggregate of token hash bits.
+
+    One explode + groupBy with n_bits conditional-sum aggregates; the
+    final bit-pack is a plain expression. All JVM-side.
+    """
+    tokens = docs.select(
+        "doc_id", F.explode(distinct_words("text")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(n_bits)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*aggs)
+    packed = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+@REG.add(
+    "q38_simhash_neardup",
+    None,
+    doc="SimHash(32-bit) near-dup pairs: bucket by the top 16 bits, "
+    "compare hamming distance ≤ 6 within buckets (bit_count of xor). "
+    "Rows-only; semantics gated in tests/test_dedup.py.",
+    tags=("dedup", "simhash"),
+)
+def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = simhash(docs).withColumn(
+        "bucket", F.shiftright("simhash", 16)
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "bucket"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
+        .where(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,266 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline. dot/norm are
+  `aggregate(zip_with(...))` fold expressions — JVM codegen, no UDF,
+  verified bit-identical to DuckDB's list_dot_product (so the query is
+  fully oracle-checked).
+- random-hyperplane LSH ANN: the scale path — 16 sign bits bucket the
+  vectors, exact re-rank only within matching buckets (multi-probe on
+  the driver's bucket key). At 100 TB the bucket join replaces the full
+  scan; planes are deterministic literals compiled into the plan.
+- embedding near-dup: all pairs above a cosine threshold via the same
+  exact arithmetic (bucketed in the LSH variant).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hcdc_spark.catalog import load_tables
+from hcdc_spark.registry import Registry
+
+REG = Registry()
+
+EMB_DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _emb(col: str = "embedding") -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+@REG.add(
+    "q34_knn_brute_force",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cos_sim
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-k vs the vec_id=0 query vector. "
+    "Exact-arithmetic parity with the oracle (verified bit-identical); "
+    "top-k via TakeOrderedAndProject — no global sort.",
+    tags=("similarity",),
+)
+def q34_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qv))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot(_emb(), qlit)
+                / (F.sqrt(_norm2(_emb())) * F.lit(qnorm))
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@REG.add(
+    "q35_embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.45
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.45). The "
+    "oracle cross-joins (test scale); the Spark plan does too here for "
+    "exactness — q36 is the LSH-bucketed scale path.",
+    tags=("similarity", "dedup"),
+)
+def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    a = emb.select(F.col("vec_id").alias("vec_a"), _emb().alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), _emb().alias("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") > 0.45)
+    )
+
+
+# ------------------------------------------------------------- LSH / ANN
+
+N_BANDS = 4
+BITS_PER_BAND = 4
+
+
+def _planes(
+    dim: int = EMB_DIM, n_planes: int = N_BANDS * BITS_PER_BAND
+) -> list[list[float]]:
+    rng = random.Random(20240813)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def hyperplane_bands(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_bands: int = N_BANDS,
+    bits_per_band: int = BITS_PER_BAND,
+) -> DataFrame:
+    """Add `band_0..band_{n-1}` long columns: banded sign-bit LSH keys.
+
+    Random-hyperplane LSH with banding (multiple hash tables): each band
+    hashes `bits_per_band` sign bits of plane dot-products; two vectors
+    are ANN *candidates* iff they collide in at least one band. The
+    planes are deterministic literals — the banding is a pure projection
+    (no shuffle, no UDF), so at scale it pipelines into the scan and the
+    candidate join shuffles on the short (band, key) pair instead of
+    cross-joining.
+    """
+    planes = _planes(n_planes=n_bands * bits_per_band)
+    for b in range(n_bands):
+        key = None
+        for i in range(bits_per_band):
+            p = planes[b * bits_per_band + i]
+            plit = F.array(*[F.lit(v) for v in p])
+            bit = (
+                F.when(
+                    _dot(F.col(vec_col).cast("array<double>"), plit) >= 0, 1
+                )
+                .otherwise(0)
+                .cast("long")
+            )
+            term = F.shiftleft(bit, i)
+            key = term if key is None else key + term
+        emb = emb.withColumn(f"band_{b}", key)
+    return emb
+
+
+def ann_candidates(
+    emb: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Scale path for multi-query ANN: explode both sides to
+    (band_idx, key) rows and equi-join — candidates shuffle on the
+    band key, never a cross join. Returns distinct (query, candidate)
+    id pairs; the caller re-ranks exactly."""
+    def _explode(df: DataFrame, id_alias: str) -> DataFrame:
+        banded = hyperplane_bands(df, vec_col, n_bands)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"band_{b}").alias("key")
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return banded.select(
+            F.col("vec_id").alias(id_alias), F.explode(pairs).alias("bk")
+        ).select(id_alias, "bk.band", "bk.key")
+
+    e = _explode(emb, "cand_id")
+    q = _explode(queries, "query_id")
+    return (
+        e.join(q, ["band", "key"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+
+
+@REG.add(
+    "q36_ann_lsh",
+    None,
+    doc="ANN via banded random-hyperplane LSH (4 tables x 4 sign bits): "
+    "candidate iff any band key matches the query's, exact cosine "
+    "re-rank of candidates (top-10). Rows-only for the driver; recall "
+    "vs q34 brute force is gated in tests/test_text_dedup_similarity.py.",
+    tags=("similarity", "lsh"),
+)
+def q36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    banded = hyperplane_bands(emb)
+    qrow = banded.where(F.col("vec_id") == 0).collect()[0]
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in qrow["embedding"]])
+    qnorm = math.sqrt(sum(float(x) ** 2 for x in qrow["embedding"]))
+    any_band = None
+    for b in range(N_BANDS):
+        hit = F.col(f"band_{b}") == F.lit(qrow[f"band_{b}"])
+        any_band = hit if any_band is None else (any_band | hit)
+    return (
+        banded.where(any_band & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot(_emb(), qlit) / (F.sqrt(_norm2(_emb())) * F.lit(qnorm))
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@REG.add(
+    "q37_centroid_by_label",
+    """
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+             / COUNT(*) AS centroid_d0,
+           CAST(SUM(CAST(CAST(embedding[33] AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+             / COUNT(*) AS centroid_d32
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="IVF building block: per-label centroids (representative dims "
+    "0 and 32; the full-vector centroid agg is the same shape). Double "
+    "sums are order-sensitive across engines, so elements go through "
+    "DECIMAL(18,12) — exact associative aggregation, identical result.",
+    tags=("similarity", "agg"),
+)
+def q37_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = _emb()
+    d = lambda c: c.cast("decimal(18,12)")  # noqa: E731
+    n = F.count(F.lit(1))
+    return emb.groupBy("label").agg(
+        n.alias("n_vecs"),
+        (F.sum(d(e[0])).cast("double") / n).alias("centroid_d0"),
+        (F.sum(d(e[32])).cast("double") / n).alias("centroid_d32"),
+    )

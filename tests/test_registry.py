@@ -1,0 +1,73 @@
+"""Entity registry matching semantics (T7/T30)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hcdc_spark.cdc.registry import (
+    DomainFilter,
+    apply_registry,
+    match_entity,
+    matched_only,
+)
+
+RULES = [
+    DomainFilter("test-domain-1", "MOVIES", "/test/hcdc/loader/parquet/movies",
+                 r"(.*/*)(.*\.parquet)"),
+    DomainFilter("test-domain-1", "LINKS", "/test/hcdc/loader/parquet/links",
+                 r"(.*/*)(.*\.parquet)"),
+    DomainFilter("d2", "CSV_ONLY", "/data/csv", r".*\.csv"),
+]
+
+
+def _match(spark, paths):
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    out = df.select(
+        "path", match_entity(F.col("path"), RULES).alias("m")
+    ).collect()
+    return {r["path"]: (r["m"]["domain"], r["m"]["entity"]) if r["m"] else None
+            for r in out}
+
+
+def test_prefix_and_regex_match(spark):
+    got = _match(spark, [
+        "/test/hcdc/loader/parquet/movies/part-0001.parquet",
+        "/test/hcdc/loader/parquet/movies/sub/dir/part-9.parquet",
+        "/test/hcdc/loader/parquet/links/x.parquet",
+        "/test/hcdc/loader/parquet/movies/readme.txt",
+        "/test/hcdc/loader/parquet/other/x.parquet",
+        "/data/csv/a.csv",
+        "/data/csv/a.json",
+    ])
+    assert got["/test/hcdc/loader/parquet/movies/part-0001.parquet"] == (
+        "test-domain-1", "MOVIES")
+    assert got["/test/hcdc/loader/parquet/movies/sub/dir/part-9.parquet"] == (
+        "test-domain-1", "MOVIES")
+    assert got["/test/hcdc/loader/parquet/links/x.parquet"] == (
+        "test-domain-1", "LINKS")
+    assert got["/test/hcdc/loader/parquet/movies/readme.txt"] is None
+    assert got["/test/hcdc/loader/parquet/other/x.parquet"] is None
+    assert got["/data/csv/a.csv"] == ("d2", "CSV_ONLY")
+    assert got["/data/csv/a.json"] is None
+
+
+def test_global_ignore_regex(spark):
+    got = _match(spark, [
+        "/data/csv/a.csv._COPYING_",
+        "/tmp/data/csv/a.csv",
+        "/data/csv/x.hive-staging_123/a.csv",
+    ])
+    assert all(v is None for v in got.values())
+
+
+def test_apply_registry_fills_columns(spark):
+    from hcdc_spark.cdc.generator import events_df, generate_events
+
+    rules = [DomainFilter("dom", "ENT", "/data/d0", r".*\.parquet")]
+    events = events_df(spark, generate_events(n_files=20, seed=3,
+                                              with_dir_ops=False))
+    tagged = apply_registry(events, rules)
+    m = matched_only(tagged)
+    assert m.count() > 0
+    assert m.where(~F.col("path").startswith("/data/d0/")).count() == 0
+    assert tagged.where(F.col("domain").isNull()).count() > 0

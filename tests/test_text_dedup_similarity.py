@@ -1,0 +1,100 @@
+"""Text / dedup / similarity operators: oracle checks + semantic gates
+for the non-SQL-expressible ones (MinHash, SimHash, LSH-ANN)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hcdc_spark.operators import dedup, similarity, text
+from tests.conftest import assert_matches_oracle
+
+ALL_SPECS = sorted(
+    list(text.REG.specs.values())
+    + list(dedup.REG.specs.values())
+    + list(similarity.REG.specs.values()),
+    key=lambda s: s.name,
+)
+
+
+@pytest.mark.parametrize("spec", ALL_SPECS, ids=[s.name for s in ALL_SPECS])
+def test_operator(spec, spark, oracle, sf_dir):
+    df = spec.fn(spark, sf_dir)
+    if spec.oracle is None:
+        assert df.count() >= 0
+        return
+    assert_matches_oracle(df, oracle, spec.oracle, spec.name)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """LSH candidates must recover (nearly) all truly-similar pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from hcdc_spark.functions.text import distinct_words
+
+    t = docs.select("doc_id", distinct_words("text").alias("ws"))
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    exact = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("shared", F.size(F.array_intersect("ws_a", "ws_b")))
+        .withColumn(
+            "j",
+            F.col("shared").cast("double")
+            / (F.size("ws_a") + F.size("ws_b") - F.col("shared")),
+        )
+        .where(F.col("j") >= 0.95)
+        .select("doc_a", "doc_b")
+    )
+    truth = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.q29_minhash_lsh(spark, sf_dir).collect()
+    }
+    if truth:
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.9, f"minhash recall {recall} < 0.9"
+    # every reported pair is genuinely >= 0.9 (verified inside the op)
+    for pair in got:
+        assert pair[0] < pair[1]
+
+
+def test_simhash_close_on_identical_text(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # identical
+        (3, "alpha beta gamma delta epsilon eta"),    # one word off
+        (4, "totally different words entirely here now then"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham13 < ham14, "near-dup should be closer than unrelated"
+
+
+def test_ann_lsh_finds_true_neighbors(spark, sf_dir):
+    """LSH bucket must contain a decent share of the brute-force top-10."""
+    brute = {
+        r["vec_id"]
+        for r in similarity.q34_knn_brute_force(spark, sf_dir).collect()
+    }
+    ann = {r["vec_id"] for r in similarity.q36_ann_lsh(spark, sf_dir).collect()}
+    # single-probe LSH: expect non-trivial overlap, not perfection
+    assert len(ann) > 0
+    assert len(brute & ann) >= 2, f"ANN overlap too low: {brute & ann}"
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    rows = [(i, f"unique text number {i}") for i in range(10)]
+    rows += [(100, "dup dup dup"), (101, "dup dup dup"), (102, "dup dup dup")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep"))
+        .where(F.col("n") > 1)
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0]["n"] == 3 and out[0]["keep"] == 100
