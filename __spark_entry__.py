@@ -23,7 +23,13 @@ def _registry() -> Registry:
     from hcdc_spark.operators import analytics
 
     reg.merge(analytics.REG)
-    for mod_name in ("dedup", "similarity", "text", "cdc_queries"):
+    for mod_name in (
+        "dedup",
+        "similarity",
+        "text",
+        "cdc_queries",
+        "streaming_queries",
+    ):
         try:
             mod = __import__(
                 f"hcdc_spark.operators.{mod_name}", fromlist=["REG"]

@@ -1,0 +1,130 @@
+"""Driver-visible Structured Streaming queries.
+
+These run real streaming queries (availableNow trigger drains the whole
+input, so results are deterministic and comparable):
+
+- ``c04``: the streaming reconciler end-to-end (file-segment source →
+  applyInPandasWithState fold → state log → latest_state). Rows-only;
+  the semantic gate is tests/test_streaming.py's batch-equivalence.
+- ``c05``: watermarked tumbling-window aggregation over the driver's
+  ``events`` table read *as a stream* — fully oracle-checked, proving
+  the streaming plan computes exactly what the batch SQL does.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hcdc_spark.registry import Registry
+
+REG = Registry()
+
+
+@REG.add(
+    "c04_stream_reconcile",
+    None,
+    doc="Streaming CDC reconciler (applyInPandasWithState keyed by "
+    "inode) over a deterministic event log split into two segment "
+    "files / micro-batches. Rows-only; batch-equivalence and restart "
+    "recovery gated in tests/test_streaming.py.",
+    tags=("cdc", "streaming"),
+)
+def c04_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.cdc.generator import generate_events
+    from hcdc_spark.streaming.reconciler import latest_state, run_reconciler
+    from hcdc_spark.streaming.source import write_event_segment
+
+    events = generate_events(n_files=40, seed=7, with_dir_ops=False)
+    work = tempfile.mkdtemp(prefix="hcdc_c04_")
+    try:
+        src = os.path.join(work, "segments")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        half = len(events) // 2
+        write_event_segment(spark, events[:half], src, "edits_0000001")
+        write_event_segment(spark, events[half:], src, "edits_0000002")
+        q = run_reconciler(
+            spark, src, out, ckpt, max_files_per_trigger=1,
+            available_now=True,
+        )
+        q.awaitTermination(300)
+        return spark.createDataFrame(
+            latest_state(spark, out)
+            .select(
+                "inode_id", "path", "state", "data_size", "num_blocks",
+                "last_tx_id",
+            )
+            .orderBy("inode_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@REG.add(
+    "c05_stream_window_agg",
+    """
+    SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour watermarked window over the events table read "
+    "as a stream (availableNow) — the streaming plan is oracle-checked "
+    "against batch SQL. Map-side partial agg + bounded state eviction "
+    "is what keeps this viable on an unbounded stream.",
+    tags=("streaming", "window-agg"),
+)
+def c05_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.catalog import load_tables
+
+    # Batch read resolves the schema (and sets nanosAsLong); the stream
+    # reuses it, so both paths see ts as epoch-nanos LongType.
+    batch = load_tables(spark, sf_dir, ("events",))["events"]
+    # events.parquet is a single file; the file stream source wants a
+    # directory, so stream the sf dir with a glob filter.
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.withColumn(
+            "event_time", F.timestamp_millis(F.expr("ts DIV 1000000"))
+        )
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value_dec"),
+        )
+    )
+    name = "c05_win_agg"
+    ckpt = tempfile.mkdtemp(prefix="hcdc_c05_ckpt_")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.table(name).select(
+            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+            "event_type",
+            "n_events",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+        )
+        # materialize before the memory sink is dropped
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
