@@ -143,6 +143,11 @@ def apply_event(state: State | None, ev: Event) -> tuple[State | None, list[Erro
         st["state"] = "Finalized"
         for b in st["blocks"]:
             b["state"] = "Finalized"
+        # honor the authoritative file length, like the live CLOSE path
+        # (file data_size may legitimately differ from the block sum
+        # after truncate histories).
+        if ev.get("length") is not None:
+            st["data_size"] = ev["length"]
         return st, errors
 
     if state is None or state["state"] == "Deleted":

@@ -94,6 +94,83 @@ def c03_cdc_change_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "c06_snapshot_bootstrap",
+    None,
+    doc="S1 fsimage-bootstrap analogue: distributed binaryFile listing "
+    "of the sf dir → synthetic Snapshot CLOSE events → reconciled "
+    "Finalized state. Rows-only; invariants (contiguous txids, "
+    "Finalized-only, size parity) gated in tests/test_snapshot.py.",
+    tags=("cdc", "snapshot"),
+)
+def c06_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.cdc.reconcile import reconcile_batch
+    from hcdc_spark.cdc.snapshot import bootstrap_from_listing
+
+    ev = bootstrap_from_listing(spark, sf_dir, base_tx=0)
+    return (
+        reconcile_batch(ev, expand_dirs=False)
+        .select("path", "state", "data_size", "num_blocks", "file_type")
+        .orderBy("path")
+    )
+
+
+@REG.add(
+    "c07_materialize_pipeline",
+    None,
+    doc="T14-T19 materializer end-to-end: synthetic entity files → "
+    "file_state → grouped staging replication + change_data pointers + "
+    "schema registry; returns the pointer table. Rows-only; semantics "
+    "gated in tests/test_materialize.py.",
+    tags=("cdc", "materialize"),
+)
+def c07_materialize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from hcdc_spark.cdc.materialize import materialize
+
+    work = tempfile.mkdtemp(prefix="hcdc_c07_")
+    try:
+        src = os.path.join(work, "hdfs", "data", "sales")
+        df = spark.range(100).select(
+            F.col("id"), (F.col("id") % 7).alias("grp"),
+            F.sha1(F.col("id").cast("string")).alias("payload"),
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/t1.parquet.d")
+        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(
+            f"{src}/t2.csv.d"
+        )
+
+        def one(d, ext):
+            return next(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(ext) and not f.startswith(("_", "."))
+            )
+
+        state = spark.createDataFrame(
+            [
+                (1, one(f"{src}/t1.parquet.d", ".parquet"), "Finalized",
+                 "sales", "t1", 10, "PARQUET"),
+                (2, one(f"{src}/t2.csv.d", ".csv"), "Finalized",
+                 "sales", "t2", 11, "CSV"),
+            ],
+            "inode_id long, path string, state string, domain string,"
+            " entity string, last_tx_id long, file_type string",
+        )
+        res = materialize(
+            spark, state, os.path.join(work, "staging"), batch_tag="b0",
+            registry_dir=os.path.join(work, "registry"),
+        )
+        out = res.pointers.select(
+            "domain", "entity", "inode_id", "last_tx_id", "file_type"
+        ).orderBy("inode_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ------------------------------------------- CDC patterns over `events`
 
 @REG.add(
