@@ -29,6 +29,8 @@ def _registry() -> Registry:
         "text",
         "cdc_queries",
         "streaming_queries",
+        "sources_queries",
+        "multimodal",
     ):
         try:
             mod = __import__(

@@ -1,0 +1,142 @@
+"""Driver-visible source/sink queries — format roundtrips with oracles.
+
+Each query writes a slice of a test table through one of the engine's
+sinks, reads it back through the matching reader, and aggregates. The
+oracle aggregates the original table directly — so a hash match proves
+write+read fidelity (values, types, nulls) for that format, not just
+that the code ran. Doubles go through DECIMAL so the check is exact.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hcdc_spark.catalog import load_tables
+from hcdc_spark.registry import Registry
+
+REG = Registry()
+
+_AGG_ORACLE = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from hcdc_spark.sources import readers, writers
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    work = tempfile.mkdtemp(prefix=f"hcdc_rt_{fmt}_")
+    try:
+        path = os.path.join(work, f"orders_{fmt}")
+        if fmt == "csv":
+            # CSV is text: timestamps serialize ISO; read back with the
+            # explicit schema (production contract — see read_csv doc).
+            writers.write_table(orders, path, fmt="csv", header=True)
+            back = readers.read_csv(spark, path, schema=orders.schema)
+        elif fmt == "json":
+            writers.write_table(orders, path, fmt="json")
+            back = readers.read_json(spark, path, schema=orders.schema)
+        else:
+            writers.write_table(orders, path, fmt=fmt)
+            back = (
+                readers.read_orc(spark, path)
+                if fmt == "orc"
+                else readers.read_parquet(spark, path)
+            )
+        out = _agg(back)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+for _fmt in ("csv", "json", "orc"):
+    def _mk(fmt):
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _roundtrip(spark, sf_dir, fmt)
+        q.__name__ = f"q39_{fmt}_roundtrip"
+        return q
+
+    REG.add(
+        f"q39_{_fmt}_roundtrip",
+        _AGG_ORACLE,
+        doc=f"{_fmt.upper()} sink+source roundtrip of the orders table; "
+        "the oracle aggregates the original parquet, so a hash match "
+        "proves full write/read fidelity for the format "
+        "(SURVEY §2B scans/sinks rows; reference converters "
+        "CDCDataConverter.java:28).",
+        tags=("sources", "roundtrip"),
+    )(_mk(_fmt))
+
+
+@REG.add(
+    "q40_partitioned_write_prune",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="Partitioned write (partitionBy o_orderstatus) then a read with "
+    "a partition filter — the scan touches only the o_orderstatus=F "
+    "directory (partition pruning; K3/K5 staging-layout contract).",
+    tags=("sources", "partitioning"),
+)
+def q40_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.sources import writers
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    work = tempfile.mkdtemp(prefix="hcdc_part_")
+    try:
+        path = os.path.join(work, "orders_part")
+        writers.write_table(
+            orders, path, partition_by=["o_orderstatus"]
+        )
+        back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+        out = back.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@REG.add(
+    "q41_binary_listing",
+    None,
+    doc="binaryFile metadata listing of the sf dir (S9 recursive-listing "
+    "analogue): path, length — content never read (lazy column). "
+    "Rows-only: file sizes depend on writer env.",
+    tags=("sources", "binary"),
+)
+def q41_binary_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.sources.readers import read_binary
+
+    return (
+        read_binary(spark, sf_dir, pattern="*.parquet")
+        .select(
+            F.regexp_extract("path", r"([^/]+)\.parquet$", 1).alias("table"),
+            "length",
+        )
+        .orderBy("table")
+    )

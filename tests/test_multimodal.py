@@ -1,0 +1,81 @@
+"""Multimodal plumbing: schemas, batch shapes, fan-out, stub gating."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hcdc_spark.operators import multimodal as MM
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return MM.media_from_documents(docs).cache()
+
+
+def test_q42_oracle(spark, oracle, sf_dir):
+    spec = MM.REG.specs["q42_media_analyze"]
+    assert_matches_oracle(spec.fn(spark, sf_dir), oracle, spec.oracle,
+                          spec.name)
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "kind", "content", "meta",
+    ]
+    assert dict(media.dtypes)["content"] == "binary"
+
+
+def test_frame_sampling_fanout(spark, media):
+    frames = MM.sample_frames(media, every=2)
+    rows = frames.collect()
+    assert rows, "no frames sampled"
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    sizes = media.where(F.col("kind") == "video").select(
+        "media_id", F.octet_length("content").alias("n")
+    ).collect()
+    size_of = {r["media_id"]: r["n"] for r in sizes}
+    for mid, fr in by_media.items():
+        n_frames = math.ceil(size_of[mid] / MM.FRAME_BYTES)
+        expect = len(range(0, n_frames, 2))
+        assert len(fr) == expect
+        # sampled frame indices are 0, 2, 4, ...
+        assert sorted(r["frame_idx"] for r in fr) == list(
+            range(0, n_frames, 2)
+        )[: len(fr)]
+        # every frame except possibly the last is exactly FRAME_BYTES
+        for r in sorted(fr, key=lambda x: x["frame_idx"])[:-1]:
+            assert len(r["frame"]) == MM.FRAME_BYTES
+
+
+def test_featurize_deterministic(spark, media):
+    e1 = {r["media_id"]: r["embedding"]
+          for r in MM.featurize_media(media).collect()}
+    e2 = {r["media_id"]: r["embedding"]
+          for r in MM.featurize_media(media).collect()}
+    assert e1 == e2
+    assert all(len(v) == 16 for v in e1.values())
+    assert all(0.0 <= x <= 1.0 for v in e1.values() for x in v)
+
+
+def test_real_decode_stub_gated(media):
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow present; stub path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        MM.decode_image_real(media)
+
+
+def test_q43_knn_shape(spark, sf_dir):
+    out = MM.REG.specs["q43_media_embed_knn"].fn(spark, sf_dir).collect()
+    assert len(out) == 5
+    sims = [r["cos_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)

@@ -1,0 +1,85 @@
+"""Sources/sinks: reader dispatch, loader, and the roundtrip queries
+(oracle-checked like the driver does)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hcdc_spark.operators import sources_queries
+from hcdc_spark.sources import readers, writers
+from tests.conftest import assert_matches_oracle
+
+ALL_SPECS = sorted(
+    sources_queries.REG.specs.values(), key=lambda s: s.name
+)
+
+
+@pytest.mark.parametrize("spec", ALL_SPECS, ids=[s.name for s in ALL_SPECS])
+def test_operator(spec, spark, oracle, sf_dir):
+    df = spec.fn(spark, sf_dir)
+    if spec.oracle is None:
+        assert df.count() >= 0
+        return
+    assert_matches_oracle(df, oracle, spec.oracle, spec.name)
+
+
+def test_read_any_detects_and_reads(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, name string"
+    )
+    p = str(tmp_path / "t.parquet.d")
+    df.write.parquet(p)
+    got = readers.read_any(spark, p)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
+
+
+def test_read_any_unknown_raises(spark, tmp_path):
+    p = str(tmp_path / "mystery.bin")
+    with open(p, "wb") as f:
+        f.write(b"\x00\x01\x02\x03 not a known format")
+    with pytest.raises(ValueError, match="unsupported file type"):
+        readers.read_any(spark, p)
+
+
+def test_infer_schema_no_rows_materialized(spark, sf_dir):
+    sch = readers.infer_schema(
+        spark, os.path.join(sf_dir, "orders.parquet"), "PARQUET"
+    )
+    assert "o_orderkey" in sch.fieldNames()
+
+
+def test_csv_to_parquet_loader(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 1.5) for i in range(100)],
+        "id int, name string, v double",
+    )
+    csv_dir = str(tmp_path / "in_csv")
+    src.write.option("header", "true").csv(csv_dir)
+    dest = str(tmp_path / "out_parquet")
+    reg = str(tmp_path / "registry")
+    out = writers.csv_to_parquet(
+        spark, csv_dir, dest, schema=src.schema,
+        register_schema_dir=reg, domain="d", entity="e",
+    )
+    assert out.count() == 100
+    assert dict(out.dtypes)["v"] == "double"
+    from hcdc_spark.cdc.materialize import entity_schema
+
+    assert entity_schema(spark, reg, "d", "e") == src.schema
+
+
+def test_partitioned_write_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "id int, k string"
+    )
+    p = str(tmp_path / "part")
+    writers.write_table(df, p, partition_by=["k"])
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("k=")
+    ) == ["k=x", "k=y"]
+    # partition filter prunes to one dir
+    back = spark.read.parquet(p).where(F.col("k") == "x")
+    assert back.count() == 2
