@@ -31,6 +31,7 @@ def _registry() -> Registry:
         "streaming_queries",
         "sources_queries",
         "multimodal",
+        "analytics_ext",
     ):
         try:
             mod = __import__(
