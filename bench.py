@@ -34,27 +34,34 @@ def main() -> None:
 
     # Headline set: one per operator family, weighted toward the ones
     # whose plans matter at scale (shuffle joins, windows, text ops).
-    headline = [
-        name
-        for name in (
-            "q01_pricing_summary",
-            "q03_join_topn_revenue",
-            "q04_left_outer_join",
-            "q05_star_join",
-            "q08_theta_join",
-            "q10_agg_distinct",
-            "q12_cube",
-            "q13_window_rank",
-            "q14_window_analytic",
-            "q16_set_ops",
-            "q22_explode_wordcount",
-            "q24_dedup_exact",
-            "q26_minhash_lsh",
-            "q30_knn_brute_force",
-            "q34_text_quality",
-        )
-        if name in qs
-    ]
+    headline_names = (
+        "q01_pricing_summary",
+        "q03_join_topn_revenue",
+        "q04_left_outer_join",
+        "q05_star_join",
+        "q08_theta_join",
+        "q10_agg_distinct",
+        "q12_cube",
+        "q13_window_rank",
+        "q14_window_analytic",
+        "q16_set_ops",
+        "q22_explode_wordcount",
+        "q24_latest_per_key",
+        "q26_interval_merge",
+        "q27_dedup_exact",
+        "q29_minhash_lsh",
+        "q30_text_quality",
+        "q34_knn_brute_force",
+        "q36_ann_lsh",
+        "q42_media_analyze",
+        "q47_asof_join",
+        "q48_range_join",
+        "q49_percentiles",
+    )
+    missing = [n for n in headline_names if n not in qs]
+    if missing:  # never silently shrink the bench
+        print(f"WARNING: headline queries missing: {missing}", file=sys.stderr)
+    headline = [n for n in headline_names if n in qs]
 
     # Warmup: parquet footer reads + codegen paths, not timed.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()

@@ -115,18 +115,18 @@ def q28_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- MinHash
 
-N_HASHES = 16
-N_BANDS = 4  # rows per band = 4
+N_HASHES = 32
+N_BANDS = 4  # rows per band = 8 → P(candidate) = 1-(1-J^8)^4
 _PRIME = (1 << 31) - 1  # Mersenne 2^31-1: a*h stays < 2^62 (ANSI-safe)
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, sig array<long>) — minhash over distinct words.
+def _signatures_from_ws(ws_df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, ws array<string>) → (doc_id, sig array<long>).
 
     h_i(w) = (a_i * (xxhash64(w) mod p) + b_i) mod p over the 31-bit
-    Mersenne prime, per-doc min. Computed as one explode + one groupBy
-    with n_hashes min() aggregates — all codegen, and the signature
-    shuffle carries only (doc_id, 16 longs).
+    Mersenne prime, per-doc min. One explode + one groupBy with
+    n_hashes min() aggregates — all codegen; the signature shuffle
+    carries only (doc_id, n_hashes longs).
     """
     import random
 
@@ -135,8 +135,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
         (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME))
         for _ in range(n_hashes)
     ]
-    tokens = docs.select(
-        "doc_id", F.explode(distinct_words("text")).alias("w")
+    tokens = ws_df.select(
+        "doc_id", F.explode("ws").alias("w")
     ).withColumn("h", F.pmod(F.xxhash64("w"), F.lit(_PRIME)))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_PRIME)).alias(
@@ -151,8 +151,47 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     )
 
 
+def _signatures_from_hashed_ws(
+    ws_df: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Same as :func:`_signatures_from_ws` but `ws` already holds
+    xxhash64 longs — skips the per-token re-hash."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    coeffs = [
+        (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME))
+        for _ in range(n_hashes)
+    ]
+    tokens = ws_df.select("doc_id", F.explode("ws").alias("h")).withColumn(
+        "h", F.pmod("h", F.lit(_PRIME))
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = tokens.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig array<long>) — minhash over distinct words."""
+    return _signatures_from_ws(
+        docs.select("doc_id", distinct_words("text").alias("ws")), n_hashes
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """Band the signatures and join within buckets → candidate pairs."""
+    """Band the signatures and join within buckets → candidate pairs.
+
+    Bucket key = xxhash64 of the band's slice (long, not md5 string —
+    shorter shuffle rows, no codec hop).
+    """
     rows_per_band = N_HASHES // n_bands
     banded = sig.select(
         "doc_id",
@@ -161,16 +200,11 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[bi * rows_per_band + j].cast(
-                                        "string"
-                                    )
-                                    for j in range(rows_per_band)
-                                ],
-                            )
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[bi * rows_per_band + j]
+                                for j in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for bi in range(n_bands)
@@ -191,34 +225,101 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 @REG.add(
     "q29_minhash_lsh",
     None,
-    doc="MinHash(16) + LSH(4 bands) near-dup candidates, verified by "
-    "exact Jaccard ≥ 0.9 on the candidate set only (sub-quadratic: "
-    "LSH prunes the pair space, exact check touches candidates only). "
-    "Rows-only for the driver (xxhash64 has no DuckDB equivalent); "
-    "recall vs exact Jaccard is gated in tests/test_dedup.py.",
+    doc="MinHash(32) + LSH(4 bands x 8 rows) near-dup pairs with exact "
+    "Jaccard >= 0.9. Scale shape: identical word-sets collapse to one "
+    "representative FIRST (groupBy on the set — one shuffle), LSH and "
+    "the exact verification run on representatives only, and member "
+    "pairs are expanded back by two cheap membership joins at the end. "
+    "Verification cost is rep-pairs (~k), not doc-pairs (~k * dup^2) — "
+    "on corpora with heavy duplication that is the difference between "
+    "touching thousands and millions of array intersections. Rows-only "
+    "for the driver (xxhash64 has no DuckDB equivalent); recall vs "
+    "exact Jaccard gated in tests/test_text_dedup_similarity.py.",
     tags=("dedup", "lsh"),
 )
 def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sig = minhash_signatures(docs)
+    # sorted xxhash64 word sets: (a) set equality is array equality
+    # regardless of word order, (b) every downstream intersect compares
+    # longs, not strings. Hash collisions are negligible at 64 bits.
+    t = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.transform(distinct_words("text"), lambda w: F.xxhash64(w))
+        ).alias("ws"),
+    )
+
+    # 1. collapse identical word-sets (J=1 by definition)
+    grp = t.groupBy("ws").agg(
+        F.min("doc_id").alias("rep"),
+        F.collect_list("doc_id").alias("members"),
+    ).cache()
+    reps = grp.select(F.col("rep").alias("doc_id"), "ws")
+
+    # 2. LSH over representatives only
+    sig = _signatures_from_hashed_ws(reps).cache()
     cand = lsh_candidate_pairs(sig)
-    t = docs.select("doc_id", distinct_words("text").alias("ws"))
-    verified = (
-        cand.join(t.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ws", "ws_a"), "doc_a")
-        .join(t.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ws", "ws_b"), "doc_b")
-        .withColumn(
-            "shared",
-            F.size(F.array_intersect("ws_a", "ws_b")).cast("long"),
+
+    # 3a. sketch prefilter: estimated Jaccard = matching minhash
+    # fraction. Candidates from near-threshold buckets (J ~0.7-0.85 —
+    # dense in templated corpora) die here for the cost of 32 long
+    # compares instead of a full set intersection.
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est_matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
         )
+    )
+    prefiltered = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .where(est_matches >= int(0.75 * N_HASHES))
+        .select("doc_a", "doc_b")
+    )
+
+    # 3b. exact verification at rep level (long-array intersect)
+    ws_a = reps.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    ws_b = reps.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    shared = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
+    ver = (
+        prefiltered.join(ws_a, "doc_a")
+        .join(ws_b, "doc_b")
+        .withColumn("shared", shared)
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")
             / (F.size("ws_a") + F.size("ws_b") - F.col("shared")),
         )
         .where(F.col("jaccard") >= 0.9)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"),
+                "jaccard")
     )
-    return verified
+
+    # 4. expand back to member pairs (membership is doc-count scale)
+    mem = grp.select("rep", F.explode("members").alias("doc"))
+    intra = (
+        mem.alias("x")
+        .join(mem.alias("y"), "rep")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    ma = mem.select(F.col("rep").alias("rep_a"), F.col("doc").alias("da"))
+    mb = mem.select(F.col("rep").alias("rep_b"), F.col("doc").alias("db"))
+    cross = (
+        ver.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 # ---------------------------------------------------------------- SimHash

@@ -1,0 +1,67 @@
+"""Plan-property regression gates: the physical plans we ship are the
+plans we designed. A dim join that stops broadcasting or a filter that
+stops reaching the scan fails here, not at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hcdc_spark.operators import analytics, analytics_ext, cdc_queries
+from hcdc_spark.plans import inspect as I
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = analytics.q05_star_join(spark, sf_dir)
+    # customer/supplier/nation/region are dims → all four joins broadcast
+    assert I.broadcast_join_count(df) >= 4
+    assert I.sortmerge_join_count(df) == 0
+    assert not I.has_cartesian(df)
+
+
+def test_filter_and_projection_reach_scan(spark, sf_dir):
+    df = analytics.q02_filter_project(spark, sf_dir)
+    assert I.pushed_filters(df), "no PushedFilters at the scan"
+    # projection pruned: the lineitem scan must not read all 11 columns
+    schemas = I.read_schemas(df)
+    assert schemas and all(s.count(",") < 10 for s in schemas)
+
+
+def test_agg_single_shuffle(spark, sf_dir):
+    df = analytics.q01_pricing_summary(spark, sf_dir)
+    # partial agg map-side → exactly one exchange on the grouping keys
+    assert I.count_exchanges(df) == 1
+
+
+def test_latest_per_key_single_shuffle(spark, sf_dir):
+    df = cdc_queries.q24_latest_per_key(spark, sf_dir)
+    assert I.count_exchanges(df) == 1
+
+
+def test_range_join_broadcasts_band_dim(spark, sf_dir):
+    df = analytics_ext.q48_range_join(spark, sf_dir)
+    assert I.has_broadcast_join(df)
+    assert not I.has_cartesian(df)
+
+
+def test_asof_join_single_shuffle_no_join_node(spark, sf_dir):
+    df = analytics_ext.q47_asof_join(spark, sf_dir)
+    p = I.simple_plan(df)
+    # union-merge asof: no join operator at all, one shuffle per side
+    # feeding the window (union-in-partition), then the window sort.
+    assert "Join" not in p
+    assert I.count_exchanges(df) <= 2
+
+
+def test_codegen_covers_relational_queries(spark, sf_dir):
+    for fn in (analytics.q01_pricing_summary, analytics.q03_join_topn_revenue):
+        df = fn(spark, sf_dir)
+        assert I.codegen_stage_count(df) >= 1
+
+
+def test_broadcast_threshold_active(spark, sf_dir):
+    # a plain dim join must broadcast under the session conf
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(pa, li["l_partkey"] == pa["p_partkey"])
+    assert I.broadcast_join_count(j) == 1
