@@ -218,13 +218,16 @@ def read_entity(
         os.path.join(staging_dir, "data", domain, entity)
     )
     # _metadata.file_path stores a URI (file:/…, s3a://…); the state
-    # table stores plain paths — normalize both sides. The batch match
-    # is on the discovered `batch` partition column, so stale batches
-    # prune at the scan.
+    # table stores plain paths — normalize both sides. A logical source
+    # "file" may be a directory (multi-part parquet), in which case
+    # _src_path points at a part file under it → prefix match. The
+    # batch match is on the discovered `batch` partition column, so
+    # stale batches prune at the scan.
     strip = lambda c: F.regexp_replace(c, r"^[a-zA-Z0-9]+:/+", "/")  # noqa: E731
+    d_src, p_src = strip(data["_src_path"]), strip(latest["_ptr_src"])
     return data.join(
         F.broadcast(latest),
-        (strip(data["_src_path"]) == strip(latest["_ptr_src"]))
+        ((d_src == p_src) | d_src.startswith(F.concat(p_src, F.lit("/"))))
         & (data["batch"] == latest["_ptr_batch"]),
         "left_semi",
     )

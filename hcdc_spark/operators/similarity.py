@@ -237,6 +237,155 @@ def q36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "q52_embedding_neardup_lsh",
+    None,
+    doc="Embedding near-dup at scale: banded hyperplane LSH (6 tables "
+    "x 4 sign bits) generates candidates via an equi-join on band "
+    "keys — never a cross join — then exact cosine filters at the "
+    "q35 threshold (0.45). Rows-only; recall vs exact q35 pairs gated "
+    "in tests/test_text_dedup_similarity.py (threshold 0.45 sits in "
+    "the noise band of 64-d vectors — real-world near-dup thresholds "
+    "~0.9 collide far more reliably).",
+    tags=("similarity", "dedup", "lsh"),
+)
+def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    n_bands, bits = 6, 4
+    banded = hyperplane_bands(emb, n_bands=n_bands, bits_per_band=bits)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+            for b in range(n_bands)
+        ]
+    )
+    exploded = banded.select(
+        "vec_id", F.col("embedding").alias("e"), F.explode(pairs).alias("bk")
+    ).select("vec_id", "e", "bk.band", "bk.key")
+    a = exploded.select(
+        "band", "key", F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")
+    )
+    b = exploded.select(
+        "band", "key", F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "ea", "vec_b", "eb")
+        .distinct()
+    )
+    sim = _dot(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")) / (
+        F.sqrt(_norm2(F.col("ea").cast("array<double>")))
+        * F.sqrt(_norm2(F.col("eb").cast("array<double>")))
+    )
+    return (
+        cand.select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") > 0.45)
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def ivf_train(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Init = the first k vectors by vec_id (deterministic, no RNG at
+    runtime). Each iteration is one distributed assign (argmin over
+    broadcast centroid literals) + one elementwise-mean aggregation
+    (posexplode → groupBy(cell, pos) → avg); only k×dim floats ever
+    reach the driver.
+    """
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, vec_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = {c: dict() for c in range(len(cents))}
+        for r in means:
+            new[r["cell"]][r["pos"]] = r["m"]
+        cents = [
+            [new[c][p] for p in sorted(new[c])] if new[c] else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add `cell` = argmin_c ||x - c||². Centroids are plan literals —
+    the assignment is a pure projection (k fused dot products per row,
+    no shuffle, no UDF)."""
+    e = F.col(vec_col).cast("array<double>")
+    scored = []
+    for i, c in enumerate(centroids):
+        clit = F.array(*[F.lit(v) for v in c])
+        c2 = sum(v * v for v in c)
+        # ||x||² is constant per row → argmin over -2x·c + ||c||²
+        scored.append(
+            F.struct(
+                (F.lit(c2) - 2.0 * _dot(e, clit)).alias("d"),
+                F.lit(i).alias("idx"),
+            )
+        )
+    return emb.withColumn("cell", F.array_min(F.array(*scored))["idx"])
+
+
+@REG.add(
+    "q53_ivf_ann",
+    None,
+    doc="IVF ANN: deterministic k-means(16) coarse quantizer, probe "
+    "the query's 4 nearest cells, exact cosine re-rank inside them — "
+    "~25% of the corpus scanned at test scale, and the cell filter "
+    "partition-prunes when the table is written partitioned by cell. "
+    "Rows-only; recall vs q34 brute force gated in "
+    "tests/test_text_dedup_similarity.py.",
+    tags=("similarity", "ivf"),
+)
+def q53_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = ivf_train(emb, k=16, iters=2)
+    assigned = ivf_assign(emb, cents)
+    qrow = assigned.where(F.col("vec_id") == 0).collect()[0]
+    qv = [float(x) for x in qrow["embedding"]]
+    # driver-side probe selection: k distances to one query vector
+    d2 = [
+        sum((a - b) ** 2 for a, b in zip(qv, c)) for c in cents
+    ]
+    probes = sorted(range(len(cents)), key=lambda i: d2[i])[:4]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    qn = math.sqrt(sum(x * x for x in qv))
+    return (
+        assigned.where(
+            F.col("cell").isin(probes) & (F.col("vec_id") != 0)
+        )
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot(_emb(), qlit) / (F.sqrt(_norm2(_emb())) * F.lit(qn))
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@REG.add(
     "q37_centroid_by_label",
     """
     SELECT label,

@@ -67,6 +67,74 @@ def c04_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "c08_cdc_pipeline",
+    None,
+    doc="Full CDC pipeline in one streaming query: event segments → "
+    "registry match → stateful fold → staging materialization + "
+    "change_data pointers. Returns the entity row counts read back "
+    "through the latest-pointer view. Rows-only; the full semantic "
+    "gate (restart, supersede, unmatched exclusion) is "
+    "tests/test_pipeline_e2e.py.",
+    tags=("cdc", "streaming", "materialize"),
+)
+def c08_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from hcdc_spark.cdc.materialize import read_entity
+    from hcdc_spark.cdc.model import empty_event
+    from hcdc_spark.cdc.registry import DomainFilter
+    from hcdc_spark.streaming.pipeline import run_cdc_pipeline
+    from hcdc_spark.streaming.source import write_event_segment
+
+    # NOT under /tmp — the reference-faithful global ignore regex
+    # excludes /tmp paths from entity matching.
+    work = f"/root/repo/.scratch/c08_{uuid.uuid4().hex[:8]}"
+    try:
+        df = spark.range(50).select(
+            F.col("id"), F.sha1(F.col("id").cast("string")).alias("payload")
+        )
+        src_file = os.path.join(work, "data", "sales", "cust_1.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(src_file)
+        blk = {
+            "block_id": 1, "size": 100, "block_size": 1 << 20,
+            "generation_stamp": 1, "start_offset": 0, "end_offset": 99,
+            "delta_size": 100, "deleted": False,
+        }
+        events = [
+            empty_event(tx_id=1, op="ADD_FILE", ts=1, namespace="ns1",
+                        path=src_file, inode_id=1, overwrite=False,
+                        blocks=[blk], mode="New"),
+            empty_event(tx_id=2, op="CLOSE", ts=2, namespace="ns1",
+                        path=src_file, inode_id=1, length=100,
+                        file_type="PARQUET", blocks=[blk], mode="New"),
+        ]
+        seg_dir = os.path.join(work, "segments")
+        write_event_segment(spark, events, seg_dir, "edits_0000001")
+        rules = [
+            DomainFilter("sales", "customers",
+                         os.path.join(work, "data", "sales"), r".*\.parquet")
+        ]
+        q = run_cdc_pipeline(
+            spark, seg_dir, os.path.join(work, "out"),
+            os.path.join(work, "ckpt"), rules,
+            staging_dir=os.path.join(work, "staging"),
+            available_now=True,
+        )
+        q.awaitTermination(300)
+        ent = read_entity(
+            spark, os.path.join(work, "staging"), "sales", "customers"
+        )
+        out = ent.groupBy().agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("payload").alias("n_payloads"),
+        ).select(F.lit("sales.customers").alias("entity"), "n_rows",
+                 "n_payloads")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@REG.add(
     "c05_stream_window_agg",
     """
     SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms,

@@ -1,0 +1,91 @@
+"""The full CDC pipeline as one streaming query (SURVEY §3, all three
+reference agents fused).
+
+The reference runs five processes wired by Kafka topics — edit-log
+capture, source reconciliation, target mirror, file replication,
+snapshotting — each single-threaded behind ZK locks (SURVEY §0). Here
+the same dataflow is ONE Structured Streaming query:
+
+    segment files ──readStream──► registry match (T7, plan-compiled)
+        ──► applyInPandasWithState fold (T1-T6, §2C)
+        ──► foreachBatch:
+              • append file_state log + error dead-letter (T25)
+              • materialize changed Finalized entities → staging
+                parquet + change_data pointers (T14-T17)
+
+Crash recovery is the checkpoint; replay idempotence is the T4 guard +
+latest-pointer staging reads. Per-batch work is bounded by
+maxFilesPerTrigger exactly like the reference's batched Kafka pulls.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hcdc_spark.cdc.registry import DomainFilter, apply_registry
+
+
+def run_cdc_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    rules: list[DomainFilter],
+    staging_dir: str | None = None,
+    registry_dir: str | None = None,
+    target_format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Wire the whole pipeline; returns the StreamingQuery.
+
+    ``staging_dir=None`` runs state-tracking only (the reference's
+    SourceChangeDeltaProcessor without FileDeltaProcessor).
+    """
+    from hcdc_spark.cdc.materialize import materialize
+    from hcdc_spark.streaming.reconciler import reconcile_stream
+    from hcdc_spark.streaming.source import read_event_stream
+
+    events = read_event_stream(spark, source_dir, max_files_per_trigger)
+    # registry rules compile into the plan (T7); refreshing rules means
+    # restarting the query with new rules — same cadence as the
+    # reference's per-batch refresh, but checkpoint-safe.
+    events = apply_registry(events, rules)
+    updates = reconcile_stream(events)
+
+    state_log = os.path.join(out_dir, "file_state_log")
+    err_path = os.path.join(out_dir, "errors")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.withColumn("batch_id", F.lit(batch_id))
+        batch_df.persist()
+        try:
+            batch_df.drop("errors").write.mode("append").parquet(state_log)
+            errs = batch_df.select(
+                "batch_id", F.explode("errors").alias("e")
+            ).select("batch_id", "e.*")
+            if not errs.isEmpty():
+                errs.write.mode("append").parquet(err_path)
+            if staging_dir is not None:
+                materialize(
+                    spark,
+                    batch_df,
+                    staging_dir,
+                    batch_tag=f"b{batch_id:010d}",
+                    target_format=target_format,
+                    registry_dir=registry_dir,
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        updates.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

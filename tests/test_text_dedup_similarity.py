@@ -86,6 +86,41 @@ def test_ann_lsh_finds_true_neighbors(spark, sf_dir):
     assert len(brute & ann) >= 2, f"ANN overlap too low: {brute & ann}"
 
 
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    """Banded-LSH near-dup must recover most exact pairs and report
+    only genuinely-similar pairs (exact re-rank)."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.q35_embedding_neardup(spark, sf_dir).collect()
+    }
+    lsh_rows = similarity.q52_embedding_neardup_lsh(spark, sf_dir).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in lsh_rows}
+    assert got <= exact  # precision 1.0: exact filter after candidates
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.7, f"LSH near-dup recall {recall} < 0.7"
+    for r in lsh_rows:
+        assert r["cos_sim"] > 0.45
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    brute = [
+        r["vec_id"]
+        for r in similarity.q34_knn_brute_force(spark, sf_dir).collect()
+    ]
+    ivf = {r["vec_id"] for r in similarity.q53_ivf_ann(spark, sf_dir).collect()}
+    assert len(ivf) == 10
+    assert len(set(brute) & ivf) >= 6, f"IVF overlap too low: {set(brute) & ivf}"
+
+
+def test_ivf_train_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = similarity.ivf_train(emb, k=8, iters=1)
+    c2 = similarity.ivf_train(emb, k=8, iters=1)
+    assert c1 == c2
+    assert len(c1) == 8 and all(len(c) == 64 for c in c1)
+
+
 def test_exact_dedup_finds_planted_duplicates(spark):
     rows = [(i, f"unique text number {i}") for i in range(10)]
     rows += [(100, "dup dup dup"), (101, "dup dup dup"), (102, "dup dup dup")]
