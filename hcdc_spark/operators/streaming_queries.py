@@ -66,6 +66,125 @@ def c04_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _event_stream(spark: SparkSession, sf_dir: str):
+    """The events table as a stream (schema from the batch read, which
+    also sets the nanosAsLong conf)."""
+    from hcdc_spark.catalog import load_tables
+
+    batch = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _drain(df, name: str, ckpt: str, mode: str = "append"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+@REG.add(
+    "c09_stream_static_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Stream-static join: the events stream joined to the customer "
+    "dim (broadcast — a static side never shuffles the stream), then a "
+    "streaming aggregation. Oracle-checked against the batch SQL join: "
+    "the streaming plan computes exactly the batch answer.",
+    tags=("streaming", "join"),
+)
+def c09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.catalog import load_tables
+
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    stream = _event_stream(spark, sf_dir)
+    joined = (
+        stream.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="hcdc_c09_")
+    try:
+        out = _drain(joined, "c09_join", ckpt, mode="complete").select(
+            "segment", "n_events", F.col("sv").cast("double").alias("sum_value")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@REG.add(
+    "c10_stream_stream_join",
+    """
+    WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS pms FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS cms
+               FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.event_id, c.click_id
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.cms BETWEEN p.pms - 600000 AND p.pms
+    """,
+    doc="Stream-stream inner join with an event-time interval "
+    "condition (clicks within 10 min before a purchase), both sides "
+    "watermarked — the watermark bounds join state at scale; "
+    "availableNow drains everything so the result equals the batch "
+    "interval join, which is the oracle.",
+    tags=("streaming", "join"),
+)
+def c10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _event_stream(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_millis(F.expr("ts DIV 1000000"))
+    )
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "event_id", F.col("event_time").alias("p_time")
+        )
+        .withWatermark("p_time", "30 minutes")
+    )
+    c = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", "30 minutes")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_time") >= F.col("p_time") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_time") <= F.col("p_time")),
+    ).select("user_id", "event_id", "click_id")
+    ckpt = tempfile.mkdtemp(prefix="hcdc_c10_")
+    try:
+        out = _drain(joined, "c10_join", ckpt)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 @REG.add(
     "c08_cdc_pipeline",
     None,
