@@ -163,6 +163,9 @@ def apply_event(state: State | None, ev: Event) -> tuple[State | None, list[Erro
         state["state"] = "Deleted"
         for b in state["blocks"]:
             b["state"] = "Deleted"
+        # num_blocks tracks live blocks everywhere (CLOSE/TRUNCATE
+        # recompute it the same way) — zero once all are deleted.
+        state["num_blocks"] = 0
         _touch(state, ev)
         return state, errors
 
@@ -191,8 +194,12 @@ def apply_event(state: State | None, ev: Event) -> tuple[State | None, list[Erro
             errors.append(_err(ev, "duplicate block id on ADD_BLOCK"))
             return state, errors
         state["blocks"].append(_new_block(newb, tx, prev_id))
-        state["num_blocks"] = len(state["blocks"])
-        state["data_size"] = sum(b["data_size"] for b in state["blocks"])
+        state["num_blocks"] = sum(
+            1 for b in state["blocks"] if b["state"] != "Deleted"
+        )
+        state["data_size"] = sum(
+            b["data_size"] for b in state["blocks"] if b["state"] != "Deleted"
+        )
         state["state"] = "Updating"
         _touch(state, ev)
         return state, errors
@@ -208,8 +215,13 @@ def apply_event(state: State | None, ev: Event) -> tuple[State | None, list[Erro
                 continue
             if b.get("size") is not None:
                 _grow_block(blk, b["size"], tx)
-            blk["state"] = "Updating"
-        state["data_size"] = sum(b["data_size"] for b in state["blocks"])
+            blk["state"] = "Updating"  # may resurrect a truncated block
+        state["data_size"] = sum(
+            b["data_size"] for b in state["blocks"] if b["state"] != "Deleted"
+        )
+        state["num_blocks"] = sum(
+            1 for b in state["blocks"] if b["state"] != "Deleted"
+        )
         state["state"] = "Updating"
         _touch(state, ev)
         return state, errors

@@ -145,6 +145,42 @@ def test_schema_registry_versioning(spark, tmp_path):
     assert M.entity_schema(spark, registry, "d", "e") == s2
 
 
+def test_schema_drift_across_files(spark, tmp_path):
+    """Two files of one entity with drifted schemas: the current view
+    merges them (old rows NULL in the new column) and the registry
+    records the drift as a new version."""
+    staging = str(tmp_path / "staging")
+    registry = str(tmp_path / "registry")
+    v1 = spark.createDataFrame([(1, "a")], "id int, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, name string, score double"
+    )
+    p1, p2 = str(tmp_path / "f1.parquet"), str(tmp_path / "f2.parquet")
+    v1.coalesce(1).write.parquet(p1)
+    v2.coalesce(1).write.parquet(p2)
+
+    st1 = spark.createDataFrame(
+        [_state_row(1, p1, "PARQUET", 10)], _STATE_SCHEMA
+    )
+    st2 = spark.createDataFrame(
+        [_state_row(2, p2, "PARQUET", 20)], _STATE_SCHEMA
+    )
+    M.materialize(spark, st1, staging, batch_tag="b0", registry_dir=registry)
+    M.materialize(spark, st2, staging, batch_tag="b1", registry_dir=registry)
+
+    cur = M.read_entity(spark, staging, "sales", "customers")
+    assert "score" in cur.columns
+    rows = {r["id"]: r["score"] for r in cur.select("id", "score").collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    versions = (
+        spark.read.parquet(registry + "/schemas")
+        .orderBy("version")
+        .collect()
+    )
+    assert [r["version"] for r in versions] == [1, 2]
+
+
 def test_avro_gate(spark):
     # container has no spark-avro jar → availability probe must say no
     # (if a jar is added later the materializer picks it up untouched).
