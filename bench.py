@@ -63,8 +63,26 @@ def main() -> None:
         print(f"WARNING: headline queries missing: {missing}", file=sys.stderr)
     headline = [n for n in headline_names if n in qs]
 
-    # Warmup: parquet footer reads + codegen paths, not timed.
+    # Warmup, not timed: run every headline query once at the smallest
+    # scale factor available. Compiles the same codegen classes / JIT
+    # paths and spins up the Arrow Python workers the timed run will
+    # use, so per-query numbers measure steady-state engine throughput
+    # (a long-running cluster is JIT-warm), not one-time JVM warmup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    warm_dir = None
+    for cand in ("sf0.001", "sf0.01"):
+        p = os.path.join(os.path.dirname(sf_dir.rstrip("/")), cand)
+        if p != sf_dir.rstrip("/") and os.path.isdir(p):
+            warm_dir = p
+            break
+    if warm_dir:
+        for name in headline:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # warmup must never fail the bench
+                print(f"WARNING: warmup {name}: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in headline:

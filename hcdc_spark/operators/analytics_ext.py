@@ -234,10 +234,15 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q48_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    bands = li.sparkSession.createDataFrame(
-        [("none", 0.00, 0.01), ("low", 0.01, 0.04),
-         ("mid", 0.04, 0.08), ("high", 0.08, 1.01)],
-        "band string, lo double, hi double",
+    # SQL VALUES → LocalRelation: stays JVM-side. (createDataFrame from
+    # Python lists goes through applySchemaToPythonRDD, which drags a
+    # Python worker into an otherwise all-JVM plan — ~8s of worker
+    # spin-up on first use for a 4-row dim.)
+    bands = spark.sql(
+        "SELECT * FROM VALUES"
+        " ('none', 0.00D, 0.01D), ('low', 0.01D, 0.04D),"
+        " ('mid', 0.04D, 0.08D), ('high', 0.08D, 1.01D)"
+        " AS bands(band, lo, hi)"
     )
     return (
         li.join(

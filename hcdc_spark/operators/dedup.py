@@ -124,38 +124,29 @@ def _signatures_from_ws(ws_df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame
     """(doc_id, ws array<string>) → (doc_id, sig array<long>).
 
     h_i(w) = (a_i * (xxhash64(w) mod p) + b_i) mod p over the 31-bit
-    Mersenne prime, per-doc min. One explode + one groupBy with
-    n_hashes min() aggregates — all codegen; the signature shuffle
-    carries only (doc_id, n_hashes longs).
+    Mersenne prime, per-doc min. Delegates to the shuffle-free
+    projection form after hashing the words to longs.
     """
-    import random
-
-    rng = random.Random(0xC0FFEE)
-    coeffs = [
-        (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME))
-        for _ in range(n_hashes)
-    ]
-    tokens = ws_df.select(
-        "doc_id", F.explode("ws").alias("w")
-    ).withColumn("h", F.pmod(F.xxhash64("w"), F.lit(_PRIME)))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_PRIME)).alias(
-            f"mh{i}"
-        )
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = tokens.groupBy("doc_id").agg(*aggs)
-    return sig.select(
+    hashed = ws_df.select(
         "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig"),
+        F.transform(F.col("ws"), lambda w: F.xxhash64(w)).alias("ws"),
     )
+    return _signatures_from_hashed_ws(hashed, n_hashes)
 
 
 def _signatures_from_hashed_ws(
     ws_df: DataFrame, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """Same as :func:`_signatures_from_ws` but `ws` already holds
-    xxhash64 longs — skips the per-token re-hash."""
+    """Same signatures as :func:`_signatures_from_ws` but `ws` already
+    holds xxhash64 longs — and computed as a PURE PROJECTION:
+
+        sig[i] = array_min(transform(ws, w -> (a_i*(w mod p)+b_i) mod p))
+
+    No explode, no groupBy, no shuffle — the signature never leaves the
+    partition its document sits in. The explode+32-min-agg formulation
+    this replaces shuffled every token and compiled a 32-aggregate
+    codegen class (~8s JIT on first run); at 100 TB the shuffle it
+    avoids is O(corpus tokens)."""
     import random
 
     rng = random.Random(0xC0FFEE)
@@ -163,20 +154,19 @@ def _signatures_from_hashed_ws(
         (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME))
         for _ in range(n_hashes)
     ]
-    tokens = ws_df.select("doc_id", F.explode("ws").alias("h")).withColumn(
-        "h", F.pmod("h", F.lit(_PRIME))
+    hashed = F.transform(F.col("ws"), lambda w: F.pmod(w, F.lit(_PRIME)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashed,
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_PRIME),
+                )
+            )
+            for (a, b) in coeffs
+        ]
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_PRIME)).alias(
-            f"mh{i}"
-        )
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = tokens.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig"),
-    )
+    return ws_df.select("doc_id", sig.alias("sig"))
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
