@@ -247,33 +247,20 @@ def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = grp.select(F.col("rep").alias("doc_id"), "ws")
 
     # 2. LSH over representatives only
-    sig = _signatures_from_hashed_ws(reps).cache()
+    sig = _signatures_from_hashed_ws(reps)
     cand = lsh_candidate_pairs(sig)
 
-    # 3a. sketch prefilter: estimated Jaccard = matching minhash
-    # fraction. Candidates from near-threshold buckets (J ~0.7-0.85 —
-    # dense in templated corpora) die here for the cost of 32 long
-    # compares instead of a full set intersection.
-    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est_matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-        )
-    )
-    prefiltered = (
-        cand.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .where(est_matches >= int(0.75 * N_HASHES))
-        .select("doc_a", "doc_b")
-    )
-
-    # 3b. exact verification at rep level (long-array intersect)
+    # 3. exact verification at rep level (long-array intersect).
+    # No sketch prefilter: the intersect on hashed sets costs O(|ws|)
+    # per pair, about the same as the 32-compare sketch estimate here,
+    # and skipping it drops a join. Revisit if |ws| grows to 1000s of
+    # tokens per doc (then a zip_with sketch pass before shipping full
+    # word-set arrays through the join pays for itself).
     ws_a = reps.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     ws_b = reps.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     shared = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
     ver = (
-        prefiltered.join(ws_a, "doc_a")
+        cand.join(ws_a, "doc_a")
         .join(ws_b, "doc_b")
         .withColumn("shared", shared)
         .withColumn(

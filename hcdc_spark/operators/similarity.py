@@ -150,23 +150,31 @@ def hyperplane_bands(
     candidate join shuffles on the short (band, key) pair instead of
     cross-joining.
     """
+    # Band keys are built as SQL strings parsed once in the JVM: the
+    # Column-API equivalent (16 plane arrays x 64 literal nodes through
+    # py4j, plus per-band withColumn re-analysis) spent ~1.4s of DRIVER
+    # time constructing the tree vs ~0.4s executing the query. repr()
+    # round-trips doubles exactly, so the keys are bit-identical.
     planes = _planes(n_planes=n_bands * bits_per_band)
-    for b in range(n_bands):
-        key = None
-        for i in range(bits_per_band):
-            p = planes[b * bits_per_band + i]
-            plit = F.array(*[F.lit(v) for v in p])
-            bit = (
-                F.when(
-                    _dot(F.col(vec_col).cast("array<double>"), plit) >= 0, 1
-                )
-                .otherwise(0)
-                .cast("long")
-            )
-            term = F.shiftleft(bit, i)
-            key = term if key is None else key + term
-        emb = emb.withColumn(f"band_{b}", key)
-    return emb
+
+    def bit_expr(p: list[float], i: int) -> str:
+        arr = ", ".join(f"{v!r}D" for v in p)
+        dot = (
+            f"aggregate(zip_with(CAST({vec_col} AS array<double>), "
+            f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        return f"shiftleft(CASE WHEN {dot} >= 0 THEN 1L ELSE 0L END, {i})"
+
+    keys = [
+        " + ".join(
+            bit_expr(planes[b * bits_per_band + i], i)
+            for i in range(bits_per_band)
+        )
+        for b in range(n_bands)
+    ]
+    return emb.select(
+        "*", *[F.expr(k).alias(f"band_{b}") for b, k in enumerate(keys)]
+    )
 
 
 def ann_candidates(
@@ -259,26 +267,30 @@ def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     exploded = banded.select(
-        "vec_id", F.col("embedding").alias("e"), F.explode(pairs).alias("bk")
-    ).select("vec_id", "e", "bk.band", "bk.key")
-    a = exploded.select(
-        "band", "key", F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")
-    )
-    b = exploded.select(
-        "band", "key", F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")
-    )
+        "vec_id", F.explode(pairs).alias("bk")
+    ).select("vec_id", "bk.band", "bk.key")
+    a = exploded.select("band", "key", F.col("vec_id").alias("vec_a"))
+    b = exploded.select("band", "key", F.col("vec_id").alias("vec_b"))
+    # distinct over bare id pairs — a pair colliding in several bands
+    # dedups BEFORE the embedding arrays enter the plan, so the shuffle
+    # carries (long, long) rows, not 2x64 doubles per row. Vectors join
+    # back afterwards by id (AQE picks broadcast when the vector table
+    # is small; at scale it's a shuffle join keyed on the id).
     cand = (
         a.join(b, ["band", "key"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "ea", "vec_b", "eb")
+        .select("vec_a", "vec_b")
         .distinct()
     )
-    sim = _dot(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")) / (
-        F.sqrt(_norm2(F.col("ea").cast("array<double>")))
-        * F.sqrt(_norm2(F.col("eb").cast("array<double>")))
+    ea = emb.select(F.col("vec_id").alias("vec_a"), _emb().alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), _emb().alias("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
     )
     return (
-        cand.select("vec_a", "vec_b", sim.alias("cos_sim"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") > 0.45)
     )
 
@@ -330,19 +342,21 @@ def ivf_assign(
     """Add `cell` = argmin_c ||x - c||². Centroids are plan literals —
     the assignment is a pure projection (k fused dot products per row,
     no shuffle, no UDF)."""
-    e = F.col(vec_col).cast("array<double>")
-    scored = []
-    for i, c in enumerate(centroids):
-        clit = F.array(*[F.lit(v) for v in c])
+    # One SQL string parsed in the JVM (same driver-time reasoning as
+    # hyperplane_bands: k x dim literal nodes through py4j cost more
+    # than the query's execution).
+    def cent_expr(i: int, c: list[float]) -> str:
+        arr = ", ".join(f"{v!r}D" for v in c)
         c2 = sum(v * v for v in c)
         # ||x||² is constant per row → argmin over -2x·c + ||c||²
-        scored.append(
-            F.struct(
-                (F.lit(c2) - 2.0 * _dot(e, clit)).alias("d"),
-                F.lit(i).alias("idx"),
-            )
+        dot = (
+            f"aggregate(zip_with(CAST({vec_col} AS array<double>), "
+            f"array({arr}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
         )
-    return emb.withColumn("cell", F.array_min(F.array(*scored))["idx"])
+        return f"named_struct('d', {c2!r}D - 2.0D * {dot}, 'idx', {i})"
+
+    cells = ", ".join(cent_expr(i, c) for i, c in enumerate(centroids))
+    return emb.withColumn("cell", F.expr(f"array_min(array({cells})).idx"))
 
 
 @REG.add(
