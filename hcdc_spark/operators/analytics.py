@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from hcdc_spark.catalog import load_tables
 from hcdc_spark.functions.columns import (
     dec,
+    exact_money_summary,
     money_avg,
     money_sum,
     oracle_money_avg,
@@ -67,27 +68,29 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
-    return (
-        li.where(F.col("l_shipdate").cast("date") <= F.lit("2000-12-01").cast("date"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            money_sum("l_quantity", "sum_qty"),
-            money_sum("l_extendedprice", "sum_base_price"),
-            money_sum(
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
-                "sum_disc_price",
+    flt = li.where(
+        F.col("l_shipdate").cast("date") <= F.lit("2000-12-01").cast("date")
+    )
+    # exact_money_summary = decimal-exact sums on an all-long hot path
+    # (2-level cascade; see functions/columns.py) — ~3x faster than
+    # per-row DECIMAL aggregation on the full fact table.
+    return exact_money_summary(
+        flt,
+        keys=["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": "l_quantity",
+            "sum_base_price": "l_extendedprice",
+            "sum_disc_price": "l_extendedprice * (1 - l_discount)",
+            "sum_charge": (
+                "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
             ),
-            money_sum(
-                F.col("l_extendedprice")
-                * (F.lit(1) - F.col("l_discount"))
-                * (F.lit(1) + F.col("l_tax")),
-                "sum_charge",
-            ),
-            money_avg("l_quantity", "avg_qty"),
-            money_avg("l_extendedprice", "avg_price"),
-            money_avg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+        },
+        avgs={
+            "avg_qty": "l_quantity",
+            "avg_price": "l_extendedprice",
+            "avg_disc": "l_discount",
+        },
+        count_alias="count_order",
     )
 
 
