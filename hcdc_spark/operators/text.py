@@ -165,6 +165,177 @@ def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "q54_hash_split",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+             % 100 AS bucket,
+           CASE
+             WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 80 THEN 'train'
+             WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 90 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split (80/10/10) by hashing the "
+    "stable document id (md5 prefix -> bucket 0..99). Hash-based "
+    "assignment is the only split that survives at 100 TB: no global "
+    "sort or sample, embarrassingly parallel, reproducible across "
+    "runs, and stable under corpus growth (old docs never migrate). "
+    "Exact oracle parity with DuckDB on the same md5.",
+    tags=("text", "pipeline", "split"),
+)
+def q54_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@REG.add(
+    "q55_corpus_composition",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER () AS corpus_share
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="Corpus composition report per (source, lang): doc counts, "
+    "char volume, share of corpus. The share is a windowed total over "
+    "the tiny aggregate — the fact table is touched once. This is the "
+    "first query every training-data pipeline runs before sampling "
+    "weights are chosen.",
+    tags=("text", "pipeline", "agg"),
+)
+def q55_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    agg = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        (F.col("total_chars").cast("double") / F.col("n_docs")).alias(
+            "avg_chars"
+        ),
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy())
+        ).alias("corpus_share"),
+    )
+
+
+@REG.add(
+    "q56_repetition",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_W}) AS w FROM documents
+    ), cnt AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_share
+    FROM cnt GROUP BY doc_id
+    """,
+    doc="Intra-document repetition scoring: type/token ratio and the "
+    "share of the single most frequent token. Low TTR or a dominant "
+    "token flags boilerplate/templated text for the quality filter. "
+    "Two-level aggregation keyed by (doc_id, token) then doc_id — "
+    "scales as a pair of partial-agg shuffles, never per-doc "
+    "quadratic array work.",
+    tags=("text", "pipeline", "quality"),
+)
+def q56_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("doc_id", F.explode(words("text")).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
+            "type_token_ratio"
+        ),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_token_share"),
+    )
+
+
+@REG.add(
+    "q57_quality_funnel",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, len({_W}) AS n_words,
+             CAST(len(list_distinct({_W})) AS DOUBLE) / len({_W}) AS ttr
+      FROM documents
+    ), reasons AS (
+      SELECT CASE
+               WHEN lang NOT IN ('en','de','fr','es') THEN 'bad_lang'
+               WHEN n_words < 20 THEN 'too_short'
+               WHEN ttr < 0.40 THEN 'high_repetition'
+               ELSE 'kept'
+             END AS reason
+      FROM scored
+    )
+    SELECT reason, COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+    FROM reasons GROUP BY reason
+    """,
+    doc="Quality-filter funnel: every document is assigned its FIRST "
+    "failing filter (lang allowlist -> min length -> repetition) or "
+    "'kept', then counted. First-reason attribution keeps the funnel "
+    "additive (shares sum to 1), which is how filter pipelines are "
+    "debugged at corpus scale. One shuffle on a 4-row aggregate.",
+    tags=("text", "pipeline", "quality"),
+)
+def q57_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    nw = word_count("text")
+    ttr = F.size(F.array_distinct(words("text"))).cast("double") / nw
+    reason = (
+        F.when(~F.col("lang").isin("en", "de", "fr", "es"), "bad_lang")
+        .when(nw < 20, "too_short")
+        .when(ttr < 0.40, "high_repetition")
+        .otherwise("kept")
+    )
+    agg = (
+        docs.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return agg.select(
+        "reason",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy())
+        ).alias("share"),
+    )
+
+
+@REG.add(
     "q33_fingerprint",
     f"""
     SELECT doc_id,

@@ -133,3 +133,34 @@ def test_exact_dedup_finds_planted_duplicates(spark):
     )
     assert len(out) == 1
     assert out[0]["n"] == 3 and out[0]["keep"] == 100
+
+
+def test_hash_split_is_deterministic_and_partitions(spark, sf_dir):
+    """The split must (a) assign every doc exactly once, (b) be stable
+    across invocations, (c) land near the 80/10/10 design ratios."""
+    s1 = text.q54_hash_split(spark, sf_dir)
+    s2 = text.q54_hash_split(spark, sf_dir)
+    rows1 = {r["doc_id"]: r["split"] for r in s1.collect()}
+    rows2 = {r["doc_id"]: r["split"] for r in s2.collect()}
+    assert rows1 == rows2  # reproducible
+    n = len(rows1)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert n == docs.count()  # total partition, no dupes/drops
+    shares = {
+        s: sum(1 for v in rows1.values() if v == s) / n
+        for s in ("train", "val", "test")
+    }
+    assert abs(shares["train"] - 0.8) < 0.06
+    assert abs(shares["val"] - 0.1) < 0.05
+    assert abs(shares["test"] - 0.1) < 0.05
+
+
+def test_quality_funnel_is_additive(spark, sf_dir):
+    """First-reason attribution: shares sum to 1, counts sum to corpus."""
+    rows = text.q57_quality_funnel(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    assert {r["reason"] for r in rows} <= {
+        "bad_lang", "too_short", "high_repetition", "kept",
+    }
