@@ -244,6 +244,12 @@ def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("rep"),
         F.collect_list("doc_id").alias("members"),
     ).cache()
+    # Eagerly materialize: grp feeds two branches of one action (reps →
+    # LSH/verify, members → expansion); left lazy, both branches race
+    # ahead of cache population and each recomputes the tokenize +
+    # groupBy. One small job here makes every downstream read a cache
+    # hit (~25% faster end to end at sf0.1).
+    grp.count()
     reps = grp.select(F.col("rep").alias("doc_id"), "ws")
 
     # 2. LSH over representatives only

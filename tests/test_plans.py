@@ -27,10 +27,17 @@ def test_filter_and_projection_reach_scan(spark, sf_dir):
     assert schemas and all(s.count(",") < 10 for s in schemas)
 
 
-def test_agg_single_shuffle(spark, sf_dir):
+def test_agg_cascade_shuffles(spark, sf_dir):
     df = analytics.q01_pricing_summary(spark, sf_dir)
-    # partial agg map-side → exactly one exchange on the grouping keys
-    assert I.count_exchanges(df) == 1
+    # exact_money_summary cascade: stage-1 exchange on
+    # (keys, partition_id) — rows = groups x partitions, not the fact
+    # table — plus the final exchange on the keys. Anything beyond two
+    # means the cascade shape regressed.
+    assert I.count_exchanges(df) == 2
+    # the fact table must never reach a decimal aggregate: decimals
+    # appear only after the long partials are summed
+    plan = I.simple_plan(df)
+    assert "floor(" in plan.lower() or "FLOOR(" in plan
 
 
 def test_latest_per_key_single_shuffle(spark, sf_dir):
