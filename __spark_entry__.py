@@ -23,15 +23,21 @@ def _registry() -> Registry:
     from hcdc_spark.operators import analytics
 
     reg.merge(analytics.REG)
+    # Order matters: the driver's correctness harness walks queries in
+    # registration order under a time budget (round 1 stopped mid-way
+    # through the streaming block, starving 19 oracle-bearing queries).
+    # Cheap oracle-checked modules register first; the expensive
+    # streaming / rows-only block registers dead last, where a budget
+    # cut costs the least signal.
     for mod_name in (
+        "analytics_ext",
+        "sources_queries",
+        "text",
         "dedup",
         "similarity",
-        "text",
+        "multimodal",
         "cdc_queries",
         "streaming_queries",
-        "sources_queries",
-        "multimodal",
-        "analytics_ext",
     ):
         try:
             mod = __import__(

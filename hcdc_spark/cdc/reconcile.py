@@ -45,20 +45,39 @@ _FILE_OPS_SETTING_PATH = ("ADD_FILE",)
 def detect_tx_gaps(events: DataFrame) -> DataFrame:
     """T5: strict sequence check — report holes in the global tx stream.
 
-    Returns (prev_tx_id, tx_id, gap) rows where tx_id > prev+1. The
-    reference raises per message (TransactionProcessor.java:147-166);
-    set-based detection is one window over distinct txids.
+    Returns (tx_id, prev_tx_id, gap) rows where tx_id > prev+1. The
+    reference raises per message (TransactionProcessor.java:147-166).
+
+    Window-free, fully parallel formulation: a txid *starts* a run iff
+    txid-1 is absent, and *ends* one iff txid+1 is absent — both are
+    shuffle-hash anti-joins against the shifted set, embarrassingly
+    parallel at any txid count (the naive ``Window.orderBy(tx_id)``
+    would serialize every distinct txid through one task). Each gap is
+    then exactly one (run start, greatest run end below it) pair; the
+    pairing join touches only the boundary sets, which are gap-count-
+    sized — tiny for any log that is mostly contiguous.
     """
-    w = Window.orderBy("tx_id")
+    txs = events.select("tx_id").distinct()
+    succ = txs.select((F.col("tx_id") + 1).alias("tx_id"))
+    pred = txs.select((F.col("tx_id") - 1).alias("tx_id"))
+    # run boundaries: start ⇔ no predecessor, end ⇔ no successor
+    starts = txs.join(succ, "tx_id", "left_anti").select(
+        F.col("tx_id").alias("s")
+    )
+    ends = txs.join(pred, "tx_id", "left_anti").select(
+        F.col("tx_id").alias("e")
+    )
+    # each run start pairs with the closest run end below it; the global
+    # minimum start has none and drops out of the join naturally
     return (
-        events.select("tx_id")
-        .distinct()
-        .withColumn("prev_tx_id", F.lag("tx_id").over(w))
-        .where(
-            F.col("prev_tx_id").isNotNull()
-            & (F.col("tx_id") > F.col("prev_tx_id") + 1)
+        starts.join(ends, F.col("e") < F.col("s"))
+        .groupBy("s")
+        .agg(F.max("e").alias("prev_tx_id"))
+        .select(
+            F.col("s").alias("tx_id"),
+            "prev_tx_id",
+            (F.col("s") - F.col("prev_tx_id") - 1).alias("gap"),
         )
-        .withColumn("gap", F.col("tx_id") - F.col("prev_tx_id") - 1)
     )
 
 

@@ -98,7 +98,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_filter_project",
     """
     SELECT p_partkey, p_name, p_brand, p_type, p_size,
-           CAST(p_retailprice AS DECIMAL(18,6)) AS retail_dec
+           CAST(CAST(p_retailprice AS DECIMAL(18,6)) AS DOUBLE) AS retail_dec
     FROM part
     WHERE p_type IN ('PROMO', 'ECONOMY')
       AND p_size BETWEEN 10 AND 40
@@ -124,7 +124,9 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "p_type",
             "p_size",
-            dec("p_retailprice").alias("retail_dec"),
+            # Surface as DOUBLE: the driver's value-hash is sensitive to
+            # the output type, and raw DECIMAL reprs diverge from DuckDB.
+            dec("p_retailprice").cast("double").alias("retail_dec"),
         )
     )
 
@@ -415,7 +417,7 @@ def q09_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT * FROM (
       SELECT o_orderkey, o_orderstatus,
-             CAST(o_totalprice AS DECIMAL(18,6)) AS price_dec,
+             CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS price_dec,
              ROW_NUMBER() OVER w AS rn,
              RANK() OVER w AS rnk,
              DENSE_RANK() OVER w AS drnk,
@@ -437,7 +439,7 @@ def q13_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderkey",
             "o_orderstatus",
-            dec("o_totalprice").alias("price_dec"),
+            dec("o_totalprice").cast("double").alias("price_dec"),
             F.row_number().over(w).alias("rn"),
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
@@ -451,7 +453,7 @@ def q13_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_window_analytic",
     """
     SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,6)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS price_dec,
            CAST(LAG(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS prev_price,
            CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS next_price,
            CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS first_price,
@@ -473,7 +475,7 @@ def q14_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        price.alias("price_dec"),
+        price.cast("double").alias("price_dec"),
         F.lag(price).over(w).cast("double").alias("prev_price"),
         F.lead(price).over(w).cast("double").alias("next_price"),
         F.first(price).over(w).cast("double").alias("first_price"),
@@ -489,7 +491,7 @@ def q14_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_sort_limit",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(18,6)) AS price_dec
+           CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DOUBLE) AS price_dec
     FROM lineitem
     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
     LIMIT 20
@@ -508,7 +510,7 @@ def q15_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            dec("l_extendedprice").alias("price_dec"),
+            dec("l_extendedprice").cast("double").alias("price_dec"),
         )
         .limit(20)
     )
@@ -634,8 +636,8 @@ def q18_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal < 5000 THEN 'regular'
                 ELSE 'premium' END AS balance_band,
            COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_alias,
-           CAST(GREATEST(c_acctbal, 0.0) AS DECIMAL(18,6)) AS floored_bal,
-           CAST(LEAST(c_acctbal, 1000.0) AS DECIMAL(18,6)) AS capped_bal
+           CAST(CAST(GREATEST(c_acctbal, 0.0) AS DECIMAL(18,6)) AS DOUBLE) AS floored_bal,
+           CAST(CAST(LEAST(c_acctbal, 1000.0) AS DECIMAL(18,6)) AS DOUBLE) AS capped_bal
     FROM customer
     """,
     doc="Conditional expressions: CASE/WHEN, COALESCE, NULLIF, "
@@ -654,8 +656,8 @@ def q19_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
         ).alias("segment_alias"),
-        dec(F.greatest(bal, F.lit(0.0))).alias("floored_bal"),
-        dec(F.least(bal, F.lit(1000.0))).alias("capped_bal"),
+        dec(F.greatest(bal, F.lit(0.0))).cast("double").alias("floored_bal"),
+        dec(F.least(bal, F.lit(1000.0))).cast("double").alias("capped_bal"),
     )
 
 
@@ -751,7 +753,7 @@ def q22_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part GROUP BY p_brand
     )
     SELECT p.p_partkey, p.p_brand,
-           CAST(p.p_retailprice AS DECIMAL(18,6)) AS price_dec
+           CAST(CAST(p.p_retailprice AS DECIMAL(18,6)) AS DOUBLE) AS price_dec
     FROM part p JOIN brand_agg b ON p.p_brand = b.b_brand
     WHERE CAST(p.p_retailprice AS DECIMAL(18,6)) * b.n_parts > b.sum_dec
     """,
@@ -773,6 +775,8 @@ def q23_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(dec("p_retailprice") * F.col("n_parts") > F.col("sum_dec"))
         .select(
-            "p_partkey", "p_brand", dec("p_retailprice").alias("price_dec")
+            "p_partkey",
+            "p_brand",
+            dec("p_retailprice").cast("double").alias("price_dec"),
         )
     )

@@ -19,8 +19,19 @@ from pyspark.sql import functions as F
 
 from hcdc_spark.catalog import event_ts_ms, load_tables
 from hcdc_spark.registry import Registry
+from hcdc_spark.session import scoped_shuffle_partitions
 
 REG = Registry()
+
+
+def _materialized(df: DataFrame) -> DataFrame:
+    """Execute now and pin the (small) result as a local DataFrame.
+
+    The demo queries run inside ``scoped_shuffle_partitions`` — the conf
+    is read at execution time, so the fold must run before the scope
+    closes. Results are synthetic-small (tens of rows) by construction.
+    """
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
 # ------------------------------------------------------- reconciler demos
@@ -44,14 +55,15 @@ def _demo_log(spark: SparkSession):
 def c01_cdc_file_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hcdc_spark.cdc.reconcile import reconcile_batch
 
-    return (
-        reconcile_batch(_demo_log(spark))
-        .select(
-            "inode_id", "path", "state", "data_size", "num_blocks",
-            "last_tx_id", "file_type",
+    with scoped_shuffle_partitions(spark):
+        return _materialized(
+            reconcile_batch(_demo_log(spark))
+            .select(
+                "inode_id", "path", "state", "data_size", "num_blocks",
+                "last_tx_id", "file_type",
+            )
+            .orderBy("inode_id")
         )
-        .orderBy("inode_id")
-    )
 
 
 @REG.add(
@@ -63,7 +75,10 @@ def c01_cdc_file_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c02_cdc_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hcdc_spark.cdc.reconcile import reconcile_batch, reconcile_errors
 
-    return reconcile_errors(reconcile_batch(_demo_log(spark)))
+    with scoped_shuffle_partitions(spark):
+        return _materialized(
+            reconcile_errors(reconcile_batch(_demo_log(spark)))
+        )
 
 
 @REG.add(
@@ -76,22 +91,23 @@ def c02_cdc_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c03_cdc_change_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hcdc_spark.cdc.reconcile import reconcile_batch
 
-    state = reconcile_batch(_demo_log(spark))
-    # groupBy(block).agg(min,max) — the aggregation form of the
-    # reference's DFSBlockState.compressedChangeSet (SURVEY §2A-T16).
-    return (
-        state.select("inode_id", F.explode("blocks").alias("b"))
-        .select("inode_id", F.col("b.block_id").alias("block_id"),
-                F.explode("b.deltas").alias("d"))
-        .where((F.col("d.tx_id") > 0) & (F.col("d.tx_id") <= 1_000_000))
-        .groupBy("inode_id", "block_id")
-        .agg(
-            F.min("d.start_offset").alias("start_offset"),
-            F.max("d.end_offset").alias("end_offset"),
-            F.max(F.col("d.deleted").cast("int")).cast("boolean").alias("any_deleted"),
-            F.count(F.lit(1)).alias("n_deltas"),
+    with scoped_shuffle_partitions(spark):
+        state = reconcile_batch(_demo_log(spark))
+        # groupBy(block).agg(min,max) — the aggregation form of the
+        # reference's DFSBlockState.compressedChangeSet (SURVEY §2A-T16).
+        return _materialized(
+            state.select("inode_id", F.explode("blocks").alias("b"))
+            .select("inode_id", F.col("b.block_id").alias("block_id"),
+                    F.explode("b.deltas").alias("d"))
+            .where((F.col("d.tx_id") > 0) & (F.col("d.tx_id") <= 1_000_000))
+            .groupBy("inode_id", "block_id")
+            .agg(
+                F.min("d.start_offset").alias("start_offset"),
+                F.max("d.end_offset").alias("end_offset"),
+                F.max(F.col("d.deleted").cast("int")).cast("boolean").alias("any_deleted"),
+                F.count(F.lit(1)).alias("n_deltas"),
+            )
         )
-    )
 
 
 @REG.add(
@@ -107,12 +123,13 @@ def c06_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hcdc_spark.cdc.reconcile import reconcile_batch
     from hcdc_spark.cdc.snapshot import bootstrap_from_listing
 
-    ev = bootstrap_from_listing(spark, sf_dir, base_tx=0)
-    return (
-        reconcile_batch(ev, expand_dirs=False)
-        .select("path", "state", "data_size", "num_blocks", "file_type")
-        .orderBy("path")
-    )
+    with scoped_shuffle_partitions(spark):
+        ev = bootstrap_from_listing(spark, sf_dir, base_tx=0)
+        return _materialized(
+            reconcile_batch(ev, expand_dirs=False)
+            .select("path", "state", "data_size", "num_blocks", "file_type")
+            .orderBy("path")
+        )
 
 
 @REG.add(
@@ -133,40 +150,41 @@ def c07_materialize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="hcdc_c07_")
     try:
-        src = os.path.join(work, "hdfs", "data", "sales")
-        df = spark.range(100).select(
-            F.col("id"), (F.col("id") % 7).alias("grp"),
-            F.sha1(F.col("id").cast("string")).alias("payload"),
-        )
-        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/t1.parquet.d")
-        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(
-            f"{src}/t2.csv.d"
-        )
-
-        def one(d, ext):
-            return next(
-                os.path.join(d, f) for f in os.listdir(d)
-                if f.endswith(ext) and not f.startswith(("_", "."))
+        with scoped_shuffle_partitions(spark):
+            src = os.path.join(work, "hdfs", "data", "sales")
+            df = spark.range(100).select(
+                F.col("id"), (F.col("id") % 7).alias("grp"),
+                F.sha1(F.col("id").cast("string")).alias("payload"),
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(f"{src}/t1.parquet.d")
+            df.coalesce(1).write.mode("overwrite").option("header", "true").csv(
+                f"{src}/t2.csv.d"
             )
 
-        state = spark.createDataFrame(
-            [
-                (1, one(f"{src}/t1.parquet.d", ".parquet"), "Finalized",
-                 "sales", "t1", 10, "PARQUET"),
-                (2, one(f"{src}/t2.csv.d", ".csv"), "Finalized",
-                 "sales", "t2", 11, "CSV"),
-            ],
-            "inode_id long, path string, state string, domain string,"
-            " entity string, last_tx_id long, file_type string",
-        )
-        res = materialize(
-            spark, state, os.path.join(work, "staging"), batch_tag="b0",
-            registry_dir=os.path.join(work, "registry"),
-        )
-        out = res.pointers.select(
-            "domain", "entity", "inode_id", "last_tx_id", "file_type"
-        ).orderBy("inode_id")
-        return spark.createDataFrame(out.collect(), out.schema)
+            def one(d, ext):
+                return next(
+                    os.path.join(d, f) for f in os.listdir(d)
+                    if f.endswith(ext) and not f.startswith(("_", "."))
+                )
+
+            state = spark.createDataFrame(
+                [
+                    (1, one(f"{src}/t1.parquet.d", ".parquet"), "Finalized",
+                     "sales", "t1", 10, "PARQUET"),
+                    (2, one(f"{src}/t2.csv.d", ".csv"), "Finalized",
+                     "sales", "t2", 11, "CSV"),
+                ],
+                "inode_id long, path string, state string, domain string,"
+                " entity string, last_tx_id long, file_type string",
+            )
+            res = materialize(
+                spark, state, os.path.join(work, "staging"), batch_tag="b0",
+                registry_dir=os.path.join(work, "registry"),
+            )
+            out = res.pointers.select(
+                "domain", "entity", "inode_id", "last_tx_id", "file_type"
+            ).orderBy("inode_id")
+            return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -216,8 +234,8 @@ def q24_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
     ), sess AS (
       SELECT user_id, event_id, ms,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -268,8 +286,8 @@ def q25_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ), islands AS (
       SELECT user_id, s, e,
-             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS island
+             CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
       FROM flagged
     )
     SELECT user_id, island, MIN(s) AS start_ms, MAX(e) AS end_ms,

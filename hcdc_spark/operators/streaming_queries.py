@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hcdc_spark.registry import Registry
+from hcdc_spark.session import scoped_shuffle_partitions as _small_shuffle
 
 REG = Registry()
 
@@ -42,26 +43,27 @@ def c04_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = generate_events(n_files=40, seed=7, with_dir_ops=False)
     work = tempfile.mkdtemp(prefix="hcdc_c04_")
     try:
-        src = os.path.join(work, "segments")
-        out = os.path.join(work, "out")
-        ckpt = os.path.join(work, "ckpt")
-        half = len(events) // 2
-        write_event_segment(spark, events[:half], src, "edits_0000001")
-        write_event_segment(spark, events[half:], src, "edits_0000002")
-        q = run_reconciler(
-            spark, src, out, ckpt, max_files_per_trigger=1,
-            available_now=True,
-        )
-        q.awaitTermination(300)
-        return spark.createDataFrame(
-            latest_state(spark, out)
-            .select(
-                "inode_id", "path", "state", "data_size", "num_blocks",
-                "last_tx_id",
+        with _small_shuffle(spark):
+            src = os.path.join(work, "segments")
+            out = os.path.join(work, "out")
+            ckpt = os.path.join(work, "ckpt")
+            half = len(events) // 2
+            write_event_segment(spark, events[:half], src, "edits_0000001")
+            write_event_segment(spark, events[half:], src, "edits_0000002")
+            q = run_reconciler(
+                spark, src, out, ckpt, max_files_per_trigger=1,
+                available_now=True,
             )
-            .orderBy("inode_id")
-            .collect()
-        )
+            q.awaitTermination(300)
+            return spark.createDataFrame(
+                latest_state(spark, out)
+                .select(
+                    "inode_id", "path", "state", "data_size", "num_blocks",
+                    "last_tx_id",
+                )
+                .orderBy("inode_id")
+                .collect()
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -124,10 +126,12 @@ def c09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = tempfile.mkdtemp(prefix="hcdc_c09_")
     try:
-        out = _drain(joined, "c09_join", ckpt, mode="complete").select(
-            "segment", "n_events", F.col("sv").cast("double").alias("sum_value")
-        )
-        return spark.createDataFrame(out.collect(), out.schema)
+        with _small_shuffle(spark):
+            out = _drain(joined, "c09_join", ckpt, mode="complete").select(
+                "segment", "n_events",
+                F.col("sv").cast("double").alias("sum_value"),
+            )
+            return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -179,8 +183,9 @@ def c10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "click_id")
     ckpt = tempfile.mkdtemp(prefix="hcdc_c10_")
     try:
-        out = _drain(joined, "c10_join", ckpt)
-        return spark.createDataFrame(out.collect(), out.schema)
+        with _small_shuffle(spark):
+            out = _drain(joined, "c10_join", ckpt)
+            return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -209,46 +214,47 @@ def c08_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # excludes /tmp paths from entity matching.
     work = f"/root/repo/.scratch/c08_{uuid.uuid4().hex[:8]}"
     try:
-        df = spark.range(50).select(
-            F.col("id"), F.sha1(F.col("id").cast("string")).alias("payload")
-        )
-        src_file = os.path.join(work, "data", "sales", "cust_1.parquet")
-        df.coalesce(1).write.mode("overwrite").parquet(src_file)
-        blk = {
-            "block_id": 1, "size": 100, "block_size": 1 << 20,
-            "generation_stamp": 1, "start_offset": 0, "end_offset": 99,
-            "delta_size": 100, "deleted": False,
-        }
-        events = [
-            empty_event(tx_id=1, op="ADD_FILE", ts=1, namespace="ns1",
-                        path=src_file, inode_id=1, overwrite=False,
-                        blocks=[blk], mode="New"),
-            empty_event(tx_id=2, op="CLOSE", ts=2, namespace="ns1",
-                        path=src_file, inode_id=1, length=100,
-                        file_type="PARQUET", blocks=[blk], mode="New"),
-        ]
-        seg_dir = os.path.join(work, "segments")
-        write_event_segment(spark, events, seg_dir, "edits_0000001")
-        rules = [
-            DomainFilter("sales", "customers",
-                         os.path.join(work, "data", "sales"), r".*\.parquet")
-        ]
-        q = run_cdc_pipeline(
-            spark, seg_dir, os.path.join(work, "out"),
-            os.path.join(work, "ckpt"), rules,
-            staging_dir=os.path.join(work, "staging"),
-            available_now=True,
-        )
-        q.awaitTermination(300)
-        ent = read_entity(
-            spark, os.path.join(work, "staging"), "sales", "customers"
-        )
-        out = ent.groupBy().agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count_distinct("payload").alias("n_payloads"),
-        ).select(F.lit("sales.customers").alias("entity"), "n_rows",
-                 "n_payloads")
-        return spark.createDataFrame(out.collect(), out.schema)
+        with _small_shuffle(spark):
+            df = spark.range(50).select(
+                F.col("id"), F.sha1(F.col("id").cast("string")).alias("payload")
+            )
+            src_file = os.path.join(work, "data", "sales", "cust_1.parquet")
+            df.coalesce(1).write.mode("overwrite").parquet(src_file)
+            blk = {
+                "block_id": 1, "size": 100, "block_size": 1 << 20,
+                "generation_stamp": 1, "start_offset": 0, "end_offset": 99,
+                "delta_size": 100, "deleted": False,
+            }
+            events = [
+                empty_event(tx_id=1, op="ADD_FILE", ts=1, namespace="ns1",
+                            path=src_file, inode_id=1, overwrite=False,
+                            blocks=[blk], mode="New"),
+                empty_event(tx_id=2, op="CLOSE", ts=2, namespace="ns1",
+                            path=src_file, inode_id=1, length=100,
+                            file_type="PARQUET", blocks=[blk], mode="New"),
+            ]
+            seg_dir = os.path.join(work, "segments")
+            write_event_segment(spark, events, seg_dir, "edits_0000001")
+            rules = [
+                DomainFilter("sales", "customers",
+                             os.path.join(work, "data", "sales"), r".*\.parquet")
+            ]
+            q = run_cdc_pipeline(
+                spark, seg_dir, os.path.join(work, "out"),
+                os.path.join(work, "ckpt"), rules,
+                staging_dir=os.path.join(work, "staging"),
+                available_now=True,
+            )
+            q.awaitTermination(300)
+            ent = read_entity(
+                spark, os.path.join(work, "staging"), "sales", "customers"
+            )
+            out = ent.groupBy().agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("payload").alias("n_payloads"),
+            ).select(F.lit("sales.customers").alias("entity"), "n_rows",
+                     "n_payloads")
+            return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -296,22 +302,23 @@ def c05_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "c05_win_agg"
     ckpt = tempfile.mkdtemp(prefix="hcdc_c05_ckpt_")
     try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        out = spark.table(name).select(
-            F.unix_millis(F.col("win.start")).alias("win_start_ms"),
-            "event_type",
-            "n_events",
-            F.col("sum_value_dec").cast("double").alias("sum_value"),
-        )
-        # materialize before the memory sink is dropped
-        return spark.createDataFrame(out.collect(), out.schema)
+        with _small_shuffle(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            out = spark.table(name).select(
+                F.unix_millis(F.col("win.start")).alias("win_start_ms"),
+                "event_type",
+                "n_events",
+                F.col("sum_value_dec").cast("double").alias("sum_value"),
+            )
+            # materialize before the memory sink is dropped
+            return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -207,7 +207,7 @@ def q54_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55_corpus_composition",
     """
     SELECT source, lang, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
            CAST(COUNT(*) AS DOUBLE)
              / SUM(COUNT(*)) OVER () AS corpus_share

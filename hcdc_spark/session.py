@@ -9,8 +9,42 @@ local-mode-specific except the master URL default.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+#: Spark's out-of-the-box shuffle-partition count — seeing it means the
+#: session was never tuned (our own factory below always overrides it).
+_UNTUNED_SHUFFLE = "200"
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Right-size ``spark.sql.shuffle.partitions`` for one small query.
+
+    Only applies when the session still carries Spark's untuned default
+    (200): an externally created session (the driver's correctness
+    harness) gets partitions sized to the query's actual data, while a
+    session tuned by ``get_spark``/bench/cluster submit is respected.
+    Stateful streaming allocates one state store per shuffle partition
+    per micro-batch, and tiny synthetic CDC folds pay per-task overhead,
+    so 200 partitions turns seconds into minutes at sf0.01 (measured
+    15-38 s in round 1). The conf is read at *execution* time — callers
+    must materialize results inside this scope, not just build the plan.
+    """
+    key = "spark.sql.shuffle.partitions"
+    try:
+        cur = spark.conf.get(key)
+    except Exception:
+        cur = None
+    if cur != _UNTUNED_SHUFFLE:
+        yield
+        return
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, cur)
 
 
 def _cpus() -> int:

@@ -66,6 +66,20 @@ def test_codegen_covers_relational_queries(spark, sf_dir):
         assert I.codegen_stage_count(df) >= 1
 
 
+def test_tx_gap_detection_fully_parallel(spark, sf_dir):
+    # T5 gap detect must never serialize the tx stream through one task:
+    # no global-sort window, no single-partition exchange anywhere.
+    from hcdc_spark.cdc.generator import events_df, generate_events
+    from hcdc_spark.cdc.reconcile import detect_tx_gaps
+
+    df = detect_tx_gaps(
+        events_df(spark, generate_events(n_files=20, seed=3))
+    )
+    p = I.simple_plan(df)
+    assert "Exchange SinglePartition" not in p
+    assert "Window" not in p
+
+
 def test_broadcast_threshold_active(spark, sf_dir):
     # a plain dim join must broadcast under the session conf
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
