@@ -322,3 +322,83 @@ def c05_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@REG.add(
+    "c11_protobuf_roundtrip",
+    """
+    WITH base AS (
+      SELECT event_id, event_type, user_id, props,
+             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+      FROM events
+    )
+    SELECT 'hdfs' AS namespace,
+           event_id AS tx_id,
+           event_type AS entity,
+           'DFSAddFile' AS type,
+           ts_ms,
+           props AS body_str,
+           CASE WHEN user_id % 2 = 0 THEN 'sales' END AS domain,
+           CASE WHEN user_id % 2 = 0 THEN event_type END AS entity_name,
+           CAST(
+             1 + 1 + 4
+             + 1 + 1 + STRLEN(CAST(event_id AS VARCHAR))
+             + 1 + 1 + STRLEN(event_type)
+             + 1 + 1 + 10
+             + 1 + CASE WHEN ts_ms < 128 THEN 1
+                        WHEN ts_ms < 16384 THEN 2
+                        WHEN ts_ms < 2097152 THEN 3
+                        WHEN ts_ms < 268435456 THEN 4
+                        WHEN ts_ms < 34359738368 THEN 5
+                        WHEN ts_ms < 4398046511104 THEN 6
+                        WHEN ts_ms < 562949953421312 THEN 7
+                        WHEN ts_ms < 72057594037927936 THEN 8
+                        ELSE 9 END
+             + 1 + CASE WHEN STRLEN(props) < 128 THEN 1 ELSE 2 END
+                 + STRLEN(props)
+             + CASE WHEN user_id % 2 = 0
+                    THEN 1 + 1 + 5 + 1 + 1 + STRLEN(event_type)
+                    ELSE 0 END
+           AS INT) AS proto_len
+    FROM base
+    """,
+    doc="DFSChangeDelta protobuf wire-format round-trip (T26): encode "
+    "each event into the reference's Kafka envelope "
+    "(data_block.proto:143-152) with a pure wire-format codec, decode "
+    "it back, and surface the decoded fields plus the encoded byte "
+    "length. The oracle recomputes every field AND the exact wire size "
+    "(tag + varint-length arithmetic) relationally — a mismatch in any "
+    "varint boundary or field ordering breaks the hash.",
+    tags=("cdc", "codec"),
+)
+def c11_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.catalog import event_ts_ms, load_tables
+    from hcdc_spark.streaming.protobuf_codec import (
+        from_protobuf_delta,
+        to_protobuf_delta,
+    )
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    even = F.col("user_id") % 2 == 0
+    prepared = ev.select(
+        F.lit("hdfs").alias("namespace"),
+        F.col("event_id").alias("tx_id"),
+        F.col("event_type").alias("entity"),
+        F.lit("DFSAddFile").alias("type"),
+        event_ts_ms().alias("timestamp"),
+        F.col("props").cast("binary").alias("body"),
+        F.when(even, F.lit("sales")).alias("domain"),
+        F.when(even, F.col("event_type")).alias("entity_name"),
+    )
+    dec = from_protobuf_delta(to_protobuf_delta(prepared, "pb"), "pb")
+    return dec.select(
+        F.col("delta.namespace").alias("namespace"),
+        F.col("delta.tx_id").alias("tx_id"),
+        F.col("delta.entity").alias("entity"),
+        F.col("delta.type").alias("type"),
+        F.col("delta.timestamp").alias("ts_ms"),
+        F.col("delta.body").cast("string").alias("body_str"),
+        F.col("delta.domain").alias("domain"),
+        F.col("delta.entity_name").alias("entity_name"),
+        F.length("pb").alias("proto_len"),
+    )

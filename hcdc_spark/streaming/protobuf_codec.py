@@ -1,0 +1,248 @@
+"""DFSChangeDelta protobuf envelope codec (SURVEY §2A T26).
+
+The reference's Kafka wire format IS protobuf: every message is a
+``DFSChangeDelta`` envelope — 8 scalar fields wrapping a typed payload
+as ``bytes`` (/root/reference/change-manager/common/src/main/proto/
+data_block.proto:143-152, built by ChangeDeltaSerDe.create,
+change-manager/core/.../messaging/ChangeDeltaSerDe.java:73-126).
+
+This sandbox ships neither the ``spark-protobuf`` connector jar nor the
+Python ``protobuf`` package, so the envelope codec implements the
+public protobuf *wire format* directly (varint tags + length-delimited
+fields — developers.google.com/protocol-buffers/docs/encoding). For a
+message of 8 scalar fields that is ~40 lines and byte-for-byte
+compatible with any standard protobuf decoder reading data_block.proto.
+
+Spark-first shape: the codec runs as Arrow-batched pandas UDFs over a
+``binary`` column — the same plumbing a real cluster would use for
+``from_protobuf``/``to_protobuf`` (switch the two expressions, keep the
+plan). Encoding is pure per-row CPU with no shuffle; at 100 TB it
+pipelines inside whatever stage produces/consumes the Kafka batch.
+
+Field map (data_block.proto:143-152, proto2):
+
+    1 namespace  string   required
+    2 txId       string   required  (stringified, per ChangeDeltaSerDe)
+    3 entity     string   required
+    4 type       string   required  (payload class simple name)
+    5 timestamp  uint64   required
+    6 body       bytes    required  (typed payload; JSON here per SURVEY)
+    7 domain     string   optional
+    8 entityName string   optional
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ----------------------------------------------------------------- wire
+
+# tag byte = (field_number << 3) | wire_type; wt 0 = varint, 2 = len-del
+_TAG_NAMESPACE = (1 << 3) | 2
+_TAG_TXID = (2 << 3) | 2
+_TAG_ENTITY = (3 << 3) | 2
+_TAG_TYPE = (4 << 3) | 2
+_TAG_TIMESTAMP = (5 << 3) | 0
+_TAG_BODY = (6 << 3) | 2
+_TAG_DOMAIN = (7 << 3) | 2
+_TAG_ENTITY_NAME = (8 << 3) | 2
+
+
+def _varint(n: int) -> bytes:
+    """Protobuf base-128 varint (unsigned)."""
+    if n < 0:
+        raise ValueError("uint64 field cannot be negative")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint longer than 64 bits")
+
+
+def _ld(tag: int, payload: bytes) -> bytes:
+    """One length-delimited field: tag, varint length, payload."""
+    return bytes([tag]) + _varint(len(payload)) + payload
+
+
+def encode_change_delta(
+    namespace: str,
+    tx_id: int,
+    entity: str,
+    type_: str,
+    timestamp: int,
+    body: bytes,
+    domain: Optional[str] = None,
+    entity_name: Optional[str] = None,
+) -> bytes:
+    """Serialize one DFSChangeDelta, canonical ascending-field order.
+
+    ``txId`` is serialized as a *string* — ChangeDeltaSerDe stringifies
+    the transaction id into the envelope (setTxId(String.valueOf(...))).
+    """
+    out = bytearray()
+    out += _ld(_TAG_NAMESPACE, namespace.encode("utf-8"))
+    out += _ld(_TAG_TXID, str(tx_id).encode("utf-8"))
+    out += _ld(_TAG_ENTITY, entity.encode("utf-8"))
+    out += _ld(_TAG_TYPE, type_.encode("utf-8"))
+    out += bytes([_TAG_TIMESTAMP]) + _varint(timestamp)
+    out += _ld(_TAG_BODY, body)
+    if domain is not None:
+        out += _ld(_TAG_DOMAIN, domain.encode("utf-8"))
+    if entity_name is not None:
+        out += _ld(_TAG_ENTITY_NAME, entity_name.encode("utf-8"))
+    return bytes(out)
+
+
+def decode_change_delta(buf: bytes) -> dict:
+    """Parse DFSChangeDelta wire bytes → dict (unknown fields skipped,
+    per protobuf semantics; last-one-wins on duplicates)."""
+    out: dict = {
+        "namespace": None, "tx_id": None, "entity": None, "type": None,
+        "timestamp": None, "body": None, "domain": None,
+        "entity_name": None,
+    }
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wt = tag >> 3, tag & 0x07
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+            if field == 5:
+                out["timestamp"] = val
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            payload = buf[pos:pos + ln]
+            pos += ln
+            if field == 1:
+                out["namespace"] = payload.decode("utf-8")
+            elif field == 2:
+                out["tx_id"] = int(payload.decode("utf-8"))
+            elif field == 3:
+                out["entity"] = payload.decode("utf-8")
+            elif field == 4:
+                out["type"] = payload.decode("utf-8")
+            elif field == 6:
+                out["body"] = bytes(payload)
+            elif field == 7:
+                out["domain"] = payload.decode("utf-8")
+            elif field == 8:
+                out["entity_name"] = payload.decode("utf-8")
+        elif wt == 5:  # fixed32 — not in this schema, skip
+            pos += 4
+        elif wt == 1:  # fixed64
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+    return out
+
+
+# ---------------------------------------------------------- Spark plumbing
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("namespace", T.StringType()),
+        T.StructField("tx_id", T.LongType()),
+        T.StructField("entity", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("domain", T.StringType()),
+        T.StructField("entity_name", T.StringType()),
+    ]
+)
+
+_ENVELOPE_COLS = (
+    "namespace", "tx_id", "entity", "type", "timestamp", "body",
+    "domain", "entity_name",
+)
+
+
+def to_protobuf_delta(df: DataFrame, out_col: str = "value") -> DataFrame:
+    """Append a ``binary`` column holding the protobuf envelope.
+
+    Expects the 8 envelope columns (``domain``/``entity_name``
+    nullable). Swap-in point for the real ``to_protobuf`` expression on
+    a cluster with the spark-protobuf jar.
+    """
+
+    @F.pandas_udf(T.BinaryType())
+    def _enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        for pdf in it:
+            yield pd.Series(
+                [
+                    encode_change_delta(
+                        r.namespace, int(r.tx_id), r.entity, r.type,
+                        int(r.timestamp), bytes(r.body),
+                        None if pd.isna(r.domain) else r.domain,
+                        None if pd.isna(r.entity_name) else r.entity_name,
+                    )
+                    for r in pdf.itertuples(index=False)
+                ],
+                dtype=object,
+            )
+
+    return df.withColumn(out_col, _enc(F.struct(*_ENVELOPE_COLS)))
+
+
+def from_protobuf_delta(
+    df: DataFrame, in_col: str = "value", out_col: str = "delta"
+) -> DataFrame:
+    """Append a struct column parsed from protobuf envelope bytes."""
+
+    @F.pandas_udf(DECODED_SCHEMA)
+    def _dec(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in it:
+            yield pd.DataFrame(
+                [decode_change_delta(bytes(b)) for b in s],
+                columns=[f.name for f in DECODED_SCHEMA.fields],
+            )
+
+    return df.withColumn(out_col, _dec(F.col(in_col)))
+
+
+def kafka_envelope_protobuf(events: DataFrame) -> DataFrame:
+    """Wire-format twin of ``kafka_sink.kafka_envelope``: key =
+    ``domain::entity`` (K2 ordering), value = protobuf DFSChangeDelta
+    bytes, body = JSON payload of the full event row."""
+    prepared = events.select(
+        F.coalesce("namespace", F.lit("default")).alias("namespace"),
+        F.col("tx_id"),
+        F.when(
+            F.col("domain").isNotNull(),
+            F.concat_ws("::", "domain", "entity"),
+        ).otherwise(
+            F.coalesce("namespace", F.lit("default"))
+        ).alias("entity"),
+        F.concat(F.lit("DFS"), F.initcap("op")).alias("type"),
+        F.coalesce(F.col("ts"), F.lit(0)).alias("timestamp"),
+        F.to_json(F.struct(*events.columns)).cast("binary").alias("body"),
+        F.col("domain"),
+        F.col("entity").alias("entity_name"),
+    )
+    return to_protobuf_delta(prepared).select(
+        F.col("entity").alias("key"), "value"
+    )

@@ -1,0 +1,141 @@
+"""DFSChangeDelta protobuf wire-format codec (SURVEY §2A T26).
+
+Golden bytes are hand-derived from the public protobuf encoding spec
+against data_block.proto:143-152 — they pin the exact wire layout
+(field order, tag bytes, varint boundaries) independently of the
+codec's own round-trip.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hcdc_spark.streaming.protobuf_codec import (
+    decode_change_delta,
+    encode_change_delta,
+    from_protobuf_delta,
+    to_protobuf_delta,
+)
+
+
+def test_golden_bytes_required_only():
+    # namespace='ns', txId=1, entity='e', type='T', timestamp=300,
+    # body=b'\x01\x02'
+    got = encode_change_delta("ns", 1, "e", "T", 300, b"\x01\x02")
+    expect = bytes(
+        [
+            0x0A, 2, ord("n"), ord("s"),        # 1: namespace "ns"
+            0x12, 1, ord("1"),                  # 2: txId "1" (stringified)
+            0x1A, 1, ord("e"),                  # 3: entity
+            0x22, 1, ord("T"),                  # 4: type
+            0x28, 0xAC, 0x02,                   # 5: 300 = 0xAC 0x02 varint
+            0x32, 2, 0x01, 0x02,                # 6: body
+        ]
+    )
+    assert got == expect
+
+
+def test_golden_bytes_optional_fields():
+    got = encode_change_delta(
+        "n", 42, "e", "T", 0, b"", domain="d", entity_name="x"
+    )
+    expect = bytes(
+        [
+            0x0A, 1, ord("n"),
+            0x12, 2, ord("4"), ord("2"),
+            0x1A, 1, ord("e"),
+            0x22, 1, ord("T"),
+            0x28, 0x00,                         # timestamp 0 → one byte
+            0x32, 0,                            # empty body
+            0x3A, 1, ord("d"),                  # 7: domain
+            0x42, 1, ord("x"),                  # 8: entityName
+        ]
+    )
+    assert got == expect
+
+
+def test_varint_boundaries():
+    # 127 fits one byte; 128 spills to two (7-bit groups, MSB contd.)
+    assert encode_change_delta("n", 0, "e", "T", 127, b"")[-4:-2] == bytes(
+        [0x28, 0x7F]
+    )
+    assert encode_change_delta("n", 0, "e", "T", 128, b"")[-5:-2] == bytes(
+        [0x28, 0x80, 0x01]
+    )
+
+
+def test_decode_skips_unknown_fields():
+    # A decoder must skip fields it doesn't know (here field 15, both
+    # wire types) — forward compatibility per protobuf semantics.
+    base = encode_change_delta("ns", 7, "e", "T", 5, b"xy")
+    unknown = bytes([(15 << 3) | 0, 0x09]) + bytes(
+        [(15 << 3) | 2, 3, 1, 2, 3]
+    )
+    out = decode_change_delta(unknown + base)
+    assert out["namespace"] == "ns"
+    assert out["tx_id"] == 7
+    assert out["body"] == b"xy"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ns=st.text(min_size=0, max_size=20),
+    tx=st.integers(min_value=0, max_value=2**62),
+    entity=st.text(min_size=0, max_size=20),
+    type_=st.text(min_size=0, max_size=20),
+    ts=st.integers(min_value=0, max_value=2**63 - 1),
+    body=st.binary(min_size=0, max_size=200),
+    domain=st.none() | st.text(max_size=10),
+    ename=st.none() | st.text(max_size=10),
+)
+def test_roundtrip_property(ns, tx, entity, type_, ts, body, domain, ename):
+    enc = encode_change_delta(ns, tx, entity, type_, ts, body, domain, ename)
+    dec = decode_change_delta(enc)
+    assert dec == {
+        "namespace": ns, "tx_id": tx, "entity": entity, "type": type_,
+        "timestamp": ts, "body": body, "domain": domain,
+        "entity_name": ename,
+    }
+
+
+def test_negative_timestamp_rejected():
+    with pytest.raises(ValueError):
+        encode_change_delta("n", 0, "e", "T", -1, b"")
+
+
+def test_spark_roundtrip(spark):
+    rows = [
+        ("hdfs", 10, "sales::t1", "DFSAddFile", 1700000000000,
+         b'{"a":1}', "sales", "t1"),
+        ("hdfs", 11, "hdfs", "DFSIgnoreTx", 1700000000001, b"", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "namespace string, tx_id long, entity string, type string,"
+        " timestamp long, body binary, domain string, entity_name string",
+    )
+    dec = from_protobuf_delta(to_protobuf_delta(df, "pb"), "pb")
+    got = {
+        r["tx_id"]: r
+        for r in dec.select("delta.*", "pb").collect()
+    }
+    assert got[10]["domain"] == "sales"
+    assert got[10]["body"] == bytearray(b'{"a":1}')
+    assert got[11]["domain"] is None
+    assert got[11]["entity_name"] is None
+    # cross-check the distributed encode against the local codec
+    local = encode_change_delta(*rows[0])
+    assert bytes(got[10]["pb"]) == local
+
+
+def test_registry_query_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    from hcdc_spark.operators.streaming_queries import REG
+
+    spec = REG.specs["c11_protobuf_roundtrip"]
+    assert_matches_oracle(
+        spec.fn(spark, sf_dir), oracle, spec.oracle, spec.name
+    )
