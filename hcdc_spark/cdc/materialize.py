@@ -37,6 +37,7 @@ side).
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -125,6 +126,19 @@ def _reader(spark: SparkSession, fmt: str):
     return r
 
 
+def staging_root(
+    staging_dir: str, domain: str, bucket_map: dict[str, str] | None
+) -> str:
+    """K4 domain→staging-root resolver: the reference's S3FileSystem
+    routes each domain to its own bucket with a default fallback
+    (S3FileSystem.java:58-63's findBucket). Values are any Hadoop-FS
+    URI — ``s3a://bucket/prefix`` on a cluster, local paths in tests —
+    so one code path covers the Local/S3 writer split (io/impl/*)."""
+    if bucket_map and domain in bucket_map:
+        return bucket_map[domain]
+    return staging_dir
+
+
 def materialize(
     spark: SparkSession,
     file_state: DataFrame,
@@ -132,6 +146,7 @@ def materialize(
     batch_tag: str,
     target_format: str = "parquet",
     registry_dir: str | None = None,
+    bucket_map: dict[str, str] | None = None,
 ) -> MaterializeResult:
     """Replicate every Finalized, entity-matched file to staging.
 
@@ -139,6 +154,10 @@ def materialize(
     The group list (not the data) is collected to the driver — it is
     file-metadata scale and bounded by the micro-batch, the same
     cardinality the reference handles one Kafka message at a time.
+
+    ``bucket_map`` routes a domain to its own staging root (bucket);
+    unmapped domains use ``staging_dir`` — but pointer rows always land
+    under ``staging_dir``/change_data, one control table across buckets.
     """
     todo = (
         file_state.where(
@@ -156,29 +175,47 @@ def materialize(
             (r["domain"], r["entity"], r["file_type"]), []
         ).append(r)
 
-    pointers: list[tuple] = []
-    for (domain, entity, ftype), rows in sorted(groups.items()):
+    def one_group(item):
+        (domain, entity, ftype), rows = item
         paths = [r["path"] for r in rows]
         # src_fmt in the path: groups of one entity must not clobber
         # each other inside the same batch directory.
         out = os.path.join(
-            staging_dir, "data", domain, entity,
-            f"batch={batch_tag}", f"src_fmt={ftype}",
+            staging_root(staging_dir, domain, bucket_map), "data",
+            domain, entity, f"batch={batch_tag}", f"src_fmt={ftype}",
         )
         df = _reader(spark, ftype).load(paths).withColumn(
             "_src_path", F.col("_metadata.file_path")
         )
         df.write.mode("overwrite").format(target_format).save(out)
-        if registry_dir is not None:
-            register_schema(
-                spark, registry_dir, domain, entity,
-                df.drop("_src_path").schema,
-            )
-        pointers.extend(
+        ptrs = [
             (domain, entity, r["path"], r["inode_id"], r["last_tx_id"],
              ftype, out, batch_tag)
             for r in rows
-        )
+        ]
+        return ptrs, (domain, entity, df.drop("_src_path").schema)
+
+    # Group jobs submit from a thread pool — Spark job submission is
+    # thread-safe, and the scheduler interleaves the groups' tasks, so a
+    # batch touching thousands of entities isn't serialized through one
+    # driver loop. Results come back in deterministic (sorted) order.
+    items = sorted(groups.items())
+    if len(items) > 1:
+        with ThreadPoolExecutor(
+            max_workers=min(16, len(items))
+        ) as pool:
+            results = list(pool.map(one_group, items))
+    else:
+        results = [one_group(i) for i in items]
+
+    pointers: list[tuple] = []
+    for ptrs, (domain, entity, schema) in results:
+        pointers.extend(ptrs)
+        # registry writes stay serial (in sorted group order, same as the
+        # old loop): several groups appending the same schemas table from
+        # the pool would race.
+        if registry_dir is not None:
+            register_schema(spark, registry_dir, domain, entity, schema)
 
     pdf = spark.createDataFrame(pointers, _POINTER_SCHEMA)
     if pointers:
@@ -194,7 +231,11 @@ def change_data(spark: SparkSession, staging_dir: str) -> DataFrame:
 
 
 def read_entity(
-    spark: SparkSession, staging_dir: str, domain: str, entity: str
+    spark: SparkSession,
+    staging_dir: str,
+    domain: str,
+    entity: str,
+    bucket_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """Current view of one entity: staging rows from each source file's
     *latest* materialization. The pointer table is file-count scale →
@@ -215,7 +256,10 @@ def read_entity(
         )
     )
     data = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(staging_dir, "data", domain, entity)
+        os.path.join(
+            staging_root(staging_dir, domain, bucket_map),
+            "data", domain, entity,
+        )
     )
     # _metadata.file_path stores a URI (file:/…, s3a://…); the state
     # table stores plain paths — normalize both sides. A logical source

@@ -81,54 +81,55 @@ def detect_tx_gaps(events: DataFrame) -> DataFrame:
     )
 
 
-def _path_history(events: DataFrame) -> DataFrame:
-    """(inode_id, tx_id, path) timeline; path NULL ⇒ deleted at that tx."""
+def _path_history(events: DataFrame, seed: DataFrame | None = None) -> DataFrame:
+    """(inode_id, tx_id, path, namespace) timeline; path NULL ⇒ deleted
+    at that tx. ``seed`` (carried-over live paths from prior batches,
+    pinned at tx_id=-1) joins the timeline below every in-log event."""
     sets_path = events.where(F.col("op") == "ADD_FILE").select(
-        "inode_id", "tx_id", "path"
+        "inode_id", "tx_id", "path", "namespace"
     )
     renames = events.where(
         (F.col("op") == "RENAME") & F.col("inode_id").isNotNull()
-    ).select("inode_id", "tx_id", F.col("dest_path").alias("path"))
-    deletes = events.where(F.col("op") == "DELETE").select(
-        "inode_id", "tx_id", F.lit(None).cast("string").alias("path")
+    ).select(
+        "inode_id", "tx_id", F.col("dest_path").alias("path"), "namespace"
     )
-    return sets_path.unionByName(renames).unionByName(deletes)
+    deletes = events.where(F.col("op") == "DELETE").select(
+        "inode_id",
+        "tx_id",
+        F.lit(None).cast("string").alias("path"),
+        "namespace",
+    )
+    out = sets_path.unionByName(renames).unionByName(deletes)
+    if seed is not None:
+        out = out.unionByName(seed)
+    return out
 
 
-def _file_inodes(events: DataFrame) -> DataFrame:
-    return (
+def _file_inodes(events: DataFrame, known: DataFrame | None = None) -> DataFrame:
+    out = (
         events.where(F.col("op") == "ADD_FILE")
         .select("inode_id")
         .distinct()
     )
+    if known is not None:
+        out = out.unionByName(known.select("inode_id")).distinct()
+    return out
 
 
-def expand_directory_events(events: DataFrame) -> DataFrame:
-    """Rewrite directory DELETE/RENAME into per-child synthetic events.
+#: Directory-op columns shipped to the driver by the fixpoint scheduler.
+_DIR_COLS = ("d_tx", "d_op", "d_path", "d_dest", "d_ts", "d_ns")
 
-    A DELETE/RENAME whose inode never had an ADD_FILE is a directory op.
-    For each such op, every inode whose *current* path (latest path-
-    setting event before the dir tx) lies under the directory gets a
-    synthetic child event at the same tx (mode=Backlog), exactly the
-    fan-out the reference materializes from its state store
-    (updateFileRecursiveRename/Delete). /tmp children are skipped on
-    delete (SourceTransactionProcessor.java:253).
 
-    Returns the full rewritten log: original events minus directory
-    rows, plus synthetic children, plus synthetic DELETEs for
-    RENAME-overwrite destinations.
-
-    Note: expansion is single-round — a directory op over paths that
-    only exist because of an *earlier directory op in the same log*
-    (e.g. rename dir A→B, then delete B) would need a second round;
-    chain cascades through ``reconcile_batch`` incrementally if logs
-    carry that pattern.
-    """
-    file_inodes = _file_inodes(events)
-
-    dir_ops = (
+def _classify_dir_ops(
+    events: DataFrame, known: DataFrame | None
+) -> DataFrame:
+    """DELETE/RENAME rows whose inode is not a known file inode — i.e.
+    directory operations. ``known`` carries file inodes from prior
+    batches so an incremental log slice can't misclassify a file DELETE
+    whose ADD_FILE arrived earlier (and can't silently drop it)."""
+    return (
         events.where(F.col("op").isin("DELETE", "RENAME"))
-        .join(file_inodes, "inode_id", "left_anti")
+        .join(_file_inodes(events, known), "inode_id", "left_anti")
         .select(
             F.col("tx_id").alias("d_tx"),
             F.col("op").alias("d_op"),
@@ -139,13 +140,49 @@ def expand_directory_events(events: DataFrame) -> DataFrame:
         )
     )
 
-    history = _path_history(events)
+
+def _overlaps(a: str, b: str) -> bool:
+    return a == b or a.startswith(b + "/") or b.startswith(a + "/")
+
+
+def _safe_dir_ops(dir_rows: list) -> tuple[list, list]:
+    """Partition dir ops into (safe-now, deferred).
+
+    A dir op is safe iff no *earlier* dir op in the same namespace
+    touches an overlapping subtree (source or rename-dest): its child
+    set can then be located from the current path history. Deferred ops
+    wait for the next fixpoint round, when the earlier op's synthetic
+    child events are part of the log. The earliest op overall is always
+    safe, so every round makes progress."""
+    safe, deferred = [], []
+    for d in dir_rows:
+        blocked = False
+        for e in dir_rows:
+            if e["d_tx"] >= d["d_tx"] or e["d_ns"] != d["d_ns"]:
+                continue
+            areas = [e["d_path"]] + (
+                [e["d_dest"]] if e["d_op"] == "RENAME" else []
+            )
+            if any(_overlaps(d["d_path"], a) for a in areas if a):
+                blocked = True
+                break
+        (deferred if blocked else safe).append(d)
+    return safe, deferred
+
+
+def _expand_round(
+    events: DataFrame, dir_ops: DataFrame, seed: DataFrame | None
+) -> DataFrame:
+    """One expansion round: rewrite the given (safe) directory ops into
+    per-child synthetic events and drop the directory rows."""
+    history = _path_history(events, seed)
 
     # Current path of every inode at each directory tx. dir_ops is tiny
     # → broadcast; the argmax is a window per (dir tx, inode).
     w = Window.partitionBy("d_tx", "inode_id").orderBy(F.col("tx_id").desc())
     located = (
         history.join(F.broadcast(dir_ops), F.col("tx_id") < F.col("d_tx"))
+        .where(F.col("namespace").eqNullSafe(F.col("d_ns")))
         .withColumn("rn", F.row_number().over(w))
         .where((F.col("rn") == 1) & F.col("path").isNotNull())
         .where(F.col("path").startswith(F.concat(F.col("d_path"), F.lit("/"))))
@@ -178,8 +215,31 @@ def expand_directory_events(events: DataFrame) -> DataFrame:
         F.lit("Backlog").alias("mode"),
     )
 
-    # RENAME with OVERWRITE onto an existing file: synthesize the dest
-    # DELETE (reference does this inline before the rename).
+    # Drop the expanded directory rows themselves (tx ids are unique per
+    # event); dir_ops is tiny so the anti-join broadcasts.
+    base = events.join(
+        F.broadcast(dir_ops.select(F.col("d_tx").alias("tx_id"))),
+        "tx_id",
+        "left_anti",
+    )
+
+    synthetic = deletes.unionByName(renames, allowMissingColumns=True)
+    for f in events.schema.fields:
+        if f.name not in synthetic.columns:
+            synthetic = synthetic.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    return base.unionByName(synthetic.select(*events.columns))
+
+
+def _overwrite_deletes(
+    events: DataFrame, file_inodes: DataFrame, seed: DataFrame | None
+) -> DataFrame:
+    """RENAME with OVERWRITE onto an existing file: synthesize the dest
+    DELETE (reference does this inline before the rename,
+    SourceTransactionProcessor.java:689-704). Runs on the fully
+    dir-expanded log so a file parked on the dest path by an earlier
+    directory rename is seen."""
     file_renames = (
         events.where(
             (F.col("op") == "RENAME") & (F.col("rename_opts") == "OVERWRITE")
@@ -193,9 +253,10 @@ def expand_directory_events(events: DataFrame) -> DataFrame:
         )
     )
     w2 = Window.partitionBy("r_tx", "inode_id").orderBy(F.col("tx_id").desc())
-    overwrite_deletes = (
-        _path_history(events)
+    return (
+        _path_history(events, seed)
         .join(F.broadcast(file_renames), F.col("tx_id") < F.col("r_tx"))
+        .where(F.col("namespace").eqNullSafe(F.col("r_ns")))
         .withColumn("rn", F.row_number().over(w2))
         .where(
             (F.col("rn") == 1)
@@ -213,23 +274,88 @@ def expand_directory_events(events: DataFrame) -> DataFrame:
         )
     )
 
-    # Drop the directory rows themselves (tx ids are unique per event);
-    # dir_ops is tiny so the anti-join broadcasts.
-    base = events.join(
-        F.broadcast(dir_ops.select(F.col("d_tx").alias("tx_id"))),
-        "tx_id",
-        "left_anti",
+
+def expand_directory_events(
+    events: DataFrame,
+    prior_paths: DataFrame | None = None,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Rewrite directory DELETE/RENAME into per-child synthetic events.
+
+    A DELETE/RENAME whose inode has no known ADD_FILE is a directory op.
+    For each such op, every inode whose *current* path (latest path-
+    setting event before the dir tx, in the same namespace) lies under
+    the directory gets a synthetic child event at the same tx
+    (mode=Backlog) — the fan-out the reference materializes from its
+    state store (updateFileRecursiveRename/Delete). /tmp children are
+    skipped on delete (SourceTransactionProcessor.java:253).
+
+    ``prior_paths`` — (inode_id, path, namespace) of files live before
+    this log slice (e.g. from ``latest_state``) — lets incremental /
+    streaming callers cascade over files created in earlier batches, and
+    keeps file DELETEs whose ADD_FILE came earlier classified as file
+    ops (T11 incremental contract).
+
+    Chained cascades (rename dir A→B, then delete B, in one log) run to
+    a **fixpoint**: each round expands the directory ops whose subtrees
+    are untouched by earlier unexpanded dir ops (the schedule is
+    computed driver-side — directory ops are rare rows by construction,
+    the same cardinality assumption the reference's per-op ZK scans
+    make), so later ops see the children synthesized by earlier ones.
+    The earliest op is always safe ⇒ each round strictly shrinks the
+    remaining set; a round expands every op that is chain-independent,
+    so rounds ≈ chain depth, not op count.
+
+    Returns the full rewritten log: original events minus directory
+    rows, plus synthetic children, plus synthetic DELETEs for
+    RENAME-overwrite destinations (synthesized after the fixpoint, so
+    overwrites of dir-renamed files resolve).
+    """
+    known = (
+        prior_paths.select("inode_id").distinct()
+        if prior_paths is not None
+        else None
+    )
+    seed = (
+        prior_paths.select(
+            "inode_id", F.lit(-1).alias("tx_id"), "path", "namespace"
+        )
+        if prior_paths is not None
+        else None
     )
 
-    synthetic = deletes.unionByName(renames, allowMissingColumns=True).unionByName(
-        overwrite_deletes, allowMissingColumns=True
-    )
+    log = events
+    for _ in range(max_rounds):
+        dir_rows = [r.asDict() for r in _classify_dir_ops(log, known).collect()]
+        if not dir_rows:
+            break
+        safe, deferred = _safe_dir_ops(dir_rows)
+        spark = events.sparkSession
+        safe_df = spark.createDataFrame(
+            [tuple(d[c] for c in _DIR_COLS) for d in safe],
+            "d_tx long, d_op string, d_path string, d_dest string,"
+            " d_ts long, d_ns string",
+        )
+        log = _expand_round(log, safe_df, seed)
+        if not deferred:
+            break
+        # bound lineage growth across rounds: the log re-enters the next
+        # round's joins several times
+        log = log.localCheckpoint(eager=False)
+    else:
+        raise ValueError(
+            f"directory-cascade fixpoint did not converge in {max_rounds} "
+            "rounds — pathological dir-op chain in one log slice"
+        )
+
+    ow = _overwrite_deletes(log, _file_inodes(log, known), seed)
+    synthetic = ow
     for f in events.schema.fields:
         if f.name not in synthetic.columns:
             synthetic = synthetic.withColumn(
                 f.name, F.lit(None).cast(f.dataType)
             )
-    return base.unionByName(synthetic.select(*events.columns))
+    return log.unionByName(synthetic.select(*events.columns))
 
 
 _INT_FIELDS = {

@@ -326,3 +326,52 @@ def q26_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("end_ms"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+@REG.add(
+    "c12_fsimage_bootstrap",
+    """
+    SELECT * FROM (VALUES
+      ('/data/empty.bin', 'Finalized', CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), 'UNKNOWN'),
+      ('/data/warehouse/deep/f2.csv', 'Finalized', CAST(50 AS BIGINT),
+       CAST(1 AS BIGINT), 'CSV'),
+      ('/data/warehouse/f1.parquet', 'Finalized', CAST(1000 AS BIGINT),
+       CAST(2 AS BIGINT), 'PARQUET')
+    ) AS t(path, state, data_size, num_blocks, file_type)
+    """,
+    doc="S1 full form: fsimage XML → inode/edge tables → pointer-"
+    "doubling path resolution → Snapshot CLOSE events → reconciler "
+    "fold. The oracle pins the exact expected file states for the "
+    "deterministic demo image (the XML is environment-independent, so "
+    "a literal oracle is a true end-to-end hash check of parse + "
+    "path-join + fold).",
+    tags=("cdc", "bootstrap"),
+)
+def c12_fsimage_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from hcdc_spark.cdc.fsimage import (
+        EXAMPLE_FSIMAGE_XML,
+        bootstrap_from_fsimage,
+    )
+    from hcdc_spark.cdc.reconcile import reconcile_batch
+
+    work = tempfile.mkdtemp(prefix="hcdc_c12_")
+    try:
+        xml = os.path.join(work, "fsimage.xml")
+        with open(xml, "w") as f:
+            f.write(EXAMPLE_FSIMAGE_XML)
+        with scoped_shuffle_partitions(spark):
+            ev = bootstrap_from_fsimage(spark, xml)
+            return _materialized(
+                reconcile_batch(ev, expand_dirs=False)
+                .select(
+                    "path", "state", "data_size", "num_blocks", "file_type"
+                )
+                .orderBy("path")
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

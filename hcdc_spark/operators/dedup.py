@@ -339,26 +339,52 @@ def simhash(docs: DataFrame, n_bits: int = N_SIMHASH_BITS) -> DataFrame:
 @REG.add(
     "q38_simhash_neardup",
     None,
-    doc="SimHash(32-bit) near-dup pairs: bucket by the top 16 bits, "
-    "compare hamming distance ≤ 6 within buckets (bit_count of xor). "
-    "Rows-only; semantics gated in tests/test_dedup.py.",
+    doc="SimHash(32-bit) near-dup pairs, multi-band probing: 4×8-bit "
+    "band keys, a pair is a candidate when ANY band matches "
+    "(pigeonhole: hamming ≤ 3 ⇒ guaranteed candidate; ≤ 6 covered "
+    "with high probability — a single top-16 bucket probe misses any "
+    "near-dup differing in one high bit), then hamming ≤ 6 verify "
+    "(bit_count of xor). Candidate pairs dedup on ids BEFORE the "
+    "verify so no band multiplicity survives the shuffle — the same "
+    "bucket-join shape as q29/q52. Rows-only; recall and band gates "
+    "in tests/test_text_dedup_similarity.py.",
     tags=("dedup", "simhash"),
 )
 def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sh = simhash(docs).withColumn(
-        "bucket", F.shiftright("simhash", 16)
+    sh = simhash(docs)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
     )
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "bucket"
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_idx",
+        "band_val",
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "bucket"
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()  # any-band match counted once
     )
     return (
-        a.join(b, "bucket")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn(
+        cand.withColumn(
             "hamming",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
         )

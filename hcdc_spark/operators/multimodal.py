@@ -83,45 +83,37 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-_ANALYZE_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("kind", T.StringType()),
-        T.StructField("size_bytes", T.LongType()),
-        T.StructField("checksum", T.StringType()),
-        T.StructField("n_frames", T.LongType()),
-        T.StructField("mean_byte", T.DoubleType()),
-    ]
-)
-
-
-def analyze_media(media: DataFrame) -> DataFrame:
+def analyze_media(media: DataFrame, with_mean_byte: bool = True) -> DataFrame:
     """Byte-level 'decode': size, md5, frame count (FRAME_BYTES cells),
-    mean byte value. mapInPandas streams Arrow batches; only
-    (media_id, kind, content) are read — Catalyst prunes the rest."""
+    mean byte value.
 
-    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            content = pdf["content"]
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "size_bytes": content.map(len).astype("int64"),
-                    "checksum": content.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                    "n_frames": content.map(
-                        lambda b: math.ceil(len(b) / FRAME_BYTES)
-                    ).astype("int64"),
-                    "mean_byte": content.map(
-                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
-                    ),
-                }
-            )
-            yield out
+    Size/checksum/frame-count are pure column arithmetic — JVM builtins
+    (``length``/``md5``/``ceil``) inside whole-stage codegen, no Python
+    in that path. Only ``mean_byte`` — the stand-in for a real decode —
+    crosses to Python, as one Arrow-batched vectorized pandas UDF (a
+    real codec body would slot into the same expression)."""
 
-    return media.mapInPandas(body, schema=_ANALYZE_SCHEMA)
+    @F.pandas_udf(T.DoubleType())
+    def _mean_byte(content: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return content.map(
+            lambda b: float(np.frombuffer(bytes(b), dtype=np.uint8).mean())
+            if len(b)
+            else 0.0
+        )
+
+    size = F.length("content").cast("long")
+    cols = [
+        F.col("media_id"),
+        F.col("kind"),
+        size.alias("size_bytes"),
+        F.md5("content").alias("checksum"),
+        F.ceil(size / F.lit(FRAME_BYTES)).cast("long").alias("n_frames"),
+    ]
+    if with_mean_byte:
+        cols.append(_mean_byte(F.col("content")).alias("mean_byte"))
+    return media.select(*cols)
 
 
 _FRAME_SCHEMA = T.StructType(
@@ -254,7 +246,7 @@ def decode_image_real(media: DataFrame) -> DataFrame:
 )
 def q42_media_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    return analyze_media(media_from_documents(docs)).drop("mean_byte")
+    return analyze_media(media_from_documents(docs), with_mean_byte=False)
 
 
 @REG.add(

@@ -89,3 +89,51 @@ def run_cdc_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_cdc_pipeline_cascading(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    rules: list[DomainFilter],
+    staging_dir: str | None = None,
+    registry_dir: str | None = None,
+    target_format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+):
+    """The full pipeline with directory-cascade support (T11/T12 on the
+    streaming path): rewrite stage → stateful fold, chained by segment
+    files — the reference's agent-chained-by-topic topology
+    (EditLogProcessor → SourceChangeDeltaProcessor).
+
+    availableNow-only composition: the rewriter drains the source fully,
+    then the fold query drains the rewritten segments. For continuous
+    deployment start both queries concurrently — the fold tails the
+    segment directory the rewriter appends to.
+    """
+    from hcdc_spark.streaming.rewrite import run_rewriter
+
+    rewritten = os.path.join(out_dir, "rewritten")
+    rw = run_rewriter(
+        spark,
+        source_dir,
+        rewritten,
+        os.path.join(checkpoint_dir, "rewrite"),
+        os.path.join(out_dir, "paths_log"),
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=True,
+    )
+    rw.awaitTermination()
+    return run_cdc_pipeline(
+        spark,
+        rewritten,
+        out_dir,
+        os.path.join(checkpoint_dir, "fold"),
+        rules,
+        staging_dir=staging_dir,
+        registry_dir=registry_dir,
+        target_format=target_format,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=True,
+    )

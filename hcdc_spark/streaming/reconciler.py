@@ -15,10 +15,12 @@ Ordering contract: events for one inode are folded in ``tx_id`` order
 (tx_id <= last_tx_id → no-op, SourceTransactionProcessor.java:154-158)
 makes replays and duplicates harmless, exactly what Spark's
 at-least-once replay after failure needs. Directory cascades (T11/T12)
-need a state-table scan and therefore run in ``foreachBatch`` *before*
-the stateful fold — see ``expand_directory_events`` — mirroring the
-reference's split between per-message handlers and ZK prefix scans
-(SourceTransactionProcessor.java:187-296).
+need a live-path-table scan and therefore run in a separate **rewrite
+stage** upstream of this query (``hcdc_spark.streaming.rewrite``,
+chained via segment files — use ``run_cdc_pipeline_cascading``),
+mirroring the reference's split between per-message handlers and ZK
+prefix scans (SourceTransactionProcessor.java:187-296). This query fed
+directly (``run_reconciler``) assumes a dir-op-free log.
 """
 
 from __future__ import annotations

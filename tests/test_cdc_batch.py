@@ -295,3 +295,103 @@ def test_error_channel_t25(spark):
         reconcile_batch(events_df(spark, events))).collect()
     assert len(errs) == 1
     assert errs[0]["inode_id"] == 77 and "no live file state" in errs[0]["error"]
+
+
+# ------------------------------------------- chained cascades (fixpoint)
+
+
+def test_chained_rename_then_delete_dir(spark):
+    # rename dir A→B, then delete B, in ONE log: the delete must see the
+    # children moved by the rename (fixpoint round 2; reference handles
+    # chains via its live state store,
+    # SourceTransactionProcessor.java:187-296).
+    events = [
+        ev(1, "ADD_FILE", path="/data/a/f1", inode_id=1, blocks=[blk(1)]),
+        ev(2, "ADD_FILE", path="/data/a/f2", inode_id=2, blocks=[blk(2)]),
+        ev(3, "RENAME", path="/data/a", inode_id=900, dest_path="/data/b"),
+        ev(4, "DELETE", path="/data/b", inode_id=901),
+    ]
+    state = {r["inode_id"]: r for r in
+             reconcile_batch(events_df(spark, events)).collect()}
+    assert state[1]["state"] == "Deleted"
+    assert state[2]["state"] == "Deleted"
+
+
+def test_chained_double_dir_rename(spark):
+    # A→B then B→C: child must end at /c/f1 (two fixpoint rounds).
+    events = [
+        ev(1, "ADD_FILE", path="/a/f1", inode_id=1, blocks=[blk(1)]),
+        ev(2, "RENAME", path="/a", inode_id=900, dest_path="/b"),
+        ev(3, "RENAME", path="/b", inode_id=900, dest_path="/c"),
+    ]
+    state = {r["inode_id"]: r for r in
+             reconcile_batch(events_df(spark, events)).collect()}
+    assert state[1]["path"] == "/c/f1"
+
+
+def test_independent_dirs_expand_in_one_round(spark):
+    # disjoint subtrees: single round regardless of count
+    events = [
+        ev(1, "ADD_FILE", path="/a/f1", inode_id=1, blocks=[blk(1)]),
+        ev(2, "ADD_FILE", path="/b/f2", inode_id=2, blocks=[blk(2)]),
+        ev(3, "DELETE", path="/a", inode_id=900),
+        ev(4, "RENAME", path="/b", inode_id=901, dest_path="/bb"),
+    ]
+    state = {r["inode_id"]: r for r in
+             reconcile_batch(events_df(spark, events)).collect()}
+    assert state[1]["state"] == "Deleted"
+    assert state[2]["path"] == "/bb/f2"
+
+
+def test_prior_paths_classify_and_cascade(spark):
+    # Incremental slice: f1's ADD_FILE arrived in an earlier batch. Its
+    # DELETE must stay a file op (not be eaten as a dir op), and a dir
+    # delete must cascade over prior-batch files (T11 incremental).
+    prior = spark.createDataFrame(
+        [(1, "/data/d/f1", "ns1"), (2, "/data/d/f2", "ns1")],
+        "inode_id long, path string, namespace string",
+    )
+    events = [
+        ev(10, "DELETE", path="/data/d/f1", inode_id=1),   # file delete
+        ev(11, "DELETE", path="/data/d", inode_id=900),    # dir delete
+    ]
+    out = expand_directory_events(events_df(spark, events), prior_paths=prior)
+    rows = out.orderBy("tx_id", "inode_id").collect()
+    ops = [(r["tx_id"], r["op"], r["inode_id"]) for r in rows]
+    # file delete preserved verbatim; dir delete expanded to child f2
+    # only (f1 already deleted at tx 10)
+    assert (10, "DELETE", 1) in ops
+    assert (11, "DELETE", 2) in ops
+    assert not any(r["inode_id"] == 900 for r in rows)
+    assert not any(r["tx_id"] == 11 and r["inode_id"] == 1 for r in rows)
+
+
+def test_namespace_isolation_in_cascade(spark):
+    # same path in another namespace must not cascade (ADVICE r1)
+    events = [
+        ev(1, "ADD_FILE", path="/d/f1", inode_id=1, blocks=[blk(1)],
+           namespace="ns1"),
+        ev(2, "ADD_FILE", path="/d/f2", inode_id=2, blocks=[blk(2)],
+           namespace="ns2"),
+        ev(3, "DELETE", path="/d", inode_id=900, namespace="ns1"),
+    ]
+    state = {r["inode_id"]: r for r in
+             reconcile_batch(events_df(spark, events)).collect()}
+    assert state[1]["state"] == "Deleted"
+    assert state[2]["state"] == "New"
+
+
+def test_overwrite_sees_dir_renamed_file(spark):
+    # dir rename parks f2 at /b/x, then a file RENAME OVERWRITE onto
+    # /b/x must delete it (overwrite synthesis runs post-fixpoint).
+    events = [
+        ev(1, "ADD_FILE", path="/a/x", inode_id=1, blocks=[blk(1)]),
+        ev(2, "ADD_FILE", path="/src/y", inode_id=2, blocks=[blk(2)]),
+        ev(3, "RENAME", path="/a", inode_id=900, dest_path="/b"),
+        ev(4, "RENAME", path="/src/y", inode_id=2, dest_path="/b/x",
+           rename_opts="OVERWRITE"),
+    ]
+    state = {r["inode_id"]: r for r in
+             reconcile_batch(events_df(spark, events)).collect()}
+    assert state[1]["state"] == "Deleted"
+    assert state[2]["path"] == "/b/x"

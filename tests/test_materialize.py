@@ -185,3 +185,54 @@ def test_avro_gate(spark):
     # container has no spark-avro jar → availability probe must say no
     # (if a jar is added later the materializer picks it up untouched).
     assert M.avro_available(spark) is False
+
+
+def test_bucket_per_domain_mapping(spark, tmp_path):
+    # K4: a mapped domain routes to its own staging root; unmapped
+    # domains fall back; the pointer table stays central.
+    import os
+
+    from hcdc_spark.cdc.materialize import (
+        change_data,
+        materialize,
+        read_entity,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "t1.d"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "t2.d"))
+
+    def one(d):
+        return next(
+            str(d / f) for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    state = spark.createDataFrame(
+        [
+            (1, one(src / "t1.d"), "Finalized", "sales", "t1", 5, "PARQUET"),
+            (2, one(src / "t2.d"), "Finalized", "hr", "t2", 6, "PARQUET"),
+        ],
+        "inode_id long, path string, state string, domain string,"
+        " entity string, last_tx_id long, file_type string",
+    )
+    default_root = str(tmp_path / "staging")
+    sales_bucket = str(tmp_path / "bucket_sales")
+    bmap = {"sales": sales_bucket}
+    res = materialize(
+        spark, state, default_root, batch_tag="b0", bucket_map=bmap
+    )
+    assert res.n_groups == 2
+    assert os.path.isdir(os.path.join(sales_bucket, "data", "sales", "t1"))
+    assert os.path.isdir(os.path.join(default_root, "data", "hr", "t2"))
+    assert not os.path.isdir(os.path.join(default_root, "data", "sales"))
+    # central pointer table records the bucket-resolved staging paths
+    ptr = {r["domain"]: r for r in change_data(spark, default_root).collect()}
+    assert ptr["sales"]["staging_path"].startswith(sales_bucket)
+    # read path resolves through the same map
+    got = read_entity(
+        spark, default_root, "sales", "t1", bucket_map=bmap
+    )
+    assert got.count() == 10

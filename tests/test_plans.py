@@ -86,3 +86,16 @@ def test_broadcast_threshold_active(spark, sf_dir):
     pa = spark.read.parquet(f"{sf_dir}/part.parquet")
     j = li.join(pa, li["l_partkey"] == pa["p_partkey"])
     assert I.broadcast_join_count(j) == 1
+
+
+def test_media_analyze_driver_path_is_jvm_only(spark, sf_dir):
+    # q42's surfaced columns are pure builtins (length/md5/ceil): no
+    # Python evaluation node may appear; mean_byte (the decode stand-in)
+    # is the only sanctioned Python column and q42 excludes it.
+    from hcdc_spark.operators import multimodal
+
+    df = multimodal.q42_media_analyze(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert I.codegen_stage_count(df) >= 1

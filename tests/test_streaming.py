@@ -179,3 +179,56 @@ def test_file_sessions(spark, tmp_path, event_log):
     # session invariant: first_tx <= last_tx, n_ops >= 1
     for r in rows:
         assert r["first_tx"] <= r["last_tx"] and r["n_ops"] >= 1
+
+
+def test_cascading_pipeline_matches_batch_with_dir_ops(spark, tmp_path):
+    # dir ops in the stream: the rewrite stage must cascade them over
+    # files created in EARLIER micro-batches (path log seed), and the
+    # end state must equal the batch reconciler on the same full log.
+    from hcdc_spark.streaming.pipeline import run_cdc_pipeline_cascading
+
+    events = generate_events(n_files=30, seed=13, with_dir_ops=True)
+    src = str(tmp_path / "segments")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # all ADD_FILEs land in segment 1; the trailing dir ops (generator
+    # appends them last) land in segment 2 → cascade needs prior state
+    half = len(events) - 4
+    write_event_segment(spark, events[:half], src, "edits_0000001")
+    write_event_segment(spark, events[half:], src, "edits_0000002")
+
+    q = run_cdc_pipeline_cascading(
+        spark, src, out, ckpt, rules=[], max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    batch_state = reconcile_batch(events_df(spark, events)).drop("errors")
+    stream_state = latest_state(spark, out)
+    assert _comparable(stream_state) == _comparable(batch_state)
+
+
+def test_rewriter_path_log_compaction(spark, tmp_path):
+    from hcdc_spark.streaming.rewrite import (
+        compact_path_log,
+        live_paths,
+        run_rewriter,
+    )
+
+    events = generate_events(n_files=10, seed=3, with_dir_ops=False)
+    src = str(tmp_path / "segments")
+    write_event_segment(spark, events[: len(events) // 2], src, "e1")
+    write_event_segment(spark, events[len(events) // 2 :], src, "e2")
+    paths_dir = str(tmp_path / "paths")
+    q = run_rewriter(
+        spark, src, str(tmp_path / "rw"), str(tmp_path / "ck"), paths_dir,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    before = sorted(
+        tuple(r) for r in live_paths(spark, paths_dir).collect()
+    )
+    compact_path_log(spark, paths_dir)
+    after = sorted(
+        tuple(r) for r in live_paths(spark, paths_dir).collect()
+    )
+    assert before == after

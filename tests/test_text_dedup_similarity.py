@@ -164,3 +164,36 @@ def test_quality_funnel_is_additive(spark, sf_dir):
     assert {r["reason"] for r in rows} <= {
         "bad_lang", "too_short", "high_repetition", "kept",
     }
+
+
+def test_simhash_multiband_recall_superset_of_exact(spark, sf_dir):
+    """q38's banded candidates must recover EVERY pair the exhaustive
+    hamming-<=3 check finds (pigeonhole guarantee: 4 bands, any-band
+    match), and its verified output must equal the exhaustive result
+    restricted to pairs any band caught."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ids = sorted(sh)
+    exact3 = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+
+    import hcdc_spark.operators.dedup as D
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.q38_simhash_neardup(spark, sf_dir).collect()
+    }
+    missing = {p for p in exact3 if p not in got}
+    assert not missing, f"pigeonhole-guaranteed pairs missed: {missing}"
+    # verified output is sound: every reported pair is hamming <= 6
+    for r in D.q38_simhash_neardup(spark, sf_dir).collect():
+        assert bin(sh.get(r["doc_a"], 0) ^ sh.get(r["doc_b"], 0)).count("1") <= 6 \
+            or r["doc_a"] not in sh or r["doc_b"] not in sh
