@@ -391,3 +391,122 @@ def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 6)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@REG.add(
+    "q58_dedup_clusters",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, {_DW} AS ws FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+            >= 0.95
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id,
+           LEAST(a, MIN(b)) AS cluster_id,
+           a = LEAST(a, MIN(b)) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+    doc="Near-dup CLUSTERS, not just pairs: connected components over "
+    "the exact-Jaccard(>=0.95) pair graph by iterative min-label "
+    "propagation — each round, every doc takes the smallest label in "
+    "its neighborhood; converges in graph-diameter rounds (near-dup "
+    "components are shallow). This is the keep-list operator a "
+    "training pipeline actually consumes: cluster id + canonical "
+    "(minimum-id) survivor per doc. Spark side is label-propagation "
+    "joins (the standard distributed CC shape; GraphFrames does the "
+    "same); the oracle is a recursive transitive closure in DuckDB — "
+    "feasible only at test scale, which is exactly what makes it a "
+    "strong independent check.",
+    tags=("dedup", "graph"),
+)
+def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = docs.select(
+        "doc_id", "lang", distinct_words("text").alias("ws")
+    ).withColumn("n_words", F.size("ws").cast("long"))
+    tokens = t.select(
+        "doc_id", "lang", "n_words", F.explode("ws").alias("w")
+    )
+    a = tokens.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("n_words").alias("n_a"), "w",
+    )
+    b = tokens.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("n_words").alias("n_b"), "w",
+    )
+    shared = (
+        a.join(b, ["w"])
+        .where(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    pairs = shared.where(jac >= 0.95).select("doc_a", "doc_b")
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)  # pairs reused every round
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_min", "label")
+                ).alias("label"),
+                (
+                    F.coalesce("nbr_min", "label") < F.col("label")
+                ).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.where(F.col("_chg")).isEmpty()
+        labels = new.drop("_chg")
+        if changed:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )

@@ -359,3 +359,138 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.array_distinct(words("text"))), " ")
         ).alias("bag_fp"),
     )
+
+
+@REG.add(
+    "q59_contamination",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INT) % 100 AS bucket,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id, bucket, ws,
+             unnest(generate_series(1, len(ws) - 2)) AS i
+      FROM w WHERE len(ws) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id, bucket,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM sh0
+    ), train AS (
+      SELECT DISTINCT shingle FROM sh WHERE bucket < 80
+    ), ev AS (
+      SELECT doc_id, shingle FROM sh WHERE bucket >= 90
+    )
+    SELECT e.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS contamination
+    FROM ev e LEFT JOIN train t ON e.shingle = t.shingle
+    GROUP BY e.doc_id
+    """,
+    doc="Train/eval contamination check: for every TEST-split document "
+    "(q54's hash split), the fraction of its distinct 3-word shingles "
+    "that appear anywhere in the TRAIN split. The shape that scales: "
+    "shingles explode linearly, the train side collapses to a DISTINCT "
+    "shingle set before the join (partial agg — no doc_id fan-out), "
+    "and the join keys are shingle strings (hash-partitioned, no "
+    "skew beyond natural shingle frequency). This is the eval-leakage "
+    "gate every LLM data pipeline needs before a benchmark claim.",
+    tags=("text", "pipeline", "contamination"),
+)
+def q59_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    ws = words("text")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+        )
+    )
+    sh = (
+        docs.withColumn("bucket", bucket)
+        .where(F.size(ws) >= 3)
+        .select("doc_id", "bucket", F.explode(shingles).alias("shingle"))
+    )
+    train = sh.where(F.col("bucket") < 80).select("shingle").distinct()
+    ev = sh.where(F.col("bucket") >= 90).select("doc_id", "shingle")
+    hit = train.withColumn("_hit", F.lit(1))
+    return (
+        ev.join(hit, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_overlap"),
+            (
+                F.sum(F.coalesce("_hit", F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("contamination"),
+        )
+    )
+
+
+#: Per-language target sampling rates (percent kept) — the knob a
+#: pipeline turns to rebalance a multilingual corpus.
+SAMPLE_RATES = {"en": 50, "de": 80, "fr": 80, "es": 80}
+_DEFAULT_RATE = 100
+
+
+@REG.add(
+    "q60_stratified_sample",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             CAST(('0x' || substring(
+                     md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4))
+                  AS INT) % 100 AS sbucket,
+             CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())}
+                  ELSE {_DEFAULT_RATE} END AS rate
+      FROM documents
+    )
+    SELECT doc_id, source, lang, sbucket, rate
+    FROM r WHERE sbucket < rate
+    """,
+    doc="Deterministic stratified sampling: per-language keep rates "
+    "applied by hashing (doc_id, source) into 100 buckets — no RNG, no "
+    "global sort, reproducible across runs and cluster sizes, stable "
+    "under corpus growth (a doc's keep/drop never flips). The only "
+    "sampling design that behaves at 100 TB: a pure scan-side filter "
+    "that Catalyst fuses into the read, zero shuffles.",
+    tags=("text", "pipeline", "sampling"),
+)
+def q60_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sbucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("doc_id").cast("string"), "source")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        docs.select(
+            "doc_id", "source", "lang",
+            sbucket.alias("sbucket"), rate.alias("rate"),
+        )
+        .where(F.col("sbucket") < F.col("rate"))
+    )

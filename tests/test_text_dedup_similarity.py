@@ -197,3 +197,48 @@ def test_simhash_multiband_recall_superset_of_exact(spark, sf_dir):
     for r in D.q38_simhash_neardup(spark, sf_dir).collect():
         assert bin(sh.get(r["doc_a"], 0) ^ sh.get(r["doc_b"], 0)).count("1") <= 6 \
             or r["doc_a"] not in sh or r["doc_b"] not in sh
+
+
+def test_dedup_clusters_match_oracle_and_are_consistent(spark, oracle, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    spec = dedup.REG.specs["q58_dedup_clusters"]
+    df = spec.fn(spark, sf_dir)
+    assert_matches_oracle(df, oracle, spec.oracle, spec.name)
+    rows = df.collect()
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # cluster id is the minimum member, and every cluster id is a member
+    for r in rows:
+        assert r["cluster_id"] <= r["doc_id"]
+        assert r["cluster_id"] in by_doc
+        assert by_doc[r["cluster_id"]] == r["cluster_id"]
+        assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
+
+
+def test_contamination_bounded_and_split_consistent(spark, oracle, sf_dir):
+    from hcdc_spark.operators import text as T
+    from tests.conftest import assert_matches_oracle
+
+    spec = T.REG.specs["q59_contamination"]
+    df = spec.fn(spark, sf_dir)
+    assert_matches_oracle(df, oracle, spec.oracle, spec.name)
+    test_ids = {
+        r["doc_id"]
+        for r in T.REG.specs["q54_hash_split"].fn(spark, sf_dir).collect()
+        if r["split"] == "test"
+    }
+    for r in df.collect():
+        assert 0.0 <= r["contamination"] <= 1.0
+        assert r["n_overlap"] <= r["n_shingles"]
+        assert r["doc_id"] in test_ids
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
+    from hcdc_spark.operators import text as T
+
+    fn = T.REG.specs["q60_stratified_sample"].fn
+    a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert a == b, "hash sampling must be run-to-run deterministic"
+    for r in a:
+        assert r[3] < r[4]  # sbucket < rate: only kept rows surface
