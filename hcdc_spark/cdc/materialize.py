@@ -51,7 +51,7 @@ READ_FORMATS = {
     "JSON": "json",
     "PARQUET": "parquet",
     "ORC": "orc",
-    "AVRO": "avro",  # needs the spark-avro jar; availability-gated
+    "AVRO": "avro",  # connector when present, else sources/avro_codec
 }
 
 #: Magic prefixes for content-based detection (T18 — the reference
@@ -126,6 +126,19 @@ def _reader(spark: SparkSession, fmt: str):
     return r
 
 
+def _load_group(spark: SparkSession, fmt: str, paths: list[str]) -> DataFrame:
+    """One group's source files as rows + ``_src_path`` provenance.
+    AVRO without the spark-avro jar routes through the spec codec
+    (sources/avro_codec.py), which carries the path itself."""
+    if fmt == "AVRO" and not avro_available(spark):
+        from hcdc_spark.sources import avro_codec
+
+        return avro_codec.read_avro(spark, paths, with_path=True)
+    return _reader(spark, fmt).load(paths).withColumn(
+        "_src_path", F.col("_metadata.file_path")
+    )
+
+
 def staging_root(
     staging_dir: str, domain: str, bucket_map: dict[str, str] | None
 ) -> str:
@@ -184,9 +197,7 @@ def materialize(
             staging_root(staging_dir, domain, bucket_map), "data",
             domain, entity, f"batch={batch_tag}", f"src_fmt={ftype}",
         )
-        df = _reader(spark, ftype).load(paths).withColumn(
-            "_src_path", F.col("_metadata.file_path")
-        )
+        df = _load_group(spark, ftype, paths)
         df.write.mode("overwrite").format(target_format).save(out)
         ptrs = [
             (domain, entity, r["path"], r["inode_id"], r["last_tx_id"],

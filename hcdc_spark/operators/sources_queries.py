@@ -59,6 +59,13 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         elif fmt == "json":
             writers.write_table(orders, path, fmt="json")
             back = readers.read_json(spark, path, schema=orders.schema)
+        elif fmt == "avro":
+            # Connector-first, spec-codec fallback (avro_codec.py) —
+            # the reference's change-set output format (K6/T17,
+            # AvroConverter.java:47-57). Schema comes from the OCF
+            # header (self-describing), not from the caller.
+            writers.write_table(orders, path, fmt="avro")
+            back = readers.read_avro(spark, path)
         else:
             writers.write_table(orders, path, fmt=fmt)
             back = (
@@ -72,7 +79,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-for _fmt in ("csv", "json", "orc"):
+for _fmt in ("csv", "json", "orc", "avro"):
     def _mk(fmt):
         def q(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _roundtrip(spark, sf_dir, fmt)

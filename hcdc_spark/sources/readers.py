@@ -68,6 +68,26 @@ def read_orc(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.orc(*(path if isinstance(path, list) else [path]))
 
 
+def read_avro(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Avro container read (AvroConverter.java:47-57 analogue).
+    Prefers the spark-avro connector when its jar is on the classpath;
+    falls back to the spec codec (sources/avro_codec.py) otherwise —
+    same rows either way, proven by the codec's Java-decoder tests."""
+    from hcdc_spark.cdc.materialize import avro_available
+    from hcdc_spark.sources import avro_codec
+
+    if avro_available(spark):
+        r = spark.read.format("avro")
+        if schema is not None:
+            r = r.schema(schema)
+        return r.load(path)
+    return avro_codec.read_avro(spark, path, schema=schema)
+
+
 def read_binary(
     spark: SparkSession, path_glob: str, pattern: str | None = None
 ) -> DataFrame:
@@ -85,6 +105,7 @@ _READERS = {
     "JSON": read_json,
     "PARQUET": read_parquet,
     "ORC": read_orc,
+    "AVRO": read_avro,
 }
 
 
@@ -95,9 +116,6 @@ def read_any(
     if file_type is None:
         rows = detect_format(spark, path).limit(1).collect()
         file_type = rows[0]["file_type"] if rows else "UNKNOWN"
-    if file_type == "AVRO":
-        # needs the spark-avro jar; fail with a clear message if absent
-        return spark.read.format("avro").load(path)
     if file_type not in _READERS:
         raise ValueError(f"unsupported file type {file_type!r} for {path}")
     return _READERS[file_type](spark, path, **kw)

@@ -30,6 +30,34 @@ def write_table(
     compression: str = "snappy",
     **options,
 ) -> None:
+    if fmt == "avro":
+        from hcdc_spark.cdc.materialize import avro_available
+        from hcdc_spark.sources import avro_codec
+
+        if not avro_available(df.sparkSession):
+            # Spec-codec OCF writer (one file per partition, null
+            # codec). Supports overwrite/error modes on FS paths —
+            # partition_by/maxRecordsPerFile need the connector.
+            if partition_by or max_records_per_file:
+                raise ValueError(
+                    "avro fallback writer: partition_by/"
+                    "max_records_per_file need the spark-avro jar"
+                )
+            import os
+            import shutil
+
+            if mode == "append":
+                raise ValueError(
+                    "avro fallback writer: append needs the "
+                    "spark-avro jar (part-file names would collide)"
+                )
+            if os.path.exists(path):
+                if mode == "overwrite":
+                    shutil.rmtree(path)
+                elif mode in ("error", "errorifexists"):
+                    raise FileExistsError(path)
+            avro_codec.write_avro(df, path).collect()
+            return
     w = df.write.format(fmt).mode(mode)
     if fmt in ("parquet", "orc"):
         w = w.option("compression", compression)

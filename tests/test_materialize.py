@@ -236,3 +236,23 @@ def test_bucket_per_domain_mapping(spark, tmp_path):
         spark, default_root, "sales", "t1", bucket_map=bmap
     )
     assert got.count() == 10
+
+
+def test_materialize_avro_source_via_codec(spark, source_files, tmp_path):
+    """An AVRO source file replicates through the spec-codec fallback
+    (K6/T17): same staging rows + pointer as any other format."""
+    from hcdc_spark.sources import avro_codec as AC
+
+    avro_dir = str(tmp_path / "av_src")
+    AC.write_avro(source_files["df"].coalesce(1), avro_dir).collect()
+    avro_file = os.path.join(avro_dir, os.listdir(avro_dir)[0])
+    staging = str(tmp_path / "staging_av")
+    file_state = spark.createDataFrame(
+        [_state_row(9, avro_file, "AVRO", 99)], _STATE_SCHEMA
+    )
+    res = M.materialize(spark, file_state, staging, "b1")
+    assert res.n_groups == 1
+    got = M.read_entity(spark, staging, "sales", "customers")
+    assert sorted(
+        map(tuple, got.select("id", "name", "score").collect())
+    ) == sorted(map(tuple, source_files["df"].collect()))
