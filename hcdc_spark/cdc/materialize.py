@@ -40,7 +40,7 @@ import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: file_type → Spark batch reader format (EFileType,
@@ -239,6 +239,88 @@ def materialize(
 def change_data(spark: SparkSession, staging_dir: str) -> DataFrame:
     """The pointer table (DFSChangeData analogue)."""
     return spark.read.parquet(os.path.join(staging_dir, "change_data"))
+
+
+#: Replica block struct with cumulative byte offsets — the
+#: DFSReplicaState/DFSBlockReplicaState analogue (core/.../model/
+#: DFSBlockReplicaState.java fields; offsets as in DFSBlockState's
+#: chain arithmetic). Built with transform/aggregate over the state
+#: block chain — JVM-side, no UDF, no shuffle.
+_REPLICA_BLOCKS = """
+    transform(coalesce(blocks, array()), (b, i) -> struct(
+      b.block_id AS block_id,
+      b.prev_block_id AS prev_block_id,
+      b.data_size AS data_size,
+      b.block_size AS block_size,
+      b.last_tx_id AS last_tx_id,
+      b.generation_stamp AS generation_stamp,
+      b.state AS state,
+      aggregate(slice(coalesce(blocks, array()), 1, i), 0L,
+                (acc, x) -> acc + x.data_size) AS start_offset,
+      aggregate(slice(coalesce(blocks, array()), 1, i), 0L,
+                (acc, x) -> acc + x.data_size) + b.data_size - 1
+        AS end_offset
+    ))
+"""
+
+
+def write_replica_state(
+    spark: SparkSession,
+    file_state: DataFrame,
+    staging_dir: str,
+    batch_tag: str,
+) -> None:
+    """T13 replica-state bookkeeping: one distributed append (no
+    driver collect) of the per-file block ledger — every tracked file's
+    chain with cumulative byte offsets, keyed by (inode, batch). The
+    current view is latest-batch-per-inode (same append-log +
+    latest-view pattern as file_state itself); feeding a row's
+    ``replicas`` through ``sources.readers.read_block_ranges`` re-reads
+    exactly the bytes a block-granular copy would move."""
+    (
+        file_state.where(F.col("state") != "Unknown")
+        .select(
+            "inode_id", "path", "domain", "entity", "state",
+            "last_tx_id", "num_blocks", "data_size",
+            F.expr(_REPLICA_BLOCKS).alias("replicas"),
+            F.lit(batch_tag).alias("batch_tag"),
+        )
+        .write.mode("append")
+        .parquet(os.path.join(staging_dir, "replica_state"))
+    )
+
+
+def replica_state(spark: SparkSession, staging_dir: str) -> DataFrame:
+    """Current replica ledger: latest batch row per inode."""
+    log = spark.read.parquet(os.path.join(staging_dir, "replica_state"))
+    w = Window.partitionBy("inode_id").orderBy(
+        F.col("last_tx_id").desc(), F.col("batch_tag").desc()
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def block_ranges(file_state: DataFrame) -> DataFrame:
+    """Explode live file states into per-block (path, offset, length)
+    rows — the input contract of ``readers.read_block_ranges`` (S7)."""
+    return (
+        file_state.where(
+            F.col("state").isin("Finalized", "Updating", "New")
+        )
+        .select(
+            "inode_id", "path",
+            F.posexplode(F.expr(_REPLICA_BLOCKS)).alias("pos", "b"),
+        )
+        .select(
+            "inode_id", "path",
+            F.col("b.block_id").alias("block_id"),
+            F.col("b.start_offset").alias("offset"),
+            F.col("b.data_size").alias("length"),
+        )
+    )
 
 
 def read_entity(

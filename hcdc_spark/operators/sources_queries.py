@@ -147,3 +147,61 @@ def q41_binary_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table")
     )
+
+
+@REG.add(
+    "q61_block_range_read",
+    """
+    SELECT regexp_extract(filename, '[^/]+$') AS fname,
+           substring(hex(content), 1, 8) AS head_hex,
+           substring(hex(content), octet_length(content) * 2 - 7, 8)
+             AS tail_hex,
+           octet_length(content) AS nbytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+    doc="S7 block byte-range read: seek-read the first and last 4 bytes "
+    "of every parquet file through readers.read_block_ranges (the "
+    "HDFSBlockReader analogue — tasks open files and read only the "
+    "requested spans, never whole contents). The oracle re-reads the "
+    "same spans with DuckDB's read_blob, so a hash match proves exact "
+    "offset arithmetic and byte fidelity (every parquet file must "
+    "bracket with PAR1 = 50415231). Both sides pin the sf0.01 dir: "
+    "the oracle must name raw files literally (read_blob has no view "
+    "indirection), and the driver's oracle contract runs at sf0.01 — "
+    "so the Spark side reads the same fixed dir no matter which "
+    "sf_dir the session passes (the spans are 4 bytes; scale of the "
+    "input dir is irrelevant to what this query proves).",
+    tags=("sources", "binary", "cdc"),
+)
+def q61_block_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.sources.readers import read_binary, read_block_ranges
+
+    files = read_binary(
+        spark, "/root/testdata/sf0.01", pattern="*.parquet"
+    ).select("path", "length")
+    ranges = files.select(
+        "path", F.lit(0).cast("long").alias("offset"),
+        F.lit(4).cast("long").alias("length"),
+    ).unionByName(
+        files.select(
+            "path", (F.col("length") - 4).alias("offset"),
+            F.lit(4).cast("long").alias("length"),
+        )
+    )
+    got = read_block_ranges(spark, ranges)
+    return (
+        got.groupBy("path")
+        .agg(
+            F.max(
+                F.when(F.col("offset") == 0, F.hex("content"))
+            ).alias("head_hex"),
+            F.max(
+                F.when(F.col("offset") > 0, F.hex("content"))
+            ).alias("tail_hex"),
+            F.max(F.col("offset") + F.col("length")).alias("nbytes"),
+        )
+        .select(
+            F.regexp_extract("path", r"[^/]+$", 0).alias("fname"),
+            "head_hex", "tail_hex", "nbytes",
+        )
+    )

@@ -100,6 +100,59 @@ def read_binary(
     return r.load(path_glob)
 
 
+def read_block_ranges(spark: SparkSession, ranges: DataFrame) -> DataFrame:
+    """S7 block byte-range read: (path, offset, length) rows → the same
+    rows plus ``content`` bytes of exactly that range.
+
+    The reference reads HDFS blocks by byte range (HDFSBlockReader /
+    DFSBlockState offsets, core/.../model/DFSBlockState.java); Spark's
+    ``binaryFile`` source is whole-file only, so the range read runs as
+    ``mapInPandas`` — each task opens its partition's files once
+    (rows grouped by path within the Arrow batch), seeks, and reads
+    only the requested spans. Scale shape: the ranges table is
+    metadata-sized, tasks touch only their own byte spans (never whole
+    files), and fan-out is whatever partitioning ``ranges`` carries —
+    repartition by path to co-locate spans of the same file. Paths are
+    any mounted filesystem; object stores would swap ``open`` for a
+    Hadoop-FS input stream behind the same row contract.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for path, grp in pdf.groupby("path", sort=False):
+                local = path
+                if local.startswith("file:"):
+                    local = local[5:]
+                    while local.startswith("//"):  # file:/p and file:///p
+                        local = local[1:]
+                with open(local, "rb") as fh:
+                    for r in grp.itertuples(index=False):
+                        fh.seek(int(r.offset))
+                        rows.append(
+                            (path, int(r.offset), int(r.length),
+                             fh.read(int(r.length)))
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["path", "offset", "length", "content"]
+                )
+
+    return ranges.select("path", "offset", "length").mapInPandas(
+        gen, out_schema
+    )
+
+
 _READERS = {
     "CSV": read_csv,
     "JSON": read_json,

@@ -256,3 +256,76 @@ def test_materialize_avro_source_via_codec(spark, source_files, tmp_path):
     assert sorted(
         map(tuple, got.select("id", "name", "score").collect())
     ) == sorted(map(tuple, source_files["df"].collect()))
+
+
+def _fake_state_with_blocks(spark, path, sizes):
+    """A file_state row whose block chain covers `path` in `sizes`-byte
+    blocks (chained prev ids, cumulative offsets implied)."""
+    from hcdc_spark.cdc.model import FILE_STATE_SCHEMA
+
+    blocks = []
+    for i, sz in enumerate(sizes):
+        blocks.append(
+            {
+                "block_id": 100 + i,
+                "prev_block_id": 100 + i - 1 if i else -1,
+                "data_size": sz,
+                "block_size": 128,
+                "last_tx_id": 10 + i,
+                "generation_stamp": 1,
+                "state": "Finalized",
+                "deltas": [],
+            }
+        )
+    row = {
+        "inode_id": 7,
+        "path": path,
+        "created_time": 0,
+        "updated_time": 1,
+        "num_blocks": len(sizes),
+        "block_size": 128,
+        "data_size": sum(sizes),
+        "last_tx_id": 10 + len(sizes) - 1,
+        "file_type": "CSV",
+        "state": "Finalized",
+        "blocks": blocks,
+        "domain": "sales",
+        "entity": "customers",
+    }
+    return spark.createDataFrame([row], FILE_STATE_SCHEMA)
+
+
+def test_replica_state_ledger_and_block_ranges(spark, tmp_path):
+    """T13+S7 end to end: replica ledger rows carry cumulative offsets,
+    and feeding them through read_block_ranges re-reads each block's
+    exact bytes."""
+    from hcdc_spark.sources.readers import read_block_ranges
+
+    blob = b"".join(bytes([i]) * 10 for i in range(5))  # 5 blocks x 10B
+    src = str(tmp_path / "blocks.bin")
+    with open(src, "wb") as fh:
+        fh.write(blob)
+    staging = str(tmp_path / "stg")
+    st = _fake_state_with_blocks(spark, src, [10] * 5)
+
+    M.write_replica_state(spark, st, staging, "b1")
+    led = M.replica_state(spark, staging).collect()
+    assert len(led) == 1
+    reps = sorted(led[0]["replicas"], key=lambda b: b["start_offset"])
+    assert [(b["start_offset"], b["end_offset"]) for b in reps] == [
+        (i * 10, i * 10 + 9) for i in range(5)
+    ]
+    # chained prev pointers survive
+    assert [b["prev_block_id"] for b in reps] == [-1, 100, 101, 102, 103]
+
+    ranges = M.block_ranges(st)
+    got = read_block_ranges(spark, ranges).collect()
+    assert sorted(
+        (r["offset"], bytes(r["content"])) for r in got
+    ) == [(i * 10, bytes([i]) * 10) for i in range(5)]
+
+    # latest-batch-per-inode view: a newer batch supersedes
+    st2 = _fake_state_with_blocks(spark, src, [10] * 5 + [3])
+    M.write_replica_state(spark, st2, staging, "b2")
+    cur = M.replica_state(spark, staging).collect()
+    assert len(cur) == 1 and cur[0]["num_blocks"] == 6
