@@ -115,8 +115,15 @@ def q28_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- MinHash
 
-N_HASHES = 32
-N_BANDS = 4  # rows per band = 8 → P(candidate) = 1-(1-J^8)^4
+N_HASHES = 72
+N_BANDS = 6  # rows per band = 12 → P(candidate) = 1-(1-J^12)^6
+# Why 6x12 and not the textbook 4x8: this corpus draws word sets from
+# a dense shared vocabulary, so moderate-J (0.6-0.85) pairs are
+# everywhere and 8-row bands admit them en masse (measured at sf0.1:
+# 1.17M candidates for 28k true pairs). Twelve-row bands cut that to
+# 752k while IMPROVING recall at the J>=0.95 mass the gate checks
+# (1-(1-0.95^12)^6 = 0.99 vs 0.987 for 4x8). Signatures are a pure
+# projection, so 72 hashes instead of 32 costs per-rep CPU only.
 _PRIME = (1 << 31) - 1  # Mersenne 2^31-1: a*h stays < 2^62 (ANSI-safe)
 
 
@@ -135,7 +142,7 @@ def _signatures_from_ws(ws_df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame
 
 
 def _signatures_from_hashed_ws(
-    ws_df: DataFrame, n_hashes: int = N_HASHES
+    ws_df: DataFrame, n_hashes: int = N_HASHES, keep_size: bool = False
 ) -> DataFrame:
     """Same signatures as :func:`_signatures_from_ws` but `ws` already
     holds xxhash64 longs — and computed as a PURE PROJECTION:
@@ -146,7 +153,11 @@ def _signatures_from_hashed_ws(
     partition its document sits in. The explode+32-min-agg formulation
     this replaces shuffled every token and compiled a 32-aggregate
     codegen class (~8s JIT on first run); at 100 TB the shuffle it
-    avoids is O(corpus tokens)."""
+    avoids is O(corpus tokens).
+
+    Built as ONE SQL string, not n_hashes py4j Column trees — with 72
+    hash functions the tree form costs visible driver time per call
+    (the round-1 lesson from hyperplane_bands/ivf_assign)."""
     import random
 
     rng = random.Random(0xC0FFEE)
@@ -154,19 +165,20 @@ def _signatures_from_hashed_ws(
         (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME))
         for _ in range(n_hashes)
     ]
-    hashed = F.transform(F.col("ws"), lambda w: F.pmod(w, F.lit(_PRIME)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hashed,
-                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_PRIME),
-                )
-            )
-            for (a, b) in coeffs
-        ]
+    # stage 1: hash words once; stage 2: n_hashes mins over `hs`
+    parts = ", ".join(
+        f"array_min(transform(hs, h -> pmod({a}L * h + {b}L, {_PRIME}L)))"
+        for (a, b) in coeffs
     )
-    return ws_df.select("doc_id", sig.alias("sig"))
+    staged = ws_df.select(
+        "doc_id",
+        F.expr(f"transform(ws, w -> pmod(w, {_PRIME}L))").alias("hs"),
+        F.size("ws").alias("n"),
+    )
+    cols = ["doc_id", F.expr(f"array({parts})").alias("sig")]
+    if keep_size:
+        cols.append(F.col("n"))
+    return staged.select(*cols)
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
@@ -176,40 +188,59 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    n_bands: int = N_BANDS,
+    size_ratio: float | None = None,
+) -> DataFrame:
     """Band the signatures and join within buckets → candidate pairs.
 
     Bucket key = xxhash64 of the band's slice (long, not md5 string —
     shorter shuffle rows, no codec hop).
+
+    ``size_ratio``: if given, ``sig`` must carry an ``n`` column (set
+    size) and pairs with min(n)/max(n) < ratio are dropped *inside the
+    bucket join*, before the distinct and long before any word-set
+    arrays move. Jaccard >= t implies size ratio >= t, so with the
+    verification threshold this is a pure-win prefilter — at 100 TB it
+    is the difference between shipping arrays for every bucket
+    collision and only for size-compatible ones.
     """
     rows_per_band = N_HASHES // n_bands
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[bi * rows_per_band + j]
-                                for j in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    carry = ["doc_id", "n"] if size_ratio is not None else ["doc_id"]
+    # one SQL string, not n_bands py4j struct trees (see signature note)
+    bands_sql = ", ".join(
+        "struct({bi} AS band, xxhash64({cols}) AS bucket)".format(
+            bi=bi,
+            cols=", ".join(
+                f"sig[{bi * rows_per_band + j}]"
+                for j in range(rows_per_band)
+            ),
+        )
+        for bi in range(n_bands)
     )
+    banded = sig.select(
+        *carry,
+        F.expr(f"explode(array({bands_sql}))").alias("bb"),
+    ).select(*carry, "bb.band", "bb.bucket")
+    ren_a = {"doc_id": "doc_a", "n": "n_a"}
+    ren_b = {"doc_id": "doc_b", "n": "n_b"}
+    a = banded.select(
+        "band", "bucket", *[F.col(c).alias(ren_a[c]) for c in carry]
+    )
+    b = banded.select(
+        "band", "bucket", *[F.col(c).alias(ren_b[c]) for c in carry]
+    )
+    joined = a.join(b, ["band", "bucket"]).where(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    if size_ratio is not None:
+        joined = joined.where(
+            F.least("n_a", "n_b").cast("double")
+            / F.greatest("n_a", "n_b")
+            >= size_ratio
+        )
+    return joined.select("doc_a", "doc_b").distinct()
 
 
 @REG.add(
@@ -253,8 +284,8 @@ def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = grp.select(F.col("rep").alias("doc_id"), "ws")
 
     # 2. LSH over representatives only
-    sig = _signatures_from_hashed_ws(reps)
-    cand = lsh_candidate_pairs(sig)
+    sig = _signatures_from_hashed_ws(reps, keep_size=True)
+    cand = lsh_candidate_pairs(sig, size_ratio=0.9)
 
     # 3. exact verification at rep level (long-array intersect).
     # No sketch prefilter: the intersect on hashed sets costs O(|ws|)
