@@ -427,3 +427,65 @@ def q37_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(d(e[0])).cast("double") / n).alias("centroid_d0"),
         (F.sum(d(e[32])).cast("double") / n).alias("centroid_d32"),
     )
+
+
+@REG.add(
+    "q64_embedding_quantization",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), m AS (
+      SELECT vec_id, e,
+             list_min(e) AS vmin, list_max(e) AS vmax,
+             (list_max(e) - list_min(e)) / 255.0 AS scale
+      FROM e
+    )
+    SELECT vec_id, vmin, vmax,
+           CAST(list_sum(list_transform(e,
+             x -> CAST(floor((x - vmin) / scale + 0.5) AS BIGINT)))
+             AS BIGINT) AS qsum,
+           list_max(list_transform(e,
+             x -> abs(x - (vmin + CAST(floor((x - vmin) / scale + 0.5)
+                                       AS BIGINT) * scale))))
+             AS max_abs_err
+    FROM m
+    """,
+    doc="Per-vector int8 affine quantization (min/max range, 255 "
+    "levels) — the storage/serving compression step of an embedding "
+    "pipeline: 4x smaller vectors with a per-vector (vmin, scale) "
+    "codebook. Surfaces the quantized checksum and the max "
+    "reconstruction error; max (not mean) because it is "
+    "addition-order-independent, so Spark and DuckDB double "
+    "arithmetic agree bit-for-bit. floor(z+0.5) instead of round() "
+    "sidesteps engine tie-breaking differences. Scale shape: a pure "
+    "projection over the embedding column, zero shuffles; the "
+    "codebook stays with the row, so dequantization is also "
+    "projection-only.",
+    tags=("similarity", "pipeline", "quantization"),
+)
+def q64_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return (
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x AS double))").alias("e"),
+        )
+        .select(
+            "vec_id", "e",
+            F.array_min("e").alias("vmin"),
+            F.array_max("e").alias("vmax"),
+        )
+        .withColumn("scale", (F.col("vmax") - F.col("vmin")) / 255.0)
+        .select(
+            "vec_id", "vmin", "vmax",
+            F.expr(
+                "aggregate(e, 0L, (a, x) -> a + cast(floor((x - vmin) /"
+                " scale + 0.5d) AS bigint))"
+            ).alias("qsum"),
+            F.expr(
+                "array_max(transform(e, x -> abs(x - (vmin +"
+                " cast(floor((x - vmin) / scale + 0.5d) AS bigint) *"
+                " scale))))"
+            ).alias("max_abs_err"),
+        )
+    )

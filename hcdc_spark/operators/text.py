@@ -494,3 +494,135 @@ def q60_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("sbucket") < F.col("rate"))
     )
+
+
+#: PII patterns shared by the Spark and oracle sides — RE2/Java-regex
+#: common subset only (char classes, bounded repeats, \b): no
+#: lookaround, so both engines match identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_CARD = r"\b\d{4}(-\d{4}){3}\b"
+
+#: Deterministic PII synthesis: the corpus is synthetic words, so both
+#: engines append identical doc-derived PII before scrubbing — the
+#: operator is then proven on text that actually contains targets.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com "
+    "from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || "
+    "CAST(doc_id % 251 AS VARCHAR) || '.7 card 4111-1111-1111-1111 .'"
+)
+
+
+@REG.add(
+    "q62_pii_redaction",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text || {_PII_SUFFIX_SQL} AS raw FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{PII_EMAIL}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(raw, '{PII_IPV4}')) AS BIGINT)
+             AS n_ip,
+           CAST(len(regexp_extract_all(raw, '{PII_CARD}')) AS BIGINT)
+             AS n_card,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+               '{PII_CARD}', '<CARD>', 'g')) AS redacted_md5
+    FROM t
+    """,
+    doc="PII scrubbing — the compliance pass every training corpus "
+    "needs before release: email / IPv4 / card-number patterns counted "
+    "and replaced with typed tokens. Patterns stay in the RE2∩Java "
+    "regex common subset so the DuckDB oracle matches byte-for-byte "
+    "(md5 of the redacted text is hash-compared). Scale shape: a pure "
+    "projection fused into the scan — zero shuffles, linear in corpus "
+    "bytes, exactly as cheap as the q30 quality scan.",
+    tags=("text", "pipeline", "pii"),
+)
+def q62_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit("."),
+        (F.col("doc_id") % 251).cast("string"),
+        F.lit(".7 card 4111-1111-1111-1111 ."),
+    )
+    t = docs.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw", PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>",
+        ),
+        PII_CARD, "<CARD>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count("raw", F.lit(PII_IPV4)).cast("long").alias("n_ip"),
+        F.regexp_count("raw", F.lit(PII_CARD)).cast("long").alias("n_card"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+SEQ_LEN = 2048  # tokens per packed training sequence
+N_PACK_SHARDS = 16
+
+
+@REG.add(
+    "q63_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {N_PACK_SHARDS} AS shard,
+             CAST(len({_W}) AS BIGINT) AS tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, tokens,
+             CAST(COALESCE(SUM(tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS prev
+      FROM t
+    )
+    SELECT doc_id, shard, tokens,
+           prev // {SEQ_LEN} AS seq_id,
+           prev % {SEQ_LEN} AS start_off
+    FROM c
+    """,
+    doc="GPT-style sequence packing: per shard, documents concatenate "
+    "in doc_id order and chunk into {n}-token training sequences; "
+    "each doc's (seq_id, start_off) is pure prefix-sum arithmetic. "
+    "The shard is the scale unit — running sums stay inside a "
+    "partitioned window (NO global ordering, no Exchange "
+    "SinglePartition), shards pack independently and in parallel, and "
+    "the layout is deterministic across runs and cluster sizes, so a "
+    "resumed or re-run job produces byte-identical training batches. "
+    "That determinism is why packing is hash arithmetic here, not a "
+    "greedy bin-packer with driver state.".format(n=SEQ_LEN),
+    tags=("text", "pipeline", "packing"),
+)
+def q63_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_SHARDS).alias("shard"),
+        F.size(words("text")).cast("long").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "prev", F.coalesce(F.sum("tokens").over(w), F.lit(0)).cast("long")
+    )
+    return c.select(
+        "doc_id", "shard", "tokens",
+        F.expr(f"prev div {SEQ_LEN}").alias("seq_id"),
+        (F.col("prev") % SEQ_LEN).alias("start_off"),
+    )

@@ -242,3 +242,51 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
     assert a == b, "hash sampling must be run-to-run deterministic"
     for r in a:
         assert r[3] < r[4]  # sbucket < rate: only kept rows surface
+
+
+def test_pii_redaction_complete_and_counted(spark, oracle, sf_dir):
+    import re
+    from hcdc_spark.operators import text as T
+    from tests.conftest import assert_matches_oracle
+
+    spec = T.REG.specs["q62_pii_redaction"]
+    df = spec.fn(spark, sf_dir)
+    assert_matches_oracle(df, oracle, spec.oracle, spec.name)
+    for r in df.collect():
+        # synthesized suffix guarantees at least one of each PII kind
+        assert r["n_email"] >= 1 and r["n_ip"] >= 1 and r["n_card"] >= 1
+
+
+def test_sequence_packing_layout_invariants(spark, oracle, sf_dir):
+    from hcdc_spark.operators import text as T
+    from tests.conftest import assert_matches_oracle
+
+    spec = T.REG.specs["q63_sequence_packing"]
+    df = spec.fn(spark, sf_dir)
+    assert_matches_oracle(df, oracle, spec.oracle, spec.name)
+    rows = sorted(map(tuple, df.collect()))
+    by_shard = {}
+    for doc_id, shard, tokens, seq_id, start_off in rows:
+        assert 0 <= start_off < T.SEQ_LEN
+        assert doc_id % T.N_PACK_SHARDS == shard
+        by_shard.setdefault(shard, []).append((doc_id, tokens, seq_id, start_off))
+    for shard, docs in by_shard.items():
+        run = 0
+        for doc_id, tokens, seq_id, start_off in docs:  # doc_id order
+            assert seq_id == run // T.SEQ_LEN  # exact prefix-sum layout
+            assert start_off == run % T.SEQ_LEN
+            run += tokens
+
+
+def test_embedding_quantization_error_bound(spark, oracle, sf_dir):
+    from hcdc_spark.operators import similarity as S
+    from tests.conftest import assert_matches_oracle
+
+    spec = S.REG.specs["q64_embedding_quantization"]
+    df = spec.fn(spark, sf_dir)
+    assert_matches_oracle(df, oracle, spec.oracle, spec.name)
+    for r in df.collect():
+        scale = (r["vmax"] - r["vmin"]) / 255.0
+        # nearest-level rounding ⇒ reconstruction within half a level
+        assert r["max_abs_err"] <= scale / 2 + 1e-12
+        assert 0 <= r["qsum"] <= 255 * S.EMB_DIM
