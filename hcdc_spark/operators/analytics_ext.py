@@ -329,3 +329,50 @@ def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@REG.add(
+    "q65_map_json_functions",
+    """
+    SELECT event_id,
+           'k,type,uid' AS keys_csv,
+           event_type AS type_val,
+           CAST(user_id AS VARCHAR) AS uid_val,
+           json_extract_string(props, '$.k') AS k_val,
+           3 AS n_entries,
+           'STRUCT<k: BIGINT>' AS props_schema
+    FROM events
+    WHERE event_id % 100 = 0
+    """,
+    doc="Map + JSON schema surface (SURVEY §2B scalar fns: map_keys, "
+    "element_at, map creation, schema_of_json): events are lifted into "
+    "a map<string,string> column, then read back out via map_keys "
+    "(sorted), element_at lookups, and size; schema_of_json infers the "
+    "props schema (the T20 inference primitive as an expression). The "
+    "oracle recomputes every surfaced value from the raw columns — "
+    "including Spark's inferred-schema string, which is part of the "
+    "contract. Map ops are pure projections: zero shuffles.",
+    tags=("analytics", "scalar"),
+)
+def q65_map_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return (
+        ev.where(F.col("event_id") % 100 == 0)
+        .withColumn("m", m)
+        .select(
+            "event_id",
+            F.array_join(F.array_sort(F.map_keys("m")), ",").alias(
+                "keys_csv"
+            ),
+            F.element_at("m", "type").alias("type_val"),
+            F.element_at("m", "uid").alias("uid_val"),
+            F.element_at("m", "k").alias("k_val"),
+            F.size("m").alias("n_entries"),
+            F.schema_of_json(F.lit('{"k": 69}')).alias("props_schema"),
+        )
+    )
