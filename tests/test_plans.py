@@ -99,3 +99,35 @@ def test_media_analyze_driver_path_is_jvm_only(spark, sf_dir):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "MapInPandas" not in p
     assert I.codegen_stage_count(df) >= 1
+
+
+def test_scan_side_pipeline_ops_shuffle_free(spark, sf_dir):
+    """q60/q62 are pure scan-side projections — zero exchanges; q63's
+    prefix sums stay inside a partitioned window (no SinglePartition)."""
+    from hcdc_spark.operators import text as T
+
+    for name in ("q60_stratified_sample", "q62_pii_redaction"):
+        df = T.REG.specs[name].fn(spark, sf_dir)
+        assert I.count_exchanges(df) == 0, name
+
+    packing = T.REG.specs["q63_sequence_packing"].fn(spark, sf_dir)
+    p = I.simple_plan(packing)
+    assert "Exchange SinglePartition" not in p
+    assert I.count_exchanges(packing) == 1  # hash by shard only
+
+
+def test_quantization_shuffle_free(spark, sf_dir):
+    from hcdc_spark.operators import similarity as S
+
+    df = S.REG.specs["q64_embedding_quantization"].fn(spark, sf_dir)
+    assert I.count_exchanges(df) == 0
+
+
+def test_block_range_read_no_content_scan(spark, sf_dir):
+    """q61 must plan the binaryFile scan WITHOUT the content column —
+    only path+length feed the range builder; bytes come from seeks."""
+    from hcdc_spark.operators import sources_queries as SQ
+
+    df = SQ.REG.specs["q61_block_range_read"].fn(spark, sf_dir)
+    for rs in I.read_schemas(df):
+        assert "content" not in rs
