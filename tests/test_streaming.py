@@ -232,3 +232,33 @@ def test_rewriter_path_log_compaction(spark, tmp_path):
         tuple(r) for r in live_paths(spark, paths_dir).collect()
     )
     assert before == after
+
+
+def test_stream_reconcile_under_rocksdb_state_store(spark, tmp_path, event_log):
+    """100 TB state posture: the stateful fold must run unchanged on the
+    RocksDB state store provider (the scale choice — state spills to
+    local disk instead of living on the JVM heap, so per-executor state
+    is bounded by disk, not memory). Same fold, same result."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    src = str(tmp_path / "segments_rdb")
+    out = str(tmp_path / "out_rdb")
+    ckpt = str(tmp_path / "ckpt_rdb")
+    write_event_segment(spark, event_log, src, "edits_0000001")
+    spark.conf.set(key, rocks)
+    try:
+        q = run_reconciler(spark, src, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch_state = reconcile_batch(
+        events_df(spark, event_log), expand_dirs=False
+    ).drop("errors")
+    assert _comparable(latest_state(spark, out)) == _comparable(batch_state)
