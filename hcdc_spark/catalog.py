@@ -36,6 +36,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Memoized DataFrames keyed by (application id, sf_dir, table).
+#: ``spark.read.parquet`` on a raw path re-lists files and re-reads
+#: footers on every call (~0.1 s per table) — a catalog's job is to do
+#: that once per session. DataFrames are immutable logical plans, so
+#: reuse across queries is safe; a new session gets a new application
+#: id and therefore fresh entries.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
@@ -48,7 +57,17 @@ def load_tables(
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    return {name: spark.read.parquet(table_path(sf_dir, name)) for name in names}
+    app = spark.sparkContext.applicationId
+    base = os.path.abspath(sf_dir)
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        key = (app, base, name)
+        df = _DF_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(table_path(sf_dir, name))
+            _DF_CACHE[key] = df
+        out[name] = df
+    return out
 
 
 def event_ts_ms(col_name: str = "ts"):
