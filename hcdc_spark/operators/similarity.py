@@ -489,3 +489,77 @@ def q64_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs_err"),
         )
     )
+
+
+HYBRID_TERMS = ("join", "hash", "scan")
+
+
+@REG.add(
+    "q66_hybrid_search",
+    f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = 0
+    ), kw AS (
+      SELECT doc_id,
+             CAST(len(list_intersect(
+               list_distinct(list_filter(string_split(text, ' '),
+                             x -> x <> '')),
+               {list(HYBRID_TERMS)!r})) AS BIGINT) AS kw_score
+      FROM documents
+    )
+    SELECT k.doc_id, k.kw_score,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                            (SELECT qv FROM q))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt((SELECT list_dot_product(qv, qv) FROM q)))
+             AS cos_sim
+    FROM kw k JOIN embeddings e ON k.doc_id = e.vec_id
+    WHERE k.kw_score >= 1 AND k.doc_id <> 0
+    ORDER BY k.kw_score DESC, cos_sim DESC, k.doc_id
+    LIMIT 20
+    """,
+    doc="Hybrid retrieval — the eval/curation query of an LLM data "
+    "stack: keyword filter first (term-set intersect, a pure scan-side "
+    "projection; the inverted-index explode+join shape replaces it "
+    "when the term list is itself a table), then exact cosine rerank "
+    "against the vec_id=0 query vector over the survivors only, then "
+    "top-k via TakeOrderedAndProject. The filter-before-vector-join "
+    "order is the 100 TB shape: embeddings move only for keyword "
+    "candidates. Arithmetic is the q34 bit-identical double path.",
+    tags=("similarity", "pipeline", "retrieval"),
+)
+def q66_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs, emb = t["documents"], t["embeddings"]
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qv))
+    terms = F.array(*[F.lit(w) for w in HYBRID_TERMS])
+    kw = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(
+                    F.filter(F.split("text", " "), lambda x: x != "")
+                ),
+                terms,
+            )
+        )
+        .cast("long")
+        .alias("kw_score"),
+    ).where((F.col("kw_score") >= 1) & (F.col("doc_id") != 0))
+    return (
+        kw.join(emb, kw.doc_id == emb.vec_id)
+        .select(
+            "doc_id", "kw_score",
+            (
+                _dot(_emb(), qlit) / (F.sqrt(_norm2(_emb())) * F.lit(qnorm))
+            ).alias("cos_sim"),
+        )
+        .orderBy(
+            F.col("kw_score").desc(), F.col("cos_sim").desc(), "doc_id"
+        )
+        .limit(20)
+    )
