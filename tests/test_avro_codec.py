@@ -218,3 +218,39 @@ def test_writer_reader_dispatch_fallback(spark, sf_dir, tmp_path):
     assert back.drop("_src_path").count() == 20
     with pytest.raises(ValueError, match="append"):
         writers.write_table(orders, path, fmt="avro", mode="append")
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_ocf_decoder_rejects_or_ignores_garbage(junk):
+    """Fuzz: arbitrary bytes (including truncated/corrupted headers)
+    must raise cleanly — never hang, never return phantom rows."""
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    try:
+        rows = AC.read_ocf_bytes(junk, schema)
+    except (ValueError, KeyError, IndexError, UnicodeDecodeError,
+            json.JSONDecodeError, OverflowError):
+        return
+    # only a byte-string that really is a valid empty OCF may succeed
+    assert isinstance(rows, list)
+
+
+@given(st.integers(min_value=0, max_value=4000))
+@settings(max_examples=50, deadline=None)
+def test_ocf_truncation_raises(cut):
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    data, _ = AC.write_ocf_bytes(
+        iter([pd.DataFrame({"a": [1, 2**40], "b": ["x", "yy" * 30]})]),
+        schema,
+    )
+    if cut >= len(data):
+        return
+    try:
+        rows = AC.read_ocf_bytes(data[:cut], schema)
+        # a cut exactly at a block boundary legitimately yields a prefix
+        assert len(rows) <= 2
+    except (ValueError, KeyError, IndexError, UnicodeDecodeError,
+            json.JSONDecodeError):
+        pass

@@ -395,3 +395,34 @@ def test_overwrite_sees_dir_renamed_file(spark):
              reconcile_batch(events_df(spark, events)).collect()}
     assert state[1]["state"] == "Deleted"
     assert state[2]["path"] == "/b/x"
+
+
+def test_reconcile_is_input_order_independent(spark):
+    """Arrival order must not matter: the fold sorts by tx_id per inode
+    (reconcile sorts inside the group), so a shuffled event log
+    reconciles to exactly the state of the ordered one — Spark gives no
+    intra-partition ordering guarantees after a shuffle, so this is a
+    correctness requirement at scale, not a nicety."""
+    import random
+
+    from hcdc_spark.cdc.generator import events_df, generate_events
+    from hcdc_spark.cdc.reconcile import reconcile_batch
+
+    log = generate_events(
+        n_files=30, seed=99, with_dir_ops=True, with_duplicates=True
+    )
+    shuffled = list(log)
+    random.Random(7).shuffle(shuffled)
+
+    def canon(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "inode_id", "path", "num_blocks", "data_size",
+                "last_tx_id", "state",
+            ).collect()
+        )
+
+    a = reconcile_batch(events_df(spark, log)).drop("errors")
+    b = reconcile_batch(events_df(spark, shuffled)).drop("errors")
+    assert canon(a) == canon(b)
