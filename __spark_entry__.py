@@ -44,8 +44,13 @@ def _registry() -> Registry:
                 f"hcdc_spark.operators.{mod_name}", fromlist=["REG"]
             )
             reg.merge(mod.REG)
-        except ImportError:
-            pass
+        except ImportError as exc:  # never silent: a dropped module
+            import sys  # would shrink the registry unnoticed
+
+            print(
+                f"WARNING: operators.{mod_name} failed to import: {exc}",
+                file=sys.stderr,
+            )
     return reg
 
 
