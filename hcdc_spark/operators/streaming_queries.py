@@ -402,3 +402,85 @@ def c11_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta.entity_name").alias("entity_name"),
         F.length("pb").alias("proto_len"),
     )
+
+
+@REG.add(
+    "c13_stream_session_window",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+      FROM events
+    ), s AS (
+      SELECT *,
+             CASE WHEN LAG(ts_ms) OVER w IS NULL
+                       OR ts_ms - LAG(ts_ms) OVER w >= 1800000
+                  THEN 1 ELSE 0 END AS brk
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ), g AS (
+      SELECT *,
+             CAST(SUM(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           MIN(ts_ms) AS session_start_ms,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS min_event_id
+    FROM g GROUP BY user_id, sid
+    """,
+    doc="Streaming session windows (30-min gap) per user over the "
+    "events stream — the session_window + watermark state machine "
+    "oracle-checked against the relational gaps-and-islands form "
+    "(break on diff >= gap matches Spark's half-open [t, t+gap) "
+    "merge rule exactly). Session state is per-key and watermark-"
+    "evicted, so state size tracks active users, not history — the "
+    "unbounded-stream analogue of q25's batch sessionization.",
+    tags=("streaming", "session-window"),
+)
+def c13_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.catalog import load_tables
+
+    batch = load_tables(spark, sf_dir, ("events",))["events"]
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.withColumn(
+            "event_time", F.timestamp_millis(F.expr("ts DIV 1000000"))
+        )
+        .withWatermark("event_time", "1 hour")
+        .groupBy(
+            F.session_window("event_time", "30 minutes").alias("sess"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+        )
+    )
+    name = "c13_sessions"
+    ckpt = tempfile.mkdtemp(prefix="hcdc_c13_ckpt_")
+    try:
+        with _small_shuffle(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            out = spark.table(name).select(
+                "user_id",
+                F.unix_millis(F.col("sess.start")).alias("session_start_ms"),
+                "n_events",
+                "min_event_id",
+            )
+            return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
