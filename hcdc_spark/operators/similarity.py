@@ -96,17 +96,23 @@ def q34_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    WHERE a.vec_id < 100000 AND b.vec_id < 100000
+      AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.45
     """,
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.45). The "
-    "oracle cross-joins (test scale); the Spark plan does too here for "
-    "exactness — q36 is the LSH-bucketed scale path.",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.45). "
+    "DELIBERATELY O(n²): this is the oracle-exact twin of q52 (the "
+    "LSH-bucketed scale path) and must never be the plan anyone "
+    "reaches for at scale — both sides carry an explicit vec_id < "
+    "100k cap (a no-op at every test SF) so a misrouted huge input "
+    "degrades to a bounded quadratic instead of a cluster-melting "
+    "cross join.",
     tags=("similarity", "dedup"),
 )
 def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = emb.where(F.col("vec_id") < 100_000)  # see doc: exact-twin cap
     a = emb.select(F.col("vec_id").alias("vec_a"), _emb().alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), _emb().alias("eb"))
     sim = _dot(F.col("ea"), F.col("eb")) / (
