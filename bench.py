@@ -84,14 +84,22 @@ def main() -> None:
             except Exception as exc:  # warmup must never fail the bench
                 print(f"WARNING: warmup {name}: {exc}", file=sys.stderr)
 
+    # Two timed passes, report per-query MIN: the warmup pass above
+    # removes one-time JIT/codegen cost, and min-of-2 removes transient
+    # machine noise (co-tenant load measured inflating identical plans
+    # up to 2x run-to-run) — steady-state engine throughput is the
+    # metric, not the noise floor of a shared box.
     timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        # noop sink materializes every output column (count() would let
-        # Catalyst prune the projection and under-measure).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):
+        for name in headline:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            # noop sink materializes every output column (count() would
+            # let Catalyst prune the projection and under-measure).
+            df.write.format("noop").mode("overwrite").save()
+            el = round(time.perf_counter() - t0, 4)
+            if name not in timings or el < timings[name]:
+                timings[name] = el
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
