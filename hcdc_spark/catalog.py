@@ -49,8 +49,8 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
     if "events" in names:
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read it as epoch-nanos LongType instead. Set
+        # events.ts has shipped as parquet TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read it as epoch-nanos LongType. Set
         # dynamically (not only in ENGINE_CONF) so the queries also work
         # under an externally-created session (the driver's).
         try:
@@ -65,9 +65,38 @@ def load_tables(
         df = _DF_CACHE.get(key)
         if df is None:
             df = spark.read.parquet(table_path(sf_dir, name))
+            if name == "events":
+                df = normalize_event_ts(df)
             _DF_CACHE[key] = df
         out[name] = df
     return out
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to epoch-nanos LongType.
+
+    The generated events table has shipped with ``ts`` as parquet
+    TIMESTAMP(NANOS) (read as LongType nanos via ``nanosAsLong``) and as
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Downstream operators and
+    their DuckDB oracles (which see a naive TIMESTAMP and use
+    ``epoch_ms(ts)``, i.e. wall-clock-as-UTC) both assume the nanos-long
+    form, so rewrite the µs flavors at the catalog boundary.
+    ``to_utc_timestamp(ntz, 'UTC')`` pins wall-clock→UTC independent of
+    the session timezone — same instant the oracle computes.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df
+    if isinstance(ts_type, TimestampNTZType):
+        micros = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    elif isinstance(ts_type, TimestampType):
+        micros = F.unix_micros(F.col("ts"))
+    else:  # unexpected physical type: surface loudly, don't guess
+        raise TypeError(f"events.ts has unsupported type {ts_type}")
+    return df.withColumn("ts", (micros * F.lit(1000)).cast("long"))
 
 
 def event_ts_ms(col_name: str = "ts"):
@@ -79,6 +108,28 @@ def event_ts_ms(col_name: str = "ts"):
     from pyspark.sql import functions as F
 
     return F.expr(f"{col_name} div 1000000")
+
+
+def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a stream, ts canonicalized like the batch read.
+
+    The file stream source needs the *physical* parquet schema (the
+    batch catalog entry has already rewritten ``ts``), so resolve the
+    footer schema with an un-normalized read, stream with it, then apply
+    the same ``normalize_event_ts`` projection — a stream is a plan, so
+    the projection composes identically on both paths.
+    """
+    # sets nanosAsLong for the legacy TIMESTAMP(NANOS) flavor
+    load_tables(spark, sf_dir, ("events",))
+    physical = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(physical)
+        # events.parquet is a single file; the file stream source wants
+        # a directory, so stream the sf dir with a glob filter.
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(stream)
 
 
 def register_views(

@@ -69,16 +69,10 @@ def c04_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _event_stream(spark: SparkSession, sf_dir: str):
-    """The events table as a stream (schema from the batch read, which
-    also sets the nanosAsLong conf)."""
-    from hcdc_spark.catalog import load_tables
+    """The events table as a stream, ts canonicalized to epoch nanos."""
+    from hcdc_spark.catalog import event_stream
 
-    batch = load_tables(spark, sf_dir, ("events",))["events"]
-    return (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    return event_stream(spark, sf_dir)
 
 
 def _drain(df, name: str, ckpt: str, mode: str = "append"):
@@ -276,18 +270,7 @@ def c08_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window-agg"),
 )
 def c05_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hcdc_spark.catalog import load_tables
-
-    # Batch read resolves the schema (and sets nanosAsLong); the stream
-    # reuses it, so both paths see ts as epoch-nanos LongType.
-    batch = load_tables(spark, sf_dir, ("events",))["events"]
-    # events.parquet is a single file; the file stream source wants a
-    # directory, so stream the sf dir with a glob filter.
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _event_stream(spark, sf_dir)
     agg = (
         stream.withColumn(
             "event_time", F.timestamp_millis(F.expr("ts DIV 1000000"))
@@ -440,14 +423,7 @@ def c11_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "session-window"),
 )
 def c13_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hcdc_spark.catalog import load_tables
-
-    batch = load_tables(spark, sf_dir, ("events",))["events"]
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _event_stream(spark, sf_dir)
     agg = (
         stream.withColumn(
             "event_time", F.timestamp_millis(F.expr("ts DIV 1000000"))
