@@ -18,17 +18,73 @@ from pyspark.sql import DataFrame, SparkSession
 from hcdc_spark.registry import Registry
 
 
+# The driver's correctness harness checks exactly the FIRST 50 registry
+# entries (flat count, both prior rounds). Signal therefore goes where a
+# green row has never been recorded; queries already green in r1 AND r2
+# sit past entry 50 — their greenness is on record in CORRECTNESS_r0{1,2}.
+# Ordered blocks:
+#   A. oracle queries with no green row in any round (incl. q45 whose
+#      array surface crashed the r2 canonicalizer — fixed this round —
+#      and q24-q26 whose repr fixes landed after their last driver run);
+#   B. r1-green but r2-unchecked oracle queries;
+#   C. never-driver-run rows-only queries;
+#   D. rows-only queries last checked in r1;
+#   E. long-green regression spine (one per module family).
+# New queries added this round are appended to block A by their module
+# (never verified ⇒ highest priority). test_registry_order.py gates that
+# every never-verified name stays inside the first 50.
+_FIRST_50: tuple[str, ...] = (
+    # A: never-green oracle queries
+    "q45_collect_sets",
+    "q24_latest_per_key",
+    "q25_sessionization",
+    "q26_interval_merge",
+    "q42_media_analyze",
+    "q58_dedup_clusters",
+    "q63_sequence_packing",
+    "q64_embedding_quantization",
+    "q66_hybrid_search",
+    "c12_fsimage_bootstrap",
+    "c05_stream_window_agg",
+    "c09_stream_static_join",
+    "c10_stream_stream_join",
+    "c11_protobuf_roundtrip",
+    "c13_stream_session_window",
+    # B: r1-green, r2-unchecked oracle queries
+    "q27_dedup_exact",
+    "q28_jaccard_pairs",
+    "q34_knn_brute_force",
+    "q35_embedding_neardup",
+    "q37_centroid_by_label",
+    # C: never-driver-run rows-only
+    "q43_media_embed_knn",
+    "c08_cdc_pipeline",
+    # D: rows-only, last checked r1
+    "q29_minhash_lsh",
+    "q38_simhash_neardup",
+    "q36_ann_lsh",
+    "q52_embedding_neardup_lsh",
+    "q53_ivf_ann",
+    "q51_approx_distinct",
+    "q41_binary_listing",
+    "c01_cdc_file_state",
+    "c02_cdc_error_channel",
+    "c03_cdc_change_set",
+    "c04_stream_reconcile",
+    "c06_snapshot_bootstrap",
+    "c07_materialize_pipeline",
+    # E: regression spine (double-green canaries, one per family)
+    "q01_pricing_summary",
+    "q05_star_join",
+    "q39_avro_roundtrip",
+)
+
+
 def _registry() -> Registry:
     reg = Registry()
     from hcdc_spark.operators import analytics
 
     reg.merge(analytics.REG)
-    # Order matters: the driver's correctness harness walks queries in
-    # registration order under a time budget (round 1 stopped mid-way
-    # through the streaming block, starving 19 oracle-bearing queries).
-    # Cheap oracle-checked modules register first; the expensive
-    # streaming / rows-only block registers dead last, where a budget
-    # cut costs the least signal.
     for mod_name in (
         "analytics_ext",
         "sources_queries",
@@ -51,6 +107,7 @@ def _registry() -> Registry:
                 f"WARNING: operators.{mod_name} failed to import: {exc}",
                 file=sys.stderr,
             )
+    reg.reorder(_FIRST_50)
     return reg
 
 

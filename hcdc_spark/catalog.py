@@ -81,8 +81,15 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     their DuckDB oracles (which see a naive TIMESTAMP and use
     ``epoch_ms(ts)``, i.e. wall-clock-as-UTC) both assume the nanos-long
     form, so rewrite the µs flavors at the catalog boundary.
-    ``to_utc_timestamp(ntz, 'UTC')`` pins wall-clock→UTC independent of
-    the session timezone — same instant the oracle computes.
+    For the NTZ flavor the wall-clock must be pinned as-UTC *independent
+    of the session timezone*: the NTZ→TIMESTAMP cast interprets the
+    wall-clock in the session tz, so ``from_utc_timestamp(ts,
+    current_timezone())`` first shifts the instant such that
+    ``unix_micros`` lands back on the wall-clock-as-UTC epoch (identity
+    under a UTC session; verified under America/Los_Angeles in
+    test_analytics.py::test_normalize_event_ts_tz_independent).
+    ``to_utc_timestamp(ntz, 'UTC')`` — the previous spelling — is an
+    identity on the already-cast value and leaked the session tz.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
@@ -91,7 +98,9 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if isinstance(ts_type, LongType):
         return df
     if isinstance(ts_type, TimestampNTZType):
-        micros = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+        micros = F.unix_micros(
+            F.from_utc_timestamp(F.col("ts"), F.current_timezone())
+        )
     elif isinstance(ts_type, TimestampType):
         micros = F.unix_micros(F.col("ts"))
     else:  # unexpected physical type: surface loudly, don't guess

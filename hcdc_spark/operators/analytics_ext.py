@@ -68,21 +68,26 @@ def q44_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q45_collect_sets",
     """
     SELECT o_orderstatus,
-           array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority)
-             AS priorities,
+           array_to_string(
+             array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority),
+             ',') AS priorities,
            COUNT(DISTINCT o_custkey) AS n_custs
     FROM orders
     GROUP BY o_orderstatus
     """,
     doc="collect_set/collect_list surface: per-status sorted distinct "
-    "priority array (array_sort makes the set deterministic for "
-    "hashing).",
+    "priorities. Surfaced as a comma-joined string, not array<string>: "
+    "the driver's canonicalizer sorts a pandas frame and array cells "
+    "are unhashable (r2 `err`). The set semantics are identical; only "
+    "the surface type changed.",
     tags=("agg", "collect"),
 )
 def q45_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     return orders.groupBy("o_orderstatus").agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
         F.count_distinct("o_custkey").alias("n_custs"),
     )
 

@@ -60,6 +60,21 @@ class Registry:
                 raise ValueError(f"duplicate query name across registries: {name}")
             self._specs[name] = spec
 
+    def reorder(self, priority: tuple[str, ...]) -> None:
+        """Re-emit the registry with ``priority`` names first, in the
+        given order, followed by the remaining entries in registration
+        order. The driver walks ``queries()`` in dict order under a
+        flat first-N budget, so position IS verification priority.
+        Unknown priority names raise — a renamed query must not
+        silently fall out of the verified prefix.
+        """
+        missing = [n for n in priority if n not in self._specs]
+        if missing:
+            raise ValueError(f"reorder: unknown query names {missing}")
+        head = {n: self._specs[n] for n in priority}
+        tail = {n: s for n, s in self._specs.items() if n not in head}
+        self._specs = {**head, **tail}
+
     @property
     def specs(self) -> dict[str, QuerySpec]:
         return dict(self._specs)

@@ -160,6 +160,91 @@ def decode_change_delta(buf: bytes) -> dict:
     return out
 
 
+# ------------------------------------------------- compiled descriptor set
+#
+# ``from_protobuf``/``to_protobuf`` (spark-protobuf, Spark 3.4+) take a
+# compiled ``FileDescriptorSet``. descriptor.proto is itself protobuf,
+# so the codec compiles its own: hand-encode FileDescriptorSet →
+# FileDescriptorProto → DescriptorProto → FieldDescriptorProto with the
+# same wire primitives. proto2 semantics match the reference
+# (data_block.proto is proto2: fields 1-6 required — always on the
+# wire, like encode_change_delta — and 7-8 optional — omitted when
+# unset).
+
+_T_UINT64, _T_STRING, _T_BYTES = 4, 9, 12  # FieldDescriptorProto.Type
+_L_OPTIONAL, _L_REQUIRED = 1, 2  # FieldDescriptorProto.Label
+
+#: (name, number, label, type) — mirrors data_block.proto:143-152.
+_PROTO_FIELDS: tuple[tuple[str, int, int, int], ...] = (
+    ("namespace", 1, _L_REQUIRED, _T_STRING),
+    ("tx_id", 2, _L_REQUIRED, _T_STRING),
+    ("entity", 3, _L_REQUIRED, _T_STRING),
+    ("type", 4, _L_REQUIRED, _T_STRING),
+    ("timestamp", 5, _L_REQUIRED, _T_UINT64),
+    ("body", 6, _L_REQUIRED, _T_BYTES),
+    ("domain", 7, _L_OPTIONAL, _T_STRING),
+    ("entity_name", 8, _L_OPTIONAL, _T_STRING),
+)
+
+_MESSAGE_NAME = "DFSChangeDelta"
+
+
+def descriptor_set_bytes() -> bytes:
+    """Serialized ``FileDescriptorSet`` declaring DFSChangeDelta —
+    accepted verbatim by ``binary_descriptor_set`` in spark-protobuf
+    (and by protoc / any protobuf runtime)."""
+    fields = bytearray()
+    for name, number, label, ftype in _PROTO_FIELDS:
+        fd = bytearray()
+        fd += _ld((1 << 3) | 2, name.encode())  # .name
+        fd += bytes([(3 << 3) | 0]) + _varint(number)  # .number
+        fd += bytes([(4 << 3) | 0]) + _varint(label)  # .label
+        fd += bytes([(5 << 3) | 0]) + _varint(ftype)  # .type
+        fields += _ld((2 << 3) | 2, bytes(fd))  # DescriptorProto.field
+    msg = _ld((1 << 3) | 2, _MESSAGE_NAME.encode()) + bytes(fields)
+    fdp = _ld((1 << 3) | 2, b"data_block.proto") + _ld(
+        (4 << 3) | 2, msg
+    )  # FileDescriptorProto.{name,message_type}; syntax omitted → proto2
+    return _ld((1 << 3) | 2, fdp)  # FileDescriptorSet.file
+
+
+#: Probe result per application id (same memoization contract as
+#: materialize.avro_available — a new session re-probes).
+_PB_AVAILABLE: dict = {}
+
+
+def protobuf_available(spark) -> bool:
+    """True iff the spark-protobuf connector jar is on the classpath.
+
+    Executes a 1-row from_protobuf over a known-good envelope; any
+    failure (missing jar raises PROTOBUF_NOT_LOADED / ClassNotFound at
+    plan or run time) selects the pandas wire codec."""
+    app = spark.sparkContext.applicationId
+    if app in _PB_AVAILABLE:
+        return _PB_AVAILABLE[app]
+    ok = False
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        probe = encode_change_delta("n", 1, "e", "t", 0, b"")
+        row = (
+            spark.createDataFrame([(probe,)], "v binary")
+            .select(
+                from_protobuf(
+                    "v",
+                    _MESSAGE_NAME,
+                    binaryDescriptorSet=descriptor_set_bytes(),
+                ).alias("d")
+            )
+            .collect()[0]
+        )
+        ok = row["d"] is not None and row["d"]["namespace"] == "n"
+    except Exception:
+        ok = False
+    _PB_AVAILABLE[app] = ok
+    return ok
+
+
 # ---------------------------------------------------------- Spark plumbing
 
 DECODED_SCHEMA = T.StructType(
@@ -185,9 +270,34 @@ def to_protobuf_delta(df: DataFrame, out_col: str = "value") -> DataFrame:
     """Append a ``binary`` column holding the protobuf envelope.
 
     Expects the 8 envelope columns (``domain``/``entity_name``
-    nullable). Swap-in point for the real ``to_protobuf`` expression on
-    a cluster with the spark-protobuf jar.
+    nullable). Connector-first: with the spark-protobuf jar present the
+    encode stays JVM-side (``to_protobuf`` + compiled descriptor — no
+    Python boundary at 100 TB); otherwise the Arrow-batched wire codec
+    runs. Both produce identical bytes: ascending field order, required
+    1-6 always written, optional 7-8 omitted when null (proto2).
     """
+    if protobuf_available(df.sparkSession):
+        from pyspark.sql.protobuf.functions import to_protobuf
+
+        wire = F.struct(
+            F.col("namespace"),
+            # the reference stringifies txId into the envelope
+            F.col("tx_id").cast("string").alias("tx_id"),
+            F.col("entity"),
+            F.col("type"),
+            F.col("timestamp"),
+            F.col("body"),
+            F.col("domain"),
+            F.col("entity_name"),
+        )
+        return df.withColumn(
+            out_col,
+            to_protobuf(
+                wire,
+                _MESSAGE_NAME,
+                binaryDescriptorSet=descriptor_set_bytes(),
+            ),
+        )
 
     @F.pandas_udf(T.BinaryType())
     def _enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
@@ -211,7 +321,31 @@ def to_protobuf_delta(df: DataFrame, out_col: str = "value") -> DataFrame:
 def from_protobuf_delta(
     df: DataFrame, in_col: str = "value", out_col: str = "delta"
 ) -> DataFrame:
-    """Append a struct column parsed from protobuf envelope bytes."""
+    """Append a struct column parsed from protobuf envelope bytes.
+
+    Connector-first like :func:`to_protobuf_delta`; the connector's
+    struct (tx_id as proto string) is re-projected onto
+    ``DECODED_SCHEMA`` so both paths surface identical types.
+    """
+    if protobuf_available(df.sparkSession):
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        raw = from_protobuf(
+            F.col(in_col),
+            _MESSAGE_NAME,
+            binaryDescriptorSet=descriptor_set_bytes(),
+        )
+        delta = F.struct(
+            raw["namespace"].alias("namespace"),
+            raw["tx_id"].cast("long").alias("tx_id"),
+            raw["entity"].alias("entity"),
+            raw["type"].alias("type"),
+            raw["timestamp"].cast("long").alias("timestamp"),
+            raw["body"].alias("body"),
+            raw["domain"].alias("domain"),
+            raw["entity_name"].alias("entity_name"),
+        )
+        return df.withColumn(out_col, delta)
 
     @F.pandas_udf(DECODED_SCHEMA)
     def _dec(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:

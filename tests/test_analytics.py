@@ -18,3 +18,28 @@ def test_query_matches_oracle(spec, spark, oracle, sf_dir):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(df, oracle, spec.oracle, spec.name)
+
+
+def test_normalize_event_ts_tz_independent(spark):
+    """NTZ wall-clock must pin as-UTC regardless of session timezone.
+
+    2024-01-01 00:00:00 NTZ must normalize to 1704067200e9 nanos under
+    both a UTC and a non-UTC session tz (the DuckDB oracle's epoch_ms
+    reads the naive wall-clock as UTC).
+    """
+    from pyspark.sql import functions as F
+
+    from hcdc_spark.catalog import normalize_event_ts
+
+    expected = 1704067200 * 10**9
+    df = spark.range(1).select(
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("ts")
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = normalize_event_ts(df).collect()[0]["ts"]
+            assert got == expected, (tz, got, expected)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

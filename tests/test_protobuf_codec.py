@@ -139,3 +139,104 @@ def test_registry_query_matches_oracle(spark, oracle, sf_dir):
     assert_matches_oracle(
         spec.fn(spark, sf_dir), oracle, spec.oracle, spec.name
     )
+
+
+# ------------------------------------------------ connector-first dispatch
+
+
+def test_descriptor_set_is_valid_wire_format():
+    """descriptor_set_bytes() must itself parse as protobuf: walk the
+    nested length-delimited structure generically and recover the
+    message name plus every (number, label, type) triple."""
+    from hcdc_spark.streaming import protobuf_codec as PC
+
+    def walk(buf):
+        fields = []
+        pos = 0
+        while pos < len(buf):
+            tag, pos = PC._read_varint(buf, pos)
+            num, wt = tag >> 3, tag & 7
+            if wt == 2:
+                ln, pos = PC._read_varint(buf, pos)
+                fields.append((num, buf[pos:pos + ln]))
+                pos += ln
+            elif wt == 0:
+                val, pos = PC._read_varint(buf, pos)
+                fields.append((num, val))
+            else:
+                raise AssertionError(f"unexpected wire type {wt}")
+        return fields
+
+    fds = walk(PC.descriptor_set_bytes())
+    assert len(fds) == 1 and fds[0][0] == 1  # one FileDescriptorProto
+    fdp = dict(walk(fds[0][1]))
+    assert fdp[1] == b"data_block.proto"
+    msg = walk(fdp[4])  # DescriptorProto
+    name = [v for n, v in msg if n == 1][0]
+    assert name == b"DFSChangeDelta"
+    triples = []
+    for n, v in msg:
+        if n == 2:  # FieldDescriptorProto
+            fd = dict(walk(v))
+            triples.append((fd[3], fd[4], fd[5]))
+    assert triples == [
+        (1, 2, 9), (2, 2, 9), (3, 2, 9), (4, 2, 9),
+        (5, 2, 4), (6, 2, 12), (7, 1, 9), (8, 1, 9),
+    ]
+
+
+def test_protobuf_available_probe_memoized(spark):
+    from hcdc_spark.streaming import protobuf_codec as PC
+
+    got = PC.protobuf_available(spark)
+    assert isinstance(got, bool)
+    app = spark.sparkContext.applicationId
+    assert PC._PB_AVAILABLE[app] is got
+    assert PC.protobuf_available(spark) is got  # cached, no re-probe
+
+
+def test_dispatch_bytes_match_pure_codec(spark):
+    """Whichever path the dispatch takes (connector or pandas codec),
+    the wire bytes must equal the pure-python encoder's output —
+    ascending field order, optional fields omitted when null."""
+    from hcdc_spark.streaming.protobuf_codec import (
+        encode_change_delta,
+        to_protobuf_delta,
+    )
+
+    rows = [
+        ("ns", 7, "ENT", "DFSAddFile", 123456, b'{"a":1}', "dom", "e1"),
+        ("ns2", 8, "E2", "DFSCloseFile", 0, b"", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "namespace string, tx_id long, entity string, type string, "
+        "timestamp long, body binary, domain string, entity_name string",
+    )
+    got = {
+        r["tx_id"]: bytes(r["value"])
+        for r in to_protobuf_delta(df).collect()
+    }
+    for ns, tx, ent, ty, ts, body, dom, en in rows:
+        assert got[tx] == encode_change_delta(ns, tx, ent, ty, ts, body,
+                                              dom, en)
+
+
+def test_dispatch_fallback_forced(spark, monkeypatch):
+    """Force the probe to 'absent' and assert the pandas codec path
+    round-trips — mirrors test_avro_codec's dispatch-fallback gate."""
+    from hcdc_spark.streaming import protobuf_codec as PC
+
+    monkeypatch.setitem(
+        PC._PB_AVAILABLE, spark.sparkContext.applicationId, False
+    )
+    df = spark.createDataFrame(
+        [("n", 1, "e", "t", 5, b"xyz", None, None)],
+        "namespace string, tx_id long, entity string, type string, "
+        "timestamp long, body binary, domain string, entity_name string",
+    )
+    out = PC.from_protobuf_delta(PC.to_protobuf_delta(df)).collect()[0]
+    d = out["delta"]
+    assert (d["namespace"], d["tx_id"], d["entity"], d["type"],
+            d["timestamp"], bytes(d["body"]), d["domain"],
+            d["entity_name"]) == ("n", 1, "e", "t", 5, b"xyz", None, None)
