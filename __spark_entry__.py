@@ -34,7 +34,13 @@ from hcdc_spark.registry import Registry
 # (never verified ⇒ highest priority). test_registry_order.py gates that
 # every never-verified name stays inside the first 50.
 _FIRST_50: tuple[str, ...] = (
-    # A: never-green oracle queries
+    # A: never-green oracle queries (incl. queries new this round)
+    "q67_bm25_search",
+    "q68_semantic_dedup",
+    "q69_ngram_topk",
+    "q70_salted_join_agg",
+    "c14_stream_dedup",
+    "c15_tx_gaps",
     "q45_collect_sets",
     "q24_latest_per_key",
     "q25_sessionization",
@@ -92,6 +98,7 @@ def _registry() -> Registry:
         "dedup",
         "similarity",
         "multimodal",
+        "skew",
         "cdc_queries",
         "streaming_queries",
     ):

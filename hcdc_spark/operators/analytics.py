@@ -194,16 +194,26 @@ def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    doc="CUBE grouping sets.",
+    doc="CUBE grouping sets. Two-phase: the fact table is first "
+    "aggregated on the base keys (one shuffle with map-side partial "
+    "agg), then CUBE runs over the tiny per-key aggregate — Spark's "
+    "Expand operator otherwise quadruples every fact row before the "
+    "shuffle, which at 100 TB is 4x scan-side shuffle volume for "
+    "identical results (COUNT/SUM are re-aggregable; DECIMAL sums are "
+    "exact-associative).",
     tags=("agg", "grouping-sets"),
 )
 def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec("l_quantity")).alias("_sq"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum("_n").alias("n_items"),
+        F.sum("_sq").cast("double").alias("sum_qty"),
     )
 
 

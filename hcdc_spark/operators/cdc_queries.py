@@ -375,3 +375,39 @@ def c12_fsimage_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@REG.add(
+    "c15_tx_gaps",
+    """
+    WITH t AS (SELECT DISTINCT event_id AS tx_id FROM events
+               WHERE event_id % 97 <> 0),
+    s AS (SELECT tx_id,
+                 tx_id - ROW_NUMBER() OVER (ORDER BY tx_id) AS grp
+          FROM t),
+    r AS (SELECT MIN(tx_id) AS rs, MAX(tx_id) AS re FROM s GROUP BY grp)
+    SELECT r.rs AS tx_id,
+           (SELECT MAX(re) FROM r r2 WHERE r2.re < r.rs) AS prev_tx_id,
+           r.rs - (SELECT MAX(re) FROM r r2 WHERE r2.re < r.rs) - 1 AS gap
+    FROM r
+    WHERE (SELECT MAX(re) FROM r r2 WHERE r2.re < r.rs) IS NOT NULL
+    """,
+    doc="T5 sequence-gap detection, oracle-checked: the REAL "
+    "detect_tx_gaps operator (window-free anti-join runs/boundaries — "
+    "the shape that parallelizes at any txid count) is run over the "
+    "events id stream with deterministic synthetic holes (every "
+    "multiple of 97 dropped), and must reproduce the classic "
+    "gaps-and-islands SQL exactly. The oracle uses the global-window "
+    "ROW_NUMBER formulation that detect_tx_gaps deliberately avoids — "
+    "two independent formulations, one answer.",
+    tags=("cdc", "sequence"),
+)
+def c15_tx_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.cdc.reconcile import detect_tx_gaps
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    txs = ev.select(F.col("event_id").alias("tx_id")).where(
+        F.col("tx_id") % 97 != 0
+    )
+    with scoped_shuffle_partitions(spark):
+        return detect_tx_gaps(txs)

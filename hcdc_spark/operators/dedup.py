@@ -507,7 +507,14 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):
+    # Convergence is probed only every other round: propagation past the
+    # fixpoint is a no-op (min-label is monotone + idempotent), so a late
+    # detection costs one redundant join round while probing every round
+    # costs a driver-blocking isEmpty job per round (flagged by the r2
+    # review). Near-dup components are shallow (diameter ~2-4), so this
+    # halves the blocking job count for free; the 20-round cap bounds
+    # pathological chains. test_text_dedup_similarity gates the job count.
+    for rnd in range(20):
         nbr = (
             edges.join(
                 labels.select(
@@ -532,10 +539,12 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = new.where(F.col("_chg")).isEmpty()
         labels = new.drop("_chg")
-        if changed:
+        if rnd % 2 == 1 and new.where(F.col("_chg")).isEmpty():
             break
+    # test hook: rounds actually executed (job-count gates are too
+    # AQE-noisy — every adaptive query stage is its own job)
+    q58_dedup_clusters.last_rounds = rnd + 1
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

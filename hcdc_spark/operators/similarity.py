@@ -569,3 +569,85 @@ def q66_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ------------------------------------------------------- semantic dedup
+
+#: SemDeDup-style clustered near-dup removal: cluster first, pair only
+#: within a cluster. K fixed seed centroids (first K by vec_id — no
+#: RNG, no iterative training, so the oracle can re-derive them); the
+#: pair threshold matches q35 so the two surfaces cross-check.
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.45
+
+
+@REG.add(
+    "q68_semantic_dedup",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < {SEMDEDUP_K}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT e.vec_id, c.cid,
+                 list_dot_product(c.cv, c.cv)
+                   - 2.0 * list_dot_product(e.v, c.cv) AS dist
+          FROM e CROSS JOIN c),
+    a AS (SELECT vec_id,
+                 (array_agg(cid ORDER BY dist, cid))[1] AS cell
+          FROM d GROUP BY vec_id),
+    p AS (SELECT y.vec_id AS hi
+          FROM a x
+          JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          JOIN e ex ON ex.vec_id = x.vec_id
+          JOIN e ey ON ey.vec_id = y.vec_id
+          WHERE list_dot_product(ex.v, ey.v)
+                / (sqrt(list_dot_product(ex.v, ex.v))
+                   * sqrt(list_dot_product(ey.v, ey.v))) > {SEMDEDUP_TAU})
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           a.vec_id NOT IN (SELECT hi FROM p) AS kept
+    FROM a
+    """,
+    doc="Semantic deduplication, SemDeDup shape: assign every vector "
+    "to its nearest of K seed centroids (pure projection — argmin over "
+    "literal centroids, no shuffle), then exact-cosine pairs ONLY "
+    "within a cell, dropping the higher vec_id of any pair above the "
+    "threshold. The cluster step bounds the quadratic: at 100 TB the "
+    "pair join touches K cells of n/K vectors instead of one n^2 "
+    "cross — the exact reason SemDeDup clusters before comparing. "
+    "Centroid distance uses ||c||^2 - 2x.c (row-constant ||x||^2 "
+    "dropped) with first-K-by-id seeds so the DuckDB oracle re-derives "
+    "identical cells bit-for-bit.",
+    tags=("similarity", "dedup"),
+)
+def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < SEMDEDUP_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    a = ivf_assign(emb, cents).select(
+        "vec_id", F.col("cell"), _emb().alias("v")
+    )
+    left = a.select(
+        F.col("vec_id").alias("lo"), F.col("cell").alias("cl"),
+        F.col("v").alias("va"),
+    )
+    right = a.select(
+        F.col("vec_id").alias("hi"), F.col("cell").alias("cr"),
+        F.col("v").alias("vb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_norm2(F.col("va"))) * F.sqrt(_norm2(F.col("vb")))
+    )
+    dropped = (
+        left.join(
+            right, (F.col("cl") == F.col("cr")) & (F.col("lo") < F.col("hi"))
+        )
+        .where(cos > SEMDEDUP_TAU)
+        .select("hi")
+        .distinct()
+    )
+    return a.join(dropped, a["vec_id"] == dropped["hi"], "left").select(
+        "vec_id", "cell", F.col("hi").isNull().alias("kept")
+    )

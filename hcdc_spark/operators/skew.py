@@ -70,3 +70,53 @@ def top_keys(df: DataFrame, key: str, n: int = 20) -> DataFrame:
         .orderBy(F.col("n_rows").desc())
         .limit(n)
     )
+
+
+# -------------------------------------------------- driver-visible query
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from hcdc_spark.catalog import load_tables  # noqa: E402
+from hcdc_spark.registry import Registry  # noqa: E402
+
+REG = Registry()
+
+
+@REG.add(
+    "q70_salted_join_agg",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Skew-mitigated join surface: orders (fact) joined to customer "
+    "(medium dim) through salted_join — the fact side salted by a "
+    "deterministic row hash, the dim side replicated salt_factor "
+    "times — then aggregated per market segment. The oracle is the "
+    "PLAIN join+agg SQL: salting must be result-invariant, which is "
+    "exactly what this row verifies. The tool for the 100 TB case "
+    "where a handful of hot keys would pin single reducers and the "
+    "dim is too big to broadcast (AQE skew-split only sees "
+    "partition-size skew after the fact).",
+    tags=("join", "skew"),
+)
+def q70_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    fact = t["orders"].select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(fact, dim, "custkey", salt_factor=8)
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -460,3 +460,52 @@ def c13_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@REG.add(
+    "c14_stream_dedup",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Streaming deduplication (T4 at the query surface): "
+    "dropDuplicatesWithinWatermark on (user_id, event_type) over the "
+    "events stream — per-key state evicted once the watermark passes, "
+    "so state is bounded by the dedup horizon instead of the full key "
+    "history. Only the key columns are projected before the final "
+    "batch count, so whichever duplicate the stream keeps, the result "
+    "is the exact distinct-user count per type the oracle computes.",
+    tags=("streaming", "dedup"),
+)
+def c14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = (
+        _event_stream(spark, sf_dir)
+        .withColumn(
+            "event_time", F.timestamp_millis(F.expr("ts DIV 1000000"))
+        )
+        .withWatermark("event_time", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "c14_dedup"
+    ckpt = tempfile.mkdtemp(prefix="hcdc_c14_ckpt_")
+    try:
+        with _small_shuffle(spark):
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            out = (
+                spark.table(name)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_users"))
+            )
+            return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

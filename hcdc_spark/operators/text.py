@@ -626,3 +626,129 @@ def q63_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"prev div {SEQ_LEN}").alias("seq_id"),
         (F.col("prev") % SEQ_LEN).alias("start_off"),
     )
+
+
+# ------------------------------------------------------------- retrieval
+
+#: Fixed query terms for the BM25 surface (moderately common in the
+#: synthetic corpus so tf/df both vary).
+BM25_TERMS: tuple[str, ...] = ("vector", "hash", "merge")
+
+_BM25_SCORE_T = (
+    "CASE WHEN tf{i} > 0 THEN "
+    "((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / (CAST(df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    " * ((CAST(tf{i} AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+    " / (CAST(tf{i} AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+    " * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+    " * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+    " / CAST(n_docs AS DOUBLE))))))"
+    " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+def _bm25_tf_sql(i: int, term: str) -> str:
+    return f"len(list_filter({_W}, w -> w = '{term}')) AS tf{i}"
+
+
+@REG.add(
+    "q67_bm25_search",
+    f"""
+    WITH base AS (
+      SELECT doc_id, len({_W}) AS dl,
+             {", ".join(_bm25_tf_sql(i, t) for i, t in enumerate(BM25_TERMS))}
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {", ".join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                        for i in range(len(BM25_TERMS)))}
+      FROM base
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           {" + ".join(_BM25_SCORE_T.format(i=i)
+                       for i in range(len(BM25_TERMS)))} AS score
+    FROM base CROSS JOIN stats
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed term set, "
+    "top-20. The idf is the BM25+ rational form WITHOUT the log wrap: "
+    "ln() is the one sub-expression libm implementations may round "
+    "differently across engines, while +,*,/ are IEEE-exact — dropping "
+    "the (monotone) log keeps per-term ranking identical and makes the "
+    "score bit-reproducible against the oracle. Corpus stats (N, "
+    "sum(dl), per-term df) are one tiny aggregate broadcast back over "
+    "the scan — at 100 TB that is one reduce to 1 row + a map-side "
+    "join; per-term scores sum in fixed column order (no "
+    "order-sensitive double aggregation).",
+    tags=("text", "retrieval"),
+)
+def q67_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    def tf(term: str):  # one-arg lambda: 2-arg form means (elem, index)
+        return F.size(
+            F.filter(words("text"), lambda w: w == F.lit(term))
+        ).cast("long")
+
+    base = docs.select(
+        "doc_id",
+        F.size(words("text")).cast("long").alias("dl"),
+        *[tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = " + ".join(
+        _BM25_SCORE_T.format(i=i) for i in range(len(BM25_TERMS))
+    )
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", F.expr(score).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@REG.add(
+    "q69_ngram_topk",
+    f"""
+    WITH w AS (SELECT {_W} AS ws FROM documents),
+    t0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+           FROM w WHERE len(ws) >= 3),
+    t AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS trigram
+          FROM t0)
+    SELECT trigram, COUNT(*) AS n
+    FROM t GROUP BY trigram
+    ORDER BY n DESC, trigram
+    LIMIT 20
+    """,
+    doc="Corpus-wide top-20 word trigrams (multiplicity counted, "
+    "deterministic (count, trigram) order). The n-gram expansion is a "
+    "pure projection (sequence+transform, no UDF); the count is one "
+    "shuffle with map-side partial agg and TakeOrdered for the top-k "
+    "— the boilerplate-mining primitive over a 100 TB corpus.",
+    tags=("text", "ngram"),
+)
+def q69_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = docs.select(words("text").alias("ws")).where(F.size("ws") >= 3)
+    tri = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3), "
+                "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+            )
+        ).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(20)
+    )

@@ -66,6 +66,23 @@ def read_event_stream(
     return reader.parquet(directory)
 
 
+def parse_kafka_envelope(raw: DataFrame) -> DataFrame:
+    """Consumer-side decode of the Kafka wire rows (key/value pairs as
+    produced by ``kafka_sink.kafka_envelope``) back into typed change
+    events.
+
+    Separated from the broker hookup so the decode plan is identical —
+    and testable end-to-end — over any transport carrying the same
+    (key, value) contract: the real Kafka source, a file stream, or a
+    static DataFrame (test_streaming's broker-less round-trip).
+    """
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA).alias(
+            "ev"
+        )
+    ).select("ev.*")
+
+
 def read_kafka_events(
     spark: SparkSession, brokers: str, topic: str, starting: str = "earliest"
 ) -> DataFrame:
@@ -84,11 +101,7 @@ def read_kafka_events(
         .option("startingOffsets", starting)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), CHANGE_EVENT_SCHEMA).alias(
-            "ev"
-        )
-    ).select("ev.*")
+    return parse_kafka_envelope(raw)
 
 
 def with_event_time(events: DataFrame, col: str = "ts") -> DataFrame:

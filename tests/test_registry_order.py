@@ -15,6 +15,12 @@ import __spark_entry__ as E
 #: plus never-driver-run rows-only queries. Shrinks as rounds verify
 #: them; grows with every new query added mid-round.
 NEVER_VERIFIED = {
+    "q67_bm25_search",
+    "q68_semantic_dedup",
+    "q69_ngram_topk",
+    "q70_salted_join_agg",
+    "c14_stream_dedup",
+    "c15_tx_gaps",
     "q45_collect_sets",
     "q24_latest_per_key",
     "q25_sessionization",

@@ -69,3 +69,39 @@ def test_skew_safe_distinct_exact(spark):
 def test_top_keys_diagnosis(spark):
     top = skew.top_keys(_skewed(spark), "k", n=1).collect()
     assert top[0]["k"] == 1 and abs(top[0]["share"] - 0.9) < 1e-9
+
+
+def test_q70_salted_join_agg_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    from hcdc_spark.operators.skew import REG
+
+    spec = REG.specs["q70_salted_join_agg"]
+    assert_matches_oracle(
+        spec.fn(spark, sf_dir), oracle, spec.oracle, spec.name
+    )
+
+
+def test_q70_equals_unsalted_plan(spark, sf_dir):
+    """Salting is a physical rewrite only: row-for-row equal to the
+    plain join+agg DataFrame plan."""
+    from pyspark.sql import functions as F
+
+    from hcdc_spark.catalog import load_tables
+    from hcdc_spark.operators.skew import q70_salted_join_agg
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    plain = (
+        t["orders"]
+        .join(t["customer"],
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("total_price"),
+        )
+    )
+    got = sorted(tuple(r) for r in q70_salted_join_agg(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in plain.collect())
+    assert got == want

@@ -290,3 +290,19 @@ def test_embedding_quantization_error_bound(spark, oracle, sf_dir):
         # nearest-level rounding ⇒ reconstruction within half a level
         assert r["max_abs_err"] <= scale / 2 + 1e-12
         assert 0 <= r["qsum"] <= 255 * S.EMB_DIM
+
+
+def test_dedup_clusters_convergence_probe_every_other_round(spark, sf_dir):
+    """Convergence probes run every OTHER round (r2 review: 2 blocking
+    jobs per round was the cost). Shallow near-dup graphs must stop at
+    the first probe — 2 propagation rounds, 1 isEmpty — never drift
+    toward the 20-round cap. (Job counts are too AQE-noisy to gate —
+    each adaptive query stage is its own job — so gate rounds.)"""
+    from hcdc_spark.operators.dedup import q58_dedup_clusters
+
+    q58_dedup_clusters(spark, sf_dir).collect()
+    rounds = q58_dedup_clusters.last_rounds
+    assert rounds % 2 == 0, f"stopped off-probe: {rounds}"
+    # sf0.001's pair graph has chain components (measured: converges
+    # round 5-6); the gate catches drift toward the 20-round cap
+    assert rounds <= 8, f"q58 ran {rounds} propagation rounds"
