@@ -131,3 +131,50 @@ def test_block_range_read_no_content_scan(spark, sf_dir):
     df = SQ.REG.specs["q61_block_range_read"].fn(spark, sf_dir)
     for rs in I.read_schemas(df):
         assert "content" not in rs
+
+
+def test_q12_cube_expands_preagg_not_fact(spark, sf_dir):
+    """CUBE must run over the base-key pre-aggregate: Expand sits ABOVE
+    a HashAggregate, never directly above the file scan — otherwise
+    every fact row is quadrupled before the first shuffle."""
+    df = analytics.q12_cube(spark, sf_dir)
+    p = I.simple_plan(df)
+    lines = p.splitlines()
+    expand_idx = [i for i, l in enumerate(lines) if "Expand" in l]
+    assert expand_idx, "no Expand in cube plan"
+    below = "\n".join(lines[expand_idx[0]:])
+    # the subtree under Expand must aggregate before any scan
+    assert "HashAggregate" in below.split("Scan")[0]
+
+
+def test_q67_bm25_broadcasts_stats(spark, sf_dir):
+    """Corpus stats (1 row) must broadcast back over the scan — a
+    shuffle-side cross join would serialize the corpus."""
+    from hcdc_spark.operators import text
+
+    df = text.q67_bm25_search(spark, sf_dir)
+    assert I.has_broadcast_join(df)
+    assert I.sortmerge_join_count(df) == 0
+
+
+def test_q68_pairs_join_on_cell_key(spark, sf_dir):
+    """The SemDeDup pair join must be an equi-join on the cell key —
+    a cartesian pair step would defeat the entire cluster-first
+    design."""
+    from hcdc_spark.operators import similarity
+
+    df = similarity.q68_semantic_dedup(spark, sf_dir)
+    assert not I.has_cartesian(df)
+
+
+def test_q70_salted_join_no_broadcast_on_fact_side(spark, sf_dir):
+    """salted_join is the explicit non-broadcast path: the fact-dim
+    join must shuffle on (key, salt) — if Spark broadcasts the
+    replicated dim the salting is pointless but harmless; what must
+    never appear is a cartesian product."""
+    from hcdc_spark.operators import skew
+
+    df = skew.q70_salted_join_agg(spark, sf_dir)
+    assert not I.has_cartesian(df)
+    p = I.simple_plan(df)
+    assert "_salt" in p  # the salt key actually reaches the join
