@@ -276,3 +276,73 @@ def q43_media_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "media_id")
         .limit(5)
     )
+
+
+# ----------------------------------------------------------------- resize
+
+RESIZE_FACTOR = 4
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, factor: int = RESIZE_FACTOR) -> DataFrame:
+    """Deterministic stand-in 'resize': stride-downsample the payload
+    (every ``factor``-th byte), 1 row in → 1 row out.
+
+    A real image resample (PIL/opencv) is import-gated exactly like
+    ``decode_image_real``; what this keeps REAL is the Spark contract a
+    codec body slots into — mapInPandas over Arrow binary batches, an
+    explicit output schema, and per-partition streaming (never the
+    whole partition in memory)."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(b) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "orig_bytes": [len(b) for b in payloads],
+                    "resized": [b[::factor] for b in payloads],
+                }
+            )
+
+    return media.mapInPandas(body, RESIZED_SCHEMA)
+
+
+@REG.add(
+    "q71_media_resize",
+    f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS orig_bytes,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE (octet_length(encode(text)) - 1) // {RESIZE_FACTOR} + 1
+           END AS resized_bytes
+    FROM documents
+    """,
+    doc="Multimodal resize plumbing, oracle-checked on sizes: the "
+    "stride-downsample runs through the real mapInPandas path and the "
+    "oracle recomputes every output length arithmetically "
+    "(ceil-division of the payload size); byte-level content equality "
+    "is gated in tests/test_multimodal.py (not SQL-expressible).",
+    tags=("multimodal",),
+)
+def q71_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    resized = resize_media(media_from_documents(docs))
+    return resized.select(
+        "media_id",
+        "kind",
+        "orig_bytes",
+        F.length("resized").cast("long").alias("resized_bytes"),
+    )

@@ -79,3 +79,37 @@ def test_q43_knn_shape(spark, sf_dir):
     assert len(out) == 5
     sims = [r["cos_sim"] for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_resize_media_stride_content(spark, sf_dir):
+    """The resized payload must be exactly content[::factor] — the
+    pytest half of q71 (the oracle covers sizes only)."""
+    from hcdc_spark.catalog import load_tables
+    from hcdc_spark.operators.multimodal import (
+        RESIZE_FACTOR,
+        media_from_documents,
+        resize_media,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].limit(30)
+    media = media_from_documents(docs)
+    want = {
+        r["media_id"]: bytes(r["content"])[::RESIZE_FACTOR]
+        for r in media.collect()
+    }
+    got = {
+        r["media_id"]: bytes(r["resized"])
+        for r in resize_media(media).collect()
+    }
+    assert got == want and len(got) == 30
+
+
+def test_q71_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    from hcdc_spark.operators.multimodal import REG
+
+    spec = REG.specs["q71_media_resize"]
+    assert_matches_oracle(
+        spec.fn(spark, sf_dir), oracle, spec.oracle, spec.name
+    )

@@ -21,6 +21,7 @@ NEVER_VERIFIED = {
     "q70_salted_join_agg",
     "c14_stream_dedup",
     "c15_tx_gaps",
+    "q71_media_resize",
     "q45_collect_sets",
     "q24_latest_per_key",
     "q25_sessionization",
