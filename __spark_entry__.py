@@ -42,6 +42,7 @@ _FIRST_50: tuple[str, ...] = (
     "c14_stream_dedup",
     "c15_tx_gaps",
     "q71_media_resize",
+    "q72_skew_safe_distinct",
     "q45_collect_sets",
     "q24_latest_per_key",
     "q25_sessionization",

@@ -120,3 +120,25 @@ def q70_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@REG.add(
+    "q72_skew_safe_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="skew_safe_distinct surfaced driver-visible: exact per-key "
+    "distinct count as two cascaded aggregations — the (key, value) "
+    "pre-aggregation spreads a hot key's values across all partitions "
+    "before the per-key count, so one hot key never serializes into a "
+    "single task. Oracle = the plain COUNT(DISTINCT) SQL: the cascade "
+    "must be result-invariant. (Same oracle SQL as c14 on purpose: "
+    "batch cascade and streaming dedup are two operator paths to one "
+    "answer.)",
+    tags=("agg", "skew"),
+)
+def q72_skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return skew_safe_distinct(ev, "event_type", "user_id", "n_distinct")

@@ -22,6 +22,7 @@ NEVER_VERIFIED = {
     "c14_stream_dedup",
     "c15_tx_gaps",
     "q71_media_resize",
+    "q72_skew_safe_distinct",
     "q45_collect_sets",
     "q24_latest_per_key",
     "q25_sessionization",

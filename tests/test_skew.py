@@ -105,3 +105,14 @@ def test_q70_equals_unsalted_plan(spark, sf_dir):
     got = sorted(tuple(r) for r in q70_salted_join_agg(spark, sf_dir).collect())
     want = sorted(tuple(r) for r in plain.collect())
     assert got == want
+
+
+def test_q72_skew_safe_distinct_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    from hcdc_spark.operators.skew import REG
+
+    spec = REG.specs["q72_skew_safe_distinct"]
+    assert_matches_oracle(
+        spec.fn(spark, sf_dir), oracle, spec.oracle, spec.name
+    )
