@@ -41,6 +41,7 @@ _FIRST_50: tuple[str, ...] = (
     "q70_salted_join_agg",
     "c14_stream_dedup",
     "c15_tx_gaps",
+    "c16_editlog_decode",
     "q71_media_resize",
     "q72_skew_safe_distinct",
     "q45_collect_sets",
@@ -81,10 +82,13 @@ _FIRST_50: tuple[str, ...] = (
     "c04_stream_reconcile",
     "c06_snapshot_bootstrap",
     "c07_materialize_pipeline",
-    # E: regression spine (double-green canaries, one per family)
+    # E: regression spine (double-green canaries, one per family) +
+    # q12, double-green but REWRITTEN this round (cube pre-agg) — a
+    # changed implementation needs a fresh driver row
     "q01_pricing_summary",
     "q05_star_join",
     "q39_avro_roundtrip",
+    "q12_cube",
 )
 
 

@@ -1,0 +1,407 @@
+"""Hadoop binary edit-log segment decoder (SURVEY §2A S3).
+
+The reference consumes NameNode edit-log segments through Hadoop's
+in-process ``OfflineEditsViewer`` classes (namenode-agent/.../namenode/
+EditLogProcessor.java:87-160 walks ``edits_<start>-<end>`` files via
+DFSEditsFileFinder). This module implements the same capability from
+scratch against the PUBLIC on-disk format (Apache Hadoop
+``FSEditLogOp`` serialization, layout version -63):
+
+    int32  layoutVersion                 (-63)
+    int32  0                             (version marker)
+    repeat:
+      byte   opcode                      (0xFF = preallocation padding:
+                                          stop)
+      int32  length                      (txid..checksum inclusive)
+      int64  txid
+      bytes  payload                     (per-op fields, below)
+      uint32 checksum                    (CRC32 over opcode..payload)
+
+Per-op field encodings (validated byte-exact against the reference's
+own binary test fixtures — every record's CRC32 re-computes, every
+segment's decoded txid range equals its filename range):
+
+    string        = uint16 length + UTF-8 bytes
+    long/int      = big-endian fixed width
+    vint/vlong    = Hadoop WritableUtils variable-length zig-zag-free
+                    encoding (first byte in [-112,127] is the value)
+    block[]       = int32 count + per block (int64 id, int64 numBytes,
+                    int64 genStamp)
+    compactBlock[]= vint count + per block (int64 id, vlong sizeDelta,
+                    vlong genStampDelta) — deltas vs previous block
+    permissions   = string user + string group + uint16 mode
+    rpcIds        = uint16 clientId length + bytes + int32 callId
+
+Decoded ops map onto the engine's wide CHANGE_EVENT_SCHEMA (cdc/model)
+so the binary path feeds the identical reconciler the synthetic source
+does; the Spark entry point is a ``binaryFile`` scan + ``mapInPandas``
+decode — each segment file is decoded on the executor that read it, so
+a directory of thousands of segments decodes embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+# Hadoop FSEditLogOpCodes (public constants).
+OP_ADD = 0x00
+OP_RENAME_OLD = 0x01
+OP_DELETE = 0x02
+OP_MKDIR = 0x03
+OP_CLOSE = 0x09
+OP_TIMES = 0x0D
+OP_RENAME = 0x0F
+OP_END_LOG_SEGMENT = 0x17
+OP_START_LOG_SEGMENT = 0x18
+OP_UPDATE_BLOCKS = 0x19
+OP_SET_GENSTAMP_V2 = 0x1F
+OP_ALLOCATE_BLOCK_ID = 0x20
+OP_ADD_BLOCK = 0x21
+OP_TRUNCATE = 0x2E
+OP_APPEND = 0x2F
+OP_INVALID = 0xFF
+
+OPCODE_NAMES = {
+    OP_ADD: "OP_ADD",
+    OP_RENAME_OLD: "OP_RENAME_OLD",
+    OP_DELETE: "OP_DELETE",
+    OP_MKDIR: "OP_MKDIR",
+    OP_CLOSE: "OP_CLOSE",
+    OP_TIMES: "OP_TIMES",
+    OP_RENAME: "OP_RENAME",
+    OP_END_LOG_SEGMENT: "OP_END_LOG_SEGMENT",
+    OP_START_LOG_SEGMENT: "OP_START_LOG_SEGMENT",
+    OP_UPDATE_BLOCKS: "OP_UPDATE_BLOCKS",
+    OP_SET_GENSTAMP_V2: "OP_SET_GENSTAMP_V2",
+    OP_ALLOCATE_BLOCK_ID: "OP_ALLOCATE_BLOCK_ID",
+    OP_ADD_BLOCK: "OP_ADD_BLOCK",
+    OP_TRUNCATE: "OP_TRUNCATE",
+    OP_APPEND: "OP_APPEND",
+}
+
+
+class _Reader:
+    """Cursor over one record payload."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def remaining(self) -> int:
+        return len(self.buf) - self.pos
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise ValueError("editlog payload truncated")
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def u8(self) -> int:
+        return self.take(1)[0]
+
+    def u16(self) -> int:
+        return struct.unpack(">H", self.take(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack(">i", self.take(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack(">q", self.take(8))[0]
+
+    def string(self) -> str:
+        """DeprecatedUTF8 string: uint16 length prefix (paths, client
+        names)."""
+        return self.take(self.u16()).decode("utf-8")
+
+    def text(self) -> str:
+        """``org.apache.hadoop.io.Text`` string: vint length prefix
+        (PermissionStatus user/group)."""
+        return self.take(self.vint()).decode("utf-8")
+
+    def boolean(self) -> bool:
+        return self.u8() != 0
+
+    def vlong(self) -> int:
+        """Hadoop WritableUtils.readVLong."""
+        first = struct.unpack(">b", self.take(1))[0]
+        if -112 <= first <= 127:
+            return first
+        neg = first < -120
+        n = -(first + 120) if neg else -(first + 112)
+        val = 0
+        for b in self.take(n):
+            val = (val << 8) | b
+        return ~val if neg else val
+
+    def vint(self) -> int:
+        return self.vlong()
+
+    def block_array(self) -> list[dict]:
+        """int32 count + fixed (id, numBytes, genStamp) triples."""
+        return [
+            {"block_id": self.i64(), "size": self.i64(),
+             "generation_stamp": self.i64()}
+            for _ in range(self.i32())
+        ]
+
+    def compact_block_array(self) -> list[dict]:
+        """vint count + (int64 id, vlong sizeDelta, vlong gsDelta)."""
+        out: list[dict] = []
+        prev_size = prev_gs = 0
+        for _ in range(self.vint()):
+            bid = self.i64()
+            prev_size += self.vlong()
+            prev_gs += self.vlong()
+            out.append({"block_id": bid, "size": prev_size,
+                        "generation_stamp": prev_gs})
+        return out
+
+    def permissions(self) -> dict:
+        return {"user": self.text(), "group": self.text(),
+                "mode": self.u16()}
+
+    def rpc_ids(self) -> dict:
+        cid = self.take(self.u16())
+        return {"client_id": cid.hex(), "call_id": self.i32()}
+
+
+def _decode_add_close(r: _Reader, is_add: bool) -> dict:
+    out = {
+        "inode_id": r.i64(),
+        "path": r.string(),
+        "replication": r.u16(),
+        "mtime": r.i64(),
+        "atime": r.i64(),
+        "block_size": r.i64(),
+        "blocks": r.block_array(),
+        "permissions": r.permissions(),
+    }
+    if is_add:
+        acl_count = r.i32()  # ACL entries: fixtures carry none
+        if acl_count:
+            raise ValueError(f"unsupported: {acl_count} ACL entries")
+        xattr_len = r.vint()  # protobuf-delimited XAttr blob
+        r.take(xattr_len)
+        out["client_name"] = r.string()
+        out["client_machine"] = r.string()
+        out["overwrite"] = r.boolean()
+        out["storage_policy_id"] = r.u8()
+        out["rpc"] = r.rpc_ids()
+    return out
+
+
+def _decode_op(op: int, r: _Reader) -> dict:
+    if op in (OP_START_LOG_SEGMENT, OP_END_LOG_SEGMENT):
+        return {}
+    if op == OP_ADD:
+        return _decode_add_close(r, is_add=True)
+    if op == OP_CLOSE:
+        return _decode_add_close(r, is_add=False)
+    if op == OP_DELETE:
+        return {"path": r.string(), "timestamp": r.i64(),
+                "rpc": r.rpc_ids()}
+    if op == OP_RENAME_OLD:
+        return {"src": r.string(), "dst": r.string(),
+                "timestamp": r.i64(), "rpc": r.rpc_ids()}
+    if op == OP_ADD_BLOCK:
+        return {"path": r.string(),
+                "blocks": r.compact_block_array(),
+                "rpc": r.rpc_ids()}
+    if op == OP_UPDATE_BLOCKS:
+        return {"path": r.string(),
+                "blocks": r.compact_block_array(),
+                "rpc": r.rpc_ids()}
+    if op == OP_SET_GENSTAMP_V2:
+        return {"genstamp": r.i64()}
+    if op == OP_ALLOCATE_BLOCK_ID:
+        return {"block_id": r.i64()}
+    # Unknown/unhandled op: keep the raw payload, never crash the scan —
+    # the reconciler treats it as IGNORE and the bytes stay auditable.
+    return {"raw": r.take(r.remaining()).hex()}
+
+
+def decode_segment(data: bytes, verify_crc: bool = True) -> list[dict]:
+    """Decode one ``edits_*`` segment file → list of op records.
+
+    Each record: {txid, opcode, op_name, fields...}. Stops at the 0xFF
+    preallocation padding of in-progress segments. Raises ValueError on
+    framing/CRC corruption (a torn segment must fail loudly, not emit
+    phantom transactions).
+    """
+    if len(data) < 8:
+        raise ValueError("editlog segment shorter than header")
+    layout = struct.unpack(">i", data[:4])[0]
+    if layout > -60 or layout < -70:
+        raise ValueError(f"unsupported editlog layout version {layout}")
+    pos = 8
+    out: list[dict] = []
+    while pos < len(data):
+        op = data[pos]
+        if op == OP_INVALID:
+            break
+        if pos + 5 > len(data):
+            raise ValueError("editlog record header truncated")
+        ln = struct.unpack(">i", data[pos + 1 : pos + 5])[0]
+        if ln < 12 or pos + 5 + ln > len(data):
+            raise ValueError(f"editlog record length {ln} out of bounds")
+        txid = struct.unpack(">q", data[pos + 5 : pos + 13])[0]
+        body = data[pos + 13 : pos + 5 + ln - 4]
+        crc_stored = struct.unpack(
+            ">I", data[pos + 5 + ln - 4 : pos + 5 + ln]
+        )[0]
+        if verify_crc:
+            crc = zlib.crc32(data[pos : pos + 5 + ln - 4]) & 0xFFFFFFFF
+            if crc != crc_stored:
+                raise ValueError(
+                    f"editlog CRC mismatch at txid {txid}: "
+                    f"{crc:#x} != {crc_stored:#x}"
+                )
+        r = _Reader(body)
+        rec = {"txid": txid, "opcode": op,
+               "op_name": OPCODE_NAMES.get(op, f"OP_{op:#04x}")}
+        rec.update(_decode_op(op, r))
+        if r.remaining() and "raw" not in rec:
+            raise ValueError(
+                f"editlog op {rec['op_name']} txid {txid}: "
+                f"{r.remaining()} undecoded payload bytes"
+            )
+        out.append(rec)
+        pos += 5 + ln
+    return out
+
+
+# ------------------------------------------------- change-event mapping
+
+_EV_BLOCK_KEYS = (
+    "block_id", "size", "block_size", "generation_stamp",
+    "start_offset", "end_offset", "delta_size", "deleted",
+)
+
+
+def _ev_block(b: dict, file_block_size: int | None) -> dict:
+    out = dict.fromkeys(_EV_BLOCK_KEYS)
+    out.update(
+        block_id=b["block_id"], size=b["size"],
+        generation_stamp=b["generation_stamp"],
+        block_size=file_block_size,
+    )
+    return out
+
+
+def ops_to_change_events(
+    ops: list[dict], namespace: str = "hdfs"
+) -> list[dict]:
+    """Decoded op records → CHANGE_EVENT_SCHEMA rows (cdc/model).
+
+    The mapping mirrors the reference's EditLogProcessor dispatch:
+    ADD→ADD_FILE, CLOSE→CLOSE, DELETE→DELETE, RENAME_OLD→RENAME,
+    ADD_BLOCK/UPDATE_BLOCKS carry block chains, bookkeeping ops
+    (segment markers, genstamp, block-id allocation) become IGNORE —
+    the reconciler's no-op channel, same as the reference's ignore-tx
+    emission (T24).
+    """
+    from hcdc_spark.cdc.model import CHANGE_EVENT_SCHEMA
+
+    base_keys = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
+    out: list[dict] = []
+    for rec in ops:
+        ev = dict.fromkeys(base_keys)
+        ev.update(tx_id=rec["txid"], namespace=namespace, op="IGNORE")
+        code = rec["opcode"]
+        if code == OP_ADD:
+            ev.update(
+                op="ADD_FILE", path=rec["path"], inode_id=rec["inode_id"],
+                ts=rec["mtime"], modified_time=rec["mtime"],
+                accessed_time=rec["atime"], block_size=rec["block_size"],
+                overwrite=rec["overwrite"], length=0,
+                blocks=[_ev_block(b, rec["block_size"])
+                        for b in rec["blocks"]] or None,
+            )
+        elif code == OP_CLOSE:
+            ev.update(
+                op="CLOSE", path=rec["path"], inode_id=rec["inode_id"],
+                ts=rec["mtime"], modified_time=rec["mtime"],
+                accessed_time=rec["atime"], block_size=rec["block_size"],
+                length=sum(b["size"] for b in rec["blocks"]),
+                blocks=[_ev_block(b, rec["block_size"])
+                        for b in rec["blocks"]] or None,
+            )
+        elif code == OP_DELETE:
+            ev.update(op="DELETE", path=rec["path"],
+                      ts=rec["timestamp"])
+        elif code in (OP_RENAME_OLD, OP_RENAME):
+            ev.update(op="RENAME", path=rec["src"],
+                      dest_path=rec["dst"], ts=rec["timestamp"],
+                      rename_opts="NONE")
+        elif code == OP_ADD_BLOCK:
+            ev.update(op="ADD_BLOCK", path=rec["path"], new_block=True,
+                      blocks=[_ev_block(b, None) for b in rec["blocks"]])
+        elif code == OP_UPDATE_BLOCKS:
+            ev.update(op="UPDATE_BLOCKS", path=rec["path"],
+                      blocks=[_ev_block(b, None) for b in rec["blocks"]])
+        out.append(ev)
+    return out
+
+
+def resolve_inodes(events):
+    """Fill missing ``inode_id`` from the latest prior op on the same
+    path that carried one.
+
+    The binary log only stamps inode ids on OP_ADD (OP_CLOSE writes 0,
+    path-only ops write nothing); the reference resolves the rest
+    against its state store (SourceTransactionProcessor path lookups).
+    Relationally that lookup is one window per path — last known inode
+    at or before each txid — a single shuffle by path, embarrassingly
+    parallel across paths at any log size. The downstream fold keys by
+    inode, so this is what lets ADD/ADD_BLOCK/CLOSE/RENAME of one file
+    land in one state group.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("path")
+        .orderBy("tx_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    known = F.when(F.col("inode_id") > 0, F.col("inode_id"))
+    return events.withColumn(
+        "inode_id",
+        F.coalesce(known, F.last(known, ignorenulls=True).over(w)),
+    )
+
+
+def read_editlog_binary(
+    spark, path_glob: str, namespace: str = "hdfs", resolve: bool = True
+):
+    """Distributed decode: binaryFile scan over ``edits_*`` segments →
+    CHANGE_EVENT_SCHEMA DataFrame ordered by tx_id downstream.
+
+    Each segment decodes inside the executor that scanned it
+    (mapInPandas, Arrow batches); no bytes move to the driver. With
+    ``resolve`` (default) inode ids are back-filled per path so the
+    result feeds straight into ``cdc.reconcile.reconcile_batch``.
+    """
+    import pandas as pd
+
+    from hcdc_spark.cdc.model import CHANGE_EVENT_SCHEMA
+
+    cols = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for content in pdf["content"]:
+                rows.extend(
+                    ops_to_change_events(
+                        decode_segment(bytes(content)), namespace
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    scan = spark.read.format("binaryFile").load(path_glob)
+    out = scan.select("content").mapInPandas(body, CHANGE_EVENT_SCHEMA)
+    return resolve_inodes(out) if resolve else out

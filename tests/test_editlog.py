@@ -1,0 +1,109 @@
+"""Binary edit-log decoder (S3) — verified against the reference's own
+binary fixtures (real NameNode edit segments shipped in its test
+resources). Skipped wholesale if the fixture tree is absent."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from hcdc_spark.sources.editlog import (
+    decode_segment,
+    ops_to_change_events,
+    read_editlog_binary,
+)
+
+FIXTURES = (
+    "/root/reference/change-manager/namenode-agent/src/test/resources/"
+    "edits/logs"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference edit-log fixtures absent"
+)
+
+
+def _segments():
+    return sorted(glob.glob(os.path.join(FIXTURES, "*/current/edits_*")))
+
+
+def test_all_fixture_segments_decode_with_contiguous_txids():
+    """The reference's own test invariant (EditLogViewerTest:33-36):
+    every segment's decoded txids are contiguous and match the range in
+    its filename. CRC32 of every record must re-compute."""
+    segs = _segments()
+    assert len(segs) >= 9
+    for f in segs:
+        ops = decode_segment(open(f, "rb").read())  # verify_crc=True
+        name = os.path.basename(f)
+        txids = [o["txid"] for o in ops]
+        assert txids == list(range(txids[0], txids[-1] + 1)), name
+        if name.startswith("edits_inprogress_"):
+            assert txids[0] == int(name.rsplit("_", 1)[1])
+        else:
+            lo, hi = (int(x) for x in name.split("_", 1)[1].split("-"))
+            assert (txids[0], txids[-1]) == (lo, hi), name
+
+
+def test_write_lifecycle_segment_semantics():
+    """The 9-op segment must decode to the documented write lifecycle:
+    delete partition dir → add ._COPYING_ file → allocate block id +
+    bump genstamp → add block → close (1 block, 1,036,349 bytes,
+    genstamp 1663) → rename to the final parquet name."""
+    f = [s for s in _segments() if s.endswith("8329")][0]
+    evs = ops_to_change_events(decode_segment(open(f, "rb").read()))
+    assert [e["op"] for e in evs] == [
+        "IGNORE", "DELETE", "ADD_FILE", "IGNORE", "IGNORE",
+        "ADD_BLOCK", "CLOSE", "RENAME", "IGNORE",
+    ]
+    add = evs[2]
+    assert add["path"].endswith("links_2.parquet._COPYING_")
+    assert add["overwrite"] is True and add["inode_id"] == 17111
+    close = evs[6]
+    assert close["length"] == 1036349
+    assert close["blocks"][0]["block_id"] == 1073742463
+    assert close["blocks"][0]["generation_stamp"] == 1663
+    ren = evs[7]
+    assert ren["path"].endswith("._COPYING_")
+    assert ren["dest_path"].endswith("links_2.parquet")
+
+
+def test_corruption_fails_loudly():
+    f = _segments()[0]
+    data = bytearray(open(f, "rb").read())
+    data[-2] ^= 0xFF  # flip a checksum byte
+    with pytest.raises(ValueError, match="CRC"):
+        decode_segment(bytes(data))
+    with pytest.raises(ValueError, match="layout"):
+        decode_segment(b"\x00\x00\x00\x05" + bytes(8))
+
+
+def test_spark_scan_feeds_reconciler(spark):
+    """End-to-end S3: distributed binaryFile scan + mapInPandas decode
+    over the real binary segments, fed into the SAME reconciler the
+    synthetic source uses — the ._COPYING_ file must come out
+    Finalized-then-renamed: final state carries the renamed path."""
+    from pyspark.sql import functions as F
+
+    from hcdc_spark.cdc.reconcile import reconcile_batch
+    from hcdc_spark.session import scoped_shuffle_partitions
+
+    ev = read_editlog_binary(
+        spark, os.path.join(FIXTURES, "delete/current/edits_*")
+    )
+    pure = []
+    for f in sorted(glob.glob(os.path.join(FIXTURES,
+                                           "delete/current/edits_*"))):
+        pure.extend(ops_to_change_events(decode_segment(open(f, "rb").read())))
+    got = sorted(r["tx_id"] for r in ev.select("tx_id").collect())
+    assert got == sorted(e["tx_id"] for e in pure)
+
+    with scoped_shuffle_partitions(spark):
+        state = reconcile_batch(ev, expand_dirs=False).collect()
+    by_path = {r["path"]: r for r in state if r["path"]}
+    final = [p for p in by_path if p.endswith("links_2.parquet")]
+    assert final, f"renamed file missing from state: {sorted(by_path)}"
+    row = by_path[final[0]]
+    assert row["data_size"] == 1036349 and row["num_blocks"] == 1

@@ -21,6 +21,7 @@ NEVER_VERIFIED = {
     "q70_salted_join_agg",
     "c14_stream_dedup",
     "c15_tx_gaps",
+    "c16_editlog_decode",
     "q71_media_resize",
     "q72_skew_safe_distinct",
     "q45_collect_sets",
