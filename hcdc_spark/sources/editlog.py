@@ -206,6 +206,14 @@ def _decode_op(op: int, r: _Reader) -> dict:
     if op == OP_RENAME_OLD:
         return {"src": r.string(), "dst": r.string(),
                 "timestamp": r.i64(), "rpc": r.rpc_ids()}
+    if op == OP_RENAME:
+        # modern rename adds a BytesWritable of Rename options
+        # (int32 length + one byte per option) before the rpc ids
+        out = {"src": r.string(), "dst": r.string(),
+               "timestamp": r.i64()}
+        out["options"] = list(r.take(r.i32()))
+        out["rpc"] = r.rpc_ids()
+        return out
     if op == OP_ADD_BLOCK:
         return {"path": r.string(),
                 "blocks": r.compact_block_array(),
@@ -333,9 +341,11 @@ def ops_to_change_events(
             ev.update(op="DELETE", path=rec["path"],
                       ts=rec["timestamp"])
         elif code in (OP_RENAME_OLD, OP_RENAME):
+            # option byte 1 = OVERWRITE (Hadoop Options.Rename)
+            opts = rec.get("options") or []
             ev.update(op="RENAME", path=rec["src"],
                       dest_path=rec["dst"], ts=rec["timestamp"],
-                      rename_opts="NONE")
+                      rename_opts="OVERWRITE" if 1 in opts else "NONE")
         elif code == OP_ADD_BLOCK:
             ev.update(op="ADD_BLOCK", path=rec["path"], new_block=True,
                       blocks=[_ev_block(b, None) for b in rec["blocks"]])

@@ -107,3 +107,35 @@ def test_spark_scan_feeds_reconciler(spark):
     assert final, f"renamed file missing from state: {sorted(by_path)}"
     row = by_path[final[0]]
     assert row["data_size"] == 1036349 and row["num_blocks"] == 1
+
+
+def test_modern_rename_with_options_roundtrip():
+    """OP_RENAME (0x0f) is not in the fixtures; build a record in the
+    documented wire layout (src, dst, timestamp, BytesWritable options,
+    rpc ids) and assert the decoder maps OVERWRITE correctly."""
+    import struct
+    import zlib
+
+    def ustr(s):
+        b = s.encode()
+        return struct.pack(">H", len(b)) + b
+
+    payload = (
+        ustr("/a/src") + ustr("/a/dst")
+        + struct.pack(">q", 1700000000000)
+        + struct.pack(">i", 1) + bytes([1])      # options = [OVERWRITE]
+        + struct.pack(">H", 0)                   # empty rpc clientId
+        + struct.pack(">i", -2)                  # default callId
+    )
+    body = struct.pack(">q", 777) + payload
+    rec = bytes([0x0F]) + struct.pack(">i", len(body) + 4) + body
+    crc = zlib.crc32(rec) & 0xFFFFFFFF
+    seg = (
+        struct.pack(">i", -63) + struct.pack(">i", 0)
+        + rec + struct.pack(">I", crc) + bytes([0xFF])
+    )
+    ops = decode_segment(seg)
+    assert ops[0]["op_name"] == "OP_RENAME" and ops[0]["txid"] == 777
+    ev = ops_to_change_events(ops)[0]
+    assert ev["op"] == "RENAME" and ev["rename_opts"] == "OVERWRITE"
+    assert ev["path"] == "/a/src" and ev["dest_path"] == "/a/dst"
