@@ -82,14 +82,18 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     ``epoch_ms(ts)``, i.e. wall-clock-as-UTC) both assume the nanos-long
     form, so rewrite the µs flavors at the catalog boundary.
     For the NTZ flavor the wall-clock must be pinned as-UTC *independent
-    of the session timezone*: the NTZ→TIMESTAMP cast interprets the
-    wall-clock in the session tz, so ``from_utc_timestamp(ts,
-    current_timezone())`` first shifts the instant such that
-    ``unix_micros`` lands back on the wall-clock-as-UTC epoch (identity
-    under a UTC session; verified under America/Los_Angeles in
-    test_analytics.py::test_normalize_event_ts_tz_independent).
-    ``to_utc_timestamp(ntz, 'UTC')`` — the previous spelling — is an
-    identity on the already-cast value and leaked the session tz.
+    of the session timezone*. ``unix_micros`` implicitly casts
+    NTZ→TIMESTAMP through the session tz (the earlier
+    ``from_utc_timestamp(ts, current_timezone())`` counter-shift used
+    the offset at the *shifted instant*, which differs from the cast's
+    offset at the *wall-clock* around DST transitions; even
+    ``timestampdiff`` on two NTZ operands coerces through the session
+    tz). The only truly tz-free form is field arithmetic — NTZ date and
+    time-of-day extraction never consult a timezone:
+    ``unix_date(date(ts))·86400e6 + hour·3600e6 + minute·60e6 +
+    second_fraction·1e6``. Verified under America/Los_Angeles including
+    both DST-transition wall-clocks (spring-forward gap, fall-back
+    overlap) in test_analytics.py::test_normalize_event_ts_tz_independent.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
@@ -98,8 +102,14 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if isinstance(ts_type, LongType):
         return df
     if isinstance(ts_type, TimestampNTZType):
-        micros = F.unix_micros(
-            F.from_utc_timestamp(F.col("ts"), F.current_timezone())
+        # every term cast to long BEFORE multiplying: minute*60e6
+        # overflows int32 under ANSI mode
+        micros = (
+            F.unix_date(F.col("ts").cast("date")).cast("long")
+            * F.lit(86_400_000_000)
+            + F.hour("ts").cast("long") * F.lit(3_600_000_000)
+            + F.minute("ts").cast("long") * F.lit(60_000_000)
+            + F.expr("cast(date_part('SECOND', ts) * 1000000 as long)")
         )
     elif isinstance(ts_type, TimestampType):
         micros = F.unix_micros(F.col("ts"))

@@ -200,7 +200,8 @@ def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Expand operator otherwise quadruples every fact row before the "
     "shuffle, which at 100 TB is 4x scan-side shuffle volume for "
     "identical results (COUNT/SUM are re-aggregable; DECIMAL sums are "
-    "exact-associative).",
+    "exact-associative; n_items takes coalesce(sum,0) so the empty-input "
+    "grand-total row still reads COUNT(*)=0 like the one-phase form).",
     tags=("agg", "grouping-sets"),
 )
 def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +213,7 @@ def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        F.sum("_n").alias("n_items"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_items"),
         F.sum("_sq").cast("double").alias("sum_qty"),
     )
 

@@ -440,18 +440,27 @@ def c15_tx_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c16_editlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import sys
 
     from hcdc_spark.sources.editlog import read_editlog_binary
 
-    fixtures = (
+    # Fixture root is overridable so the query keeps working on any
+    # checkout; the default is this sandbox's reference tree.
+    fixtures = os.environ.get(
+        "HCDC_EDITLOG_FIXTURES",
         "/root/reference/change-manager/namenode-agent/src/test/"
-        "resources/edits/logs"
+        "resources/edits/logs",
     )
     schema = (
         "tx_id long, op string, path string, dest_path string, "
         "n_blocks int"
     )
     if not os.path.isdir(fixtures):
+        print(
+            f"WARNING: c16_editlog_decode: fixture dir {fixtures!r} not "
+            "found (set HCDC_EDITLOG_FIXTURES); returning empty frame",
+            file=sys.stderr,
+        )
         return spark.createDataFrame([], schema)
     with scoped_shuffle_partitions(spark):
         ev = read_editlog_binary(

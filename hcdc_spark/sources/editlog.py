@@ -93,6 +93,11 @@ class _Reader:
         return len(self.buf) - self.pos
 
     def take(self, n: int) -> bytes:
+        if n < 0:
+            # A negative length always means a decoder bug or corrupt
+            # framing; silently rewinding the cursor would produce
+            # garbage field decodes downstream.
+            raise ValueError(f"editlog negative field length {n}")
         if self.pos + n > len(self.buf):
             raise ValueError("editlog payload truncated")
         b = self.buf[self.pos : self.pos + n]
@@ -139,6 +144,26 @@ class _Reader:
     def vint(self) -> int:
         return self.vlong()
 
+    def pb_varint(self) -> int:
+        """Protobuf LEB128 varint (unsigned).
+
+        Hadoop writes the OP_ADD xattr blob via
+        ``XAttrEditLogProto.writeDelimitedTo``, whose length prefix is a
+        protobuf varint — NOT a Hadoop WritableUtils vint. The two only
+        coincide for values <= 127, so blobs >= 128 bytes decode
+        garbage under the vint reader.
+        """
+        shift = 0
+        val = 0
+        while True:
+            b = self.u8()
+            val |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return val
+            shift += 7
+            if shift > 63:
+                raise ValueError("editlog varint longer than 64 bits")
+
     def block_array(self) -> list[dict]:
         """int32 count + fixed (id, numBytes, genStamp) triples."""
         return [
@@ -183,7 +208,7 @@ def _decode_add_close(r: _Reader, is_add: bool) -> dict:
         acl_count = r.i32()  # ACL entries: fixtures carry none
         if acl_count:
             raise ValueError(f"unsupported: {acl_count} ACL entries")
-        xattr_len = r.vint()  # protobuf-delimited XAttr blob
+        xattr_len = r.pb_varint()  # protobuf writeDelimitedTo prefix
         r.take(xattr_len)
         out["client_name"] = r.string()
         out["client_machine"] = r.string()
@@ -242,8 +267,16 @@ def decode_segment(data: bytes, verify_crc: bool = True) -> list[dict]:
     if len(data) < 8:
         raise ValueError("editlog segment shorter than header")
     layout = struct.unpack(">i", data[:4])[0]
-    if layout > -60 or layout < -70:
-        raise ValueError(f"unsupported editlog layout version {layout}")
+    # The per-op field decoders are byte-exact for layout -63 only
+    # (older layouts lack inodeId/storagePolicyId on OP_ADD; newer ones
+    # add erasure-coding fields). Refuse other layouts loudly instead of
+    # mis-mapping fields or failing late with a confusing truncation
+    # error mid-record.
+    if layout != -63:
+        raise ValueError(
+            f"unsupported editlog layout version {layout} "
+            "(only -63 is implemented)"
+        )
     pos = 8
     out: list[dict] = []
     while pos < len(data):

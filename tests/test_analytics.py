@@ -31,15 +31,26 @@ def test_normalize_event_ts_tz_independent(spark):
 
     from hcdc_spark.catalog import normalize_event_ts
 
-    expected = 1704067200 * 10**9
-    df = spark.range(1).select(
-        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("ts")
+    cases = {
+        # plain mid-winter wall-clock
+        "2024-01-01 00:00:00": 1704067200 * 10**9,
+        # inside the US spring-forward gap (02:30 PDT does not exist in
+        # America/Los_Angeles on 2024-03-10) — a session-tz-dependent
+        # cast would shift this by the DST delta
+        "2024-03-10 02:30:00": 1710037800 * 10**9,
+        # inside the fall-back overlap (01:30 occurs twice on 2024-11-03)
+        "2024-11-03 01:30:00": 1730597400 * 10**9,
+    }
+    df = spark.createDataFrame(
+        [(w,) for w in cases], "wall string"
+    ).select(
+        F.col("wall"), F.col("wall").cast("timestamp_ntz").alias("ts")
     )
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         for tz in ("UTC", "America/Los_Angeles", "Asia/Kolkata"):
             spark.conf.set("spark.sql.session.timeZone", tz)
-            got = normalize_event_ts(df).collect()[0]["ts"]
-            assert got == expected, (tz, got, expected)
+            for row in normalize_event_ts(df).collect():
+                assert row["ts"] == cases[row["wall"]], (tz, row)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)

@@ -109,6 +109,70 @@ def test_spark_scan_feeds_reconciler(spark):
     assert row["data_size"] == 1036349 and row["num_blocks"] == 1
 
 
+def _frame_record(op, txid, payload, layout=-63):
+    import struct
+    import zlib
+
+    body = struct.pack(">q", txid) + payload
+    rec = bytes([op]) + struct.pack(">i", len(body) + 4) + body
+    crc = zlib.crc32(rec) & 0xFFFFFFFF
+    return (
+        struct.pack(">i", layout) + struct.pack(">i", 0)
+        + rec + struct.pack(">I", crc) + bytes([0xFF])
+    )
+
+
+def test_add_with_large_xattr_blob_uses_protobuf_varint():
+    """Hadoop writes the OP_ADD xattr blob via protobuf
+    writeDelimitedTo — a LEB128 varint length, NOT a WritableUtils
+    vint. The encodings agree only below 128 bytes, so a 200-byte blob
+    distinguishes the decoders: the vint reader sees 0xC8 as a negative
+    first byte and rewinds the cursor into garbage."""
+    import struct
+
+    def ustr(s):
+        b = s.encode()
+        return struct.pack(">H", len(b)) + b
+
+    def text(s):
+        b = s.encode()
+        return bytes([len(b)]) + b  # vint length < 128
+
+    blob = bytes(200)
+    payload = (
+        struct.pack(">q", 4242)                  # inode id
+        + ustr("/x/file") + struct.pack(">H", 3) # path, replication
+        + struct.pack(">q", 1700000000000) * 2   # mtime, atime
+        + struct.pack(">q", 134217728)           # block size
+        + struct.pack(">i", 0)                   # no blocks
+        + text("u") + text("g") + struct.pack(">H", 0o644)
+        + struct.pack(">i", 0)                   # no ACLs
+        + b"\xc8\x01" + blob                     # varint(200) + xattrs
+        + ustr("client") + ustr("machine")
+        + bytes([1, 0])                          # overwrite, policy
+        + struct.pack(">H", 0) + struct.pack(">i", -2)
+    )
+    ops = decode_segment(_frame_record(0x00, 4242, payload))
+    assert ops[0]["op_name"] == "OP_ADD"
+    assert ops[0]["inode_id"] == 4242 and ops[0]["overwrite"] is True
+
+
+def test_negative_field_length_raises():
+    from hcdc_spark.sources.editlog import _Reader
+
+    with pytest.raises(ValueError, match="negative"):
+        _Reader(b"abc").take(-5)
+
+
+def test_only_validated_layout_accepted():
+    """Field decoders are byte-exact for layout -63 only; -64 segments
+    (erasure-coding era) must be refused up front, not mis-decoded."""
+    import struct
+
+    with pytest.raises(ValueError, match="layout"):
+        decode_segment(struct.pack(">i", -64) + bytes(8))
+
+
 def test_modern_rename_with_options_roundtrip():
     """OP_RENAME (0x0f) is not in the fixtures; build a record in the
     documented wire layout (src, dst, timestamp, BytesWritable options,
