@@ -320,19 +320,37 @@ def q50_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "q51_approx_distinct",
-    None,
-    doc="approx_count_distinct (HyperLogLog++) per event_type — sketch "
-    "internals differ across engines, so rows-only for the driver; "
-    "the <2% relative-error gate vs exact is in "
-    "tests/test_analytics_ext.py. At 100 TB the sketch mergeability "
-    "(partial agg) is the point.",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS within_2pct
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="approx_count_distinct (HyperLogLog++) per event_type. Sketch "
+    "internals differ across engines, so the raw estimate is not "
+    "oracle-able — instead the query surfaces the exact distinct "
+    "count, the row count, and the <=2% relative-error CONTRACT as a "
+    "boolean (abs(approx-exact)/exact <= 0.02); the oracle recomputes "
+    "exact_users/n_events and emits the constant TRUE, so a hash "
+    "match certifies the sketch met its error bound on every group. "
+    "At 100 TB the sketch mergeability (partial agg) is the point.",
     tags=("agg", "approx"),
 )
 def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01)
+                - F.count_distinct("user_id")
+            ).cast("double")
+            / F.count_distinct("user_id")
+            <= 0.02
+        ).alias("within_2pct"),
     )
 
 

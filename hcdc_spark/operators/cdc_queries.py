@@ -3,10 +3,12 @@
 Two groups:
 
 - ``c0x_*``: the CDC reconciler driven end-to-end over a deterministic
-  synthetic event log (FIXTURES.md §1; the log is generated in-process,
-  so these are rows-only checks — the real semantics gate is
-  tests/test_cdc_batch.py, whose oracle is an independent pure-Python
-  fold).
+  synthetic event log (FIXTURES.md §1; the log is generated in-process).
+  Because the inputs are fully deterministic (seeded generator /
+  checked-in fixtures), each demo carries a golden VALUES oracle
+  (operators/goldens.py) so the driver hash-checks the entire pipeline;
+  the semantic gate behind the goldens is tests/test_cdc_batch.py,
+  whose oracle is an independent pure-Python fold.
 - ``q24..q26``: the CDC *patterns* (T4 latest-per-key dedup, session
   windows, T16 interval merge) expressed over the driver's ``events``
   table with full DuckDB oracles.
@@ -18,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hcdc_spark.catalog import event_ts_ms, load_tables
+from hcdc_spark.operators import goldens
 from hcdc_spark.registry import Registry
 from hcdc_spark.session import scoped_shuffle_partitions
 
@@ -68,10 +71,13 @@ def _demo_state(spark: SparkSession) -> DataFrame:
 
 @REG.add(
     "c01_cdc_file_state",
-    None,
+    goldens.values_oracle(goldens.C01_SCHEMA, goldens.C01_ROWS),
     doc="End-to-end CDC replay: synthetic HDFS-style event log → "
-    "reconciled file_state table (SURVEY §2C). Rows-only check; "
-    "semantics gated by tests/test_cdc_batch.py golden oracle.",
+    "reconciled file_state table (SURVEY §2C). The seed-42 log is "
+    "deterministic, so the oracle pins the expected 61 file states as "
+    "a golden VALUES table — a full hash check of the fold + dir "
+    "cascades; semantics independently gated by tests/test_cdc_batch.py "
+    "pure-Python fold parity.",
     tags=("cdc",),
 )
 def c01_cdc_file_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,8 +89,11 @@ def c01_cdc_file_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c02_cdc_error_channel",
-    None,
-    doc="Reconciler dead-letter channel (T25): anomalies as rows.",
+    goldens.values_oracle(goldens.C02_SCHEMA, goldens.C02_ROWS),
+    doc="Reconciler dead-letter channel (T25): anomalies as rows. The "
+    "seed-42 log plants exactly two anomalies (ghost-file APPEND, "
+    "duplicate ADD_FILE without overwrite); the golden oracle pins "
+    "both rows including the error text.",
     tags=("cdc",),
 )
 def c02_cdc_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,9 +105,11 @@ def c02_cdc_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c03_cdc_change_set",
-    None,
+    goldens.values_oracle(goldens.C03_SCHEMA, goldens.C03_ROWS),
     doc="T16 compressed change set: per-block covering byte interval "
-    "for a tx range, computed from reconciled per-tx deltas.",
+    "for a tx range, computed from reconciled per-tx deltas. Golden "
+    "VALUES oracle over the deterministic seed-42 log (44 block "
+    "intervals) — hash-checks the per-tx delta bookkeeping end to end.",
     tags=("cdc",),
 )
 def c03_cdc_change_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,11 +134,23 @@ def c03_cdc_change_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c06_snapshot_bootstrap",
-    None,
+    """
+    SELECT filename AS path,
+           'Finalized' AS state,
+           CAST(octet_length(content) AS BIGINT) AS data_size,
+           CAST(1 AS BIGINT) AS num_blocks,
+           'PARQUET' AS file_type
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
     doc="S1 fsimage-bootstrap analogue: distributed binaryFile listing "
-    "of the sf dir → synthetic Snapshot CLOSE events → reconciled "
-    "Finalized state. Rows-only; invariants (contiguous txids, "
-    "Finalized-only, size parity) gated in tests/test_snapshot.py.",
+    "of the sf0.01 dir → synthetic Snapshot CLOSE events → reconciled "
+    "Finalized state. The oracle independently re-lists the same files "
+    "with DuckDB's read_blob (path + exact byte size), so a hash match "
+    "proves the listing→event→fold path preserves identity and size. "
+    "Both sides pin the sf0.01 dir (the q61 convention: read_blob has "
+    "no view indirection and the driver's oracle contract runs at "
+    "sf0.01). Structural invariants (contiguous txids, Finalized-only) "
+    "gated in tests/test_snapshot.py.",
     tags=("cdc", "snapshot"),
 )
 def c06_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +158,7 @@ def c06_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hcdc_spark.cdc.snapshot import bootstrap_from_listing
 
     with scoped_shuffle_partitions(spark):
-        ev = bootstrap_from_listing(spark, sf_dir, base_tx=0)
+        ev = bootstrap_from_listing(spark, "/root/testdata/sf0.01", base_tx=0)
         return _materialized(
             reconcile_batch(ev, expand_dirs=False)
             .select("path", "state", "data_size", "num_blocks", "file_type")
@@ -145,11 +168,12 @@ def c06_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c07_materialize_pipeline",
-    None,
+    goldens.values_oracle(goldens.C07_SCHEMA, goldens.C07_ROWS),
     doc="T14-T19 materializer end-to-end: synthetic entity files → "
     "file_state → grouped staging replication + change_data pointers + "
-    "schema registry; returns the pointer table. Rows-only; semantics "
-    "gated in tests/test_materialize.py.",
+    "schema registry; returns the pointer table, pinned by a golden "
+    "VALUES oracle (the fixture is fully deterministic). Deeper "
+    "semantics gated in tests/test_materialize.py.",
     tags=("cdc", "materialize"),
 )
 def c07_materialize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,16 +450,17 @@ def c15_tx_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c16_editlog_decode",
-    None,
+    goldens.values_oracle(goldens.C16_SCHEMA, goldens.C16_ROWS),
     doc="S3 binary edit-log decode, driver-visible: distributed "
     "binaryFile+mapInPandas decode of REAL NameNode edit segments "
     "(the reference's own binary test fixtures) — CRC32-verified "
     "framing, per-op field decode, inode back-fill — surfaced as the "
-    "(tx_id, op, path, dest_path, n_blocks) transaction stream. "
-    "Rows-only (the fixtures live outside the oracle's parquet "
-    "tables); byte-level and reconciler-integration gates in "
+    "(tx_id, op, path, dest_path, n_blocks) transaction stream. The "
+    "fixture bytes are checked in and immutable, so the oracle pins "
+    "the full decoded 25-tx lifecycle as a golden VALUES table; "
+    "byte-level gates (CRC re-compute, txid contiguity) in "
     "tests/test_editlog.py. Returns empty with a stable schema if the "
-    "fixture tree is absent.",
+    "fixture tree is absent (set HCDC_EDITLOG_FIXTURES).",
     tags=("cdc", "editlog"),
 )
 def c16_editlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

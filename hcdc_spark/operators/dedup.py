@@ -550,3 +550,170 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
+
+
+# ------------------------------------------ MinHash+LSH, oracle-checkable
+
+# The q29 production pipeline hashes with xxhash64, which DuckDB lacks —
+# so LSH greenness was never driver-visible. q73 runs the SAME
+# collapse→sign→band→verify→expand pipeline with every hash derived from
+# md5 (available bit-identically in both engines): minhash h_i(w) =
+# lexicographic min of md5("i:" || w) over the doc's words (hash-order
+# min = a random permutation min, the classic MinHash construction), and
+# band bucket = md5 of the '|'-joined 12-hash slice. Every stage is
+# therefore re-derivable in DuckDB SQL, which the oracle does — the
+# first hash-checked MinHash-LSH query. xxhash64 stays the production
+# default (shorter shuffle rows, no string materialization).
+Q73_HASHES = N_HASHES
+Q73_BANDS = N_BANDS
+
+
+def _md5_signature_sql(n_hashes: int) -> str:
+    """sig = array(min(md5('0:'||w)), min(md5('1:'||w)), ...) as ONE SQL
+    string (the q29 lesson: n py4j Column trees cost visible driver
+    time)."""
+    parts = ", ".join(
+        f"array_min(transform(ws, w -> md5(concat('{i}:', w))))"
+        for i in range(n_hashes)
+    )
+    return f"array({parts})"
+
+
+def _md5_band_sql(n_bands: int, rows_per_band: int) -> str:
+    """bands = array(struct(band, md5(sig[0]||'|'||...)), ...)."""
+    entries = []
+    for b in range(n_bands):
+        joined = ", ".join(
+            f"sig[{b * rows_per_band + j}]" for j in range(rows_per_band)
+        )
+        entries.append(
+            f"struct({b} AS band, md5(concat_ws('|', {joined})) AS bucket)"
+        )
+    return f"array({', '.join(entries)})"
+
+
+@REG.add(
+    "q73_minhash_lsh_md5",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DW} AS ws FROM documents
+      WHERE len({_DW}) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS w FROM t
+    ), mh AS (
+      SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || w)) AS h
+      FROM tok CROSS JOIN range({Q73_HASHES}) r(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, i // {Q73_HASHES // Q73_BANDS} AS band,
+             md5(string_agg(h, '|' ORDER BY i)) AS bucket
+      FROM mh GROUP BY doc_id, i // {Q73_HASHES // Q73_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sized AS (
+      SELECT doc_id, len(ws) AS n, ws FROM t
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+             / (x.n + y.n - len(list_intersect(x.ws, y.ws))) AS jaccard
+    FROM cand JOIN sized x ON doc_a = x.doc_id
+              JOIN sized y ON doc_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+            / (x.n + y.n - len(list_intersect(x.ws, y.ws))) >= 0.9
+    """,
+    doc="MinHash(72) + LSH(6 bands x 12 rows) near-dup pairs with exact "
+    "Jaccard >= 0.9, md5-hash mode — the oracle re-derives the FULL "
+    "pipeline (signatures, banding, candidate join, exact verify) in "
+    "DuckDB SQL, so LSH bucketing itself is hash-checked, not just "
+    "rows-counted. The oracle works per-doc without the collapse/expand "
+    "stages: identical word-sets get identical signatures, so member "
+    "pairs are candidates iff their representatives are — two "
+    "independent formulations, one answer. Spark side keeps the q29 "
+    "scale shape (collapse-first, banded bucket join, rep-level verify, "
+    "membership expansion; signatures are a shuffle-free projection). "
+    "Docs with empty word-sets are excluded on both sides (their "
+    "Jaccard is undefined).",
+    tags=("dedup", "lsh"),
+)
+def q73_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows_per_band = Q73_HASHES // Q73_BANDS
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = docs.select(
+        "doc_id", F.array_sort(distinct_words("text")).alias("ws")
+    ).where(F.size("ws") > 0)
+
+    # 1. collapse identical word-sets (J=1 by definition)
+    grp = t.groupBy("ws").agg(
+        F.min("doc_id").alias("rep"),
+        F.collect_list("doc_id").alias("members"),
+    ).cache()
+    grp.count()  # eager: both branches below must hit the cache
+    reps = grp.select(F.col("rep").alias("doc_id"), "ws")
+
+    # 2. signatures + banding over representatives (pure projections)
+    sig = reps.select(
+        "doc_id", "ws", F.expr(_md5_signature_sql(Q73_HASHES)).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.expr(
+            f"explode({_md5_band_sql(Q73_BANDS, rows_per_band)})"
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # 3. exact verification at rep level (string-array intersect)
+    ws_a = reps.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    ws_b = reps.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    shared = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
+    ver = (
+        cand.join(ws_a, "doc_a")
+        .join(ws_b, "doc_b")
+        .withColumn("shared", shared)
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.size("ws_a") + F.size("ws_b") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= 0.9)
+        .select(
+            F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"),
+            "jaccard",
+        )
+    )
+
+    # 4. expand back to member pairs
+    mem = grp.select("rep", F.explode("members").alias("doc"))
+    intra = (
+        mem.alias("x")
+        .join(mem.alias("y"), "rep")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    ma = mem.select(F.col("rep").alias("rep_a"), F.col("doc").alias("da"))
+    mb = mem.select(F.col("rep").alias("rep_b"), F.col("doc").alias("db"))
+    cross = (
+        ver.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)

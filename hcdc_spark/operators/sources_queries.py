@@ -130,22 +130,30 @@ def q40_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "q41_binary_listing",
-    None,
-    doc="binaryFile metadata listing of the sf dir (S9 recursive-listing "
-    "analogue): path, length — content never read (lazy column). "
-    "Rows-only: file sizes depend on writer env.",
+    r"""
+    SELECT regexp_extract(filename, '([^/]+)\.parquet$', 1) AS tbl,
+           CAST(octet_length(content) AS BIGINT) AS length
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+    doc="binaryFile metadata listing (S9 recursive-listing analogue): "
+    "table name + byte length, content never read (lazy column). The "
+    "oracle independently re-lists the same files with DuckDB's "
+    "read_blob and measures octet_length, so a hash match proves the "
+    "listing returns exact sizes. Both sides pin the sf0.01 dir (the "
+    "q61 convention — read_blob has no view indirection and the "
+    "driver's oracle contract runs at sf0.01).",
     tags=("sources", "binary"),
 )
 def q41_binary_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hcdc_spark.sources.readers import read_binary
 
     return (
-        read_binary(spark, sf_dir, pattern="*.parquet")
+        read_binary(spark, "/root/testdata/sf0.01", pattern="*.parquet")
         .select(
-            F.regexp_extract("path", r"([^/]+)\.parquet$", 1).alias("table"),
+            F.regexp_extract("path", r"([^/]+)\.parquet$", 1).alias("tbl"),
             "length",
         )
-        .orderBy("table")
+        .orderBy("tbl")
     )
 
 

@@ -20,6 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hcdc_spark.operators import goldens
 from hcdc_spark.registry import Registry
 from hcdc_spark.session import scoped_shuffle_partitions as _small_shuffle
 
@@ -28,11 +29,14 @@ REG = Registry()
 
 @REG.add(
     "c04_stream_reconcile",
-    None,
+    goldens.values_oracle(goldens.C04_SCHEMA, goldens.C04_ROWS),
     doc="Streaming CDC reconciler (applyInPandasWithState keyed by "
     "inode) over a deterministic event log split into two segment "
-    "files / micro-batches. Rows-only; batch-equivalence and restart "
-    "recovery gated in tests/test_streaming.py.",
+    "files / micro-batches. The seed-7 log is deterministic, so the "
+    "oracle pins the 40 reconciled file states as a golden VALUES "
+    "table — hash-checking the stateful streaming fold across the "
+    "micro-batch boundary; batch-equivalence and restart recovery "
+    "gated in tests/test_streaming.py.",
     tags=("cdc", "streaming"),
 )
 def c04_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,13 +190,14 @@ def c10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c08_cdc_pipeline",
-    None,
+    goldens.values_oracle(goldens.C08_SCHEMA, goldens.C08_ROWS),
     doc="Full CDC pipeline in one streaming query: event segments → "
     "registry match → stateful fold → staging materialization + "
     "change_data pointers. Returns the entity row counts read back "
-    "through the latest-pointer view. Rows-only; the full semantic "
-    "gate (restart, supersede, unmatched exclusion) is "
-    "tests/test_pipeline_e2e.py.",
+    "through the latest-pointer view, pinned by a golden VALUES "
+    "oracle (50 distinct payload rows must survive the pipeline "
+    "exactly once). The full semantic gate (restart, supersede, "
+    "unmatched exclusion) is tests/test_pipeline_e2e.py.",
     tags=("cdc", "streaming", "materialize"),
 )
 def c08_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -222,6 +222,36 @@ def test_dispatch_bytes_match_pure_codec(spark):
                                               dom, en)
 
 
+def test_dispatch_connector_arm_selected(spark, monkeypatch):
+    """Exercise the OTHER dispatch arm (ADVICE r3 #3): force the probe
+    to 'present' and prove the dispatch really takes the connector
+    branch. Without the spark-protobuf jar, that branch must surface
+    the connector's PROTOBUF_NOT_LOADED analysis error — NOT silently
+    fall through to the pandas codec; with the jar present, the arm
+    must produce wire bytes identical to the pure codec (the same
+    invariant test_dispatch_bytes_match_pure_codec pins for whichever
+    arm the real probe picks)."""
+    from hcdc_spark.streaming import protobuf_codec as PC
+    from hcdc_spark.streaming.protobuf_codec import encode_change_delta
+
+    really_available = PC.protobuf_available(spark)
+    monkeypatch.setitem(
+        PC._PB_AVAILABLE, spark.sparkContext.applicationId, True
+    )
+    df = spark.createDataFrame(
+        [("n", 1, "e", "t", 5, b"xyz", None, None)],
+        "namespace string, tx_id long, entity string, type string, "
+        "timestamp long, body binary, domain string, entity_name string",
+    )
+    if really_available:
+        got = bytes(PC.to_protobuf_delta(df).collect()[0]["value"])
+        assert got == encode_change_delta("n", 1, "e", "t", 5, b"xyz",
+                                          None, None)
+    else:
+        with pytest.raises(Exception, match="PROTOBUF_NOT_LOADED|protobuf"):
+            PC.to_protobuf_delta(df)
+
+
 def test_dispatch_fallback_forced(spark, monkeypatch):
     """Force the probe to 'absent' and assert the pandas codec path
     round-trips — mirrors test_avro_codec's dispatch-fallback gate."""
