@@ -178,3 +178,20 @@ def test_q70_salted_join_no_broadcast_on_fact_side(spark, sf_dir):
     assert not I.has_cartesian(df)
     p = I.simple_plan(df)
     assert "_salt" in p  # the salt key actually reaches the join
+
+
+def test_q73_md5_lsh_candidate_join_on_band_bucket(spark, sf_dir):
+    """The md5-mode LSH pipeline must keep the q29 scale shape: the
+    candidate join is an equi-join on (band, bucket) — never a
+    cartesian pair step — and signatures/banding stay projections (no
+    SortMergeJoin at test scale where every side is broadcast-small;
+    the collapse groupBy and the joins are the only exchanges)."""
+    from hcdc_spark.operators import dedup
+
+    df = dedup.q73_minhash_lsh_md5(spark, sf_dir)
+    assert not I.has_cartesian(df)
+    p = I.simple_plan(df)
+    assert "bucket" in p  # band/bucket key reaches the join
+    # the collapsed rep table is served from cache, not recomputed per
+    # branch: the plan must reference the InMemoryRelation
+    assert "InMemoryRelation" in p
