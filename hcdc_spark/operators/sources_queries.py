@@ -213,3 +213,96 @@ def q61_block_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "head_hex", "tail_hex", "nbytes",
         )
     )
+
+
+# ------------------------------------------------- bucketed co-located join
+
+def bucketed_join_frame(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+):
+    """Write orders+lineitem as bucketed tables and return the lazy
+    shuffle-free join aggregate (plus the table names for cleanup).
+
+    Bucketing is THE staging-layout lever at 100 TB: both fact tables
+    are written pre-hashed into the same number of buckets on the join
+    key (``bucketBy`` + ``sortBy``), so the subsequent equi-join reads
+    co-located, pre-sorted buckets — the SortMergeJoin runs with ZERO
+    exchange under it (gated in tests/test_plans.py). The reference's
+    per-entity staging layout (K3/K5) is the same idea one level up:
+    lay data out once so downstream consumers never reshuffle it.
+    """
+    from hcdc_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    work = tempfile.mkdtemp(prefix="hcdc_bucketed_")
+    names = ("hcdc_b_orders", "hcdc_b_lineitem")
+    for name, df, key in (
+        (names[0], t["orders"].select("o_orderkey", "o_orderpriority"),
+         "o_orderkey"),
+        (names[1], t["lineitem"].select("l_orderkey", "l_quantity"),
+         "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", os.path.join(work, name))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    joined = (
+        spark.table(names[0])
+        .join(
+            spark.table(names[1]),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )
+    return joined, names, work
+
+
+@REG.add(
+    "q74_bucketed_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Bucketed co-located join: orders and lineitem written with "
+    "bucketBy(8, orderkey) + sortBy, then equi-joined — the join stage "
+    "reads matching buckets directly, no shuffle on either fact side "
+    "(the q70-style result-invariance oracle: the plain join SQL must "
+    "produce the identical aggregate, proving the bucketed layout "
+    "changes the PLAN, never the ANSWER). Broadcast is disabled in "
+    "scope so the bucketed SortMergeJoin path actually executes at "
+    "test scale the way it would at 100 TB.",
+    tags=("sources", "partitioning", "join"),
+)
+def q74_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    try:
+        prev = spark.conf.get(bcast_key)
+    except Exception:
+        prev = None
+    spark.conf.set(bcast_key, "-1")
+    joined, names, work = bucketed_join_frame(spark, sf_dir)
+    try:
+        return spark.createDataFrame(joined.collect(), joined.schema)
+    finally:
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(work, ignore_errors=True)
+        if prev is not None:
+            spark.conf.set(bcast_key, prev)
+        else:
+            spark.conf.unset(bcast_key)

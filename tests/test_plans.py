@@ -195,3 +195,27 @@ def test_q73_md5_lsh_candidate_join_on_band_bucket(spark, sf_dir):
     # the collapsed rep table is served from cache, not recomputed per
     # branch: the plan must reference the InMemoryRelation
     assert "InMemoryRelation" in p
+
+
+def test_q74_bucketed_join_no_shuffle_into_join(spark, sf_dir):
+    """Both sides written bucketed+sorted on the join key → the
+    SortMergeJoin must consume the bucket layout directly: zero
+    Exchange anywhere under the join; the only shuffle in the whole
+    query is the final groupBy aggregate."""
+    from hcdc_spark.operators import sources_queries as SQ
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    joined, names, work = SQ.bucketed_join_frame(spark, sf_dir)
+    try:
+        p = I.simple_plan(joined)
+        assert "SortMergeJoin" in p
+        assert I.count_exchanges(joined) == 1  # the groupBy only
+        assert "Bucketed: true" in I.plan(joined, "formatted")
+    finally:
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

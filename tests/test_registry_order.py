@@ -30,6 +30,7 @@ CHANGED_THIS_ROUND = {
     "c16_editlog_decode",
     "q41_binary_listing",
     "q51_approx_distinct",
+    "q74_bucketed_join",
 }
 
 #: Long-green canaries that must stay in the prefix as regression tripwires.
@@ -109,8 +110,8 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 92
+    assert len(qs) >= 93
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 4: 10 formerly-rows-only queries gained oracles + q73
-    assert len(oracles) >= 78
+    # round 4: 10 formerly-rows-only queries gained oracles + q73/q74
+    assert len(oracles) >= 79
