@@ -514,3 +514,94 @@ def c14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@REG.add(
+    "c17_watermark_late_drop",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(5 AS BIGINT)),
+      (CAST(20 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(win_start_min, n_events)
+    """,
+    doc="Watermark LATE-DATA DROP, driver-visible: a 10-min tumbling "
+    "window aggregate in APPEND mode over three forced micro-batches "
+    "(maxFilesPerTrigger=1). Batch A (minutes 0-4, 35) advances the "
+    "watermark to minute 25; batch B (minute 26) finalizes + evicts "
+    "window [0,10) with count 5; batch C then delivers a LATE row at "
+    "minute 5 — its window is already evicted, so the row must be "
+    "DROPPED (observed as numRowsDroppedByWatermark=1), never "
+    "re-opened as a duplicate appended window — plus minute 45, which "
+    "pushes the final watermark to 35 and flushes [20,30). The "
+    "literal oracle pins the exact append-mode output: (0,5) and "
+    "(20,1) — windows [30,40)/[40,50) are still above the final "
+    "watermark and must be WITHHELD in state. This is the semantics "
+    "that bounds streaming state at scale, and unlike c05 "
+    "(availableNow drain == batch) the result is NOT derivable from "
+    "the raw table — only from correct watermark mechanics. NOTE the "
+    "one-batch subtlety this fixture dodges: a late row arriving in "
+    "the SAME batch that evicts its window still merges (Spark's drop "
+    "guarantee is best-effort within the delay) — the eviction must "
+    "happen a batch earlier for the drop to be deterministic.",
+    tags=("streaming", "watermark"),
+)
+def c17_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_699_999_800  # multiple of 600s: windows align at minute 0
+
+    def seg(path, minutes, mtime):
+        ts = pa.array(
+            [(base + m * 60) * 1_000_000 for m in minutes],
+            type=pa.timestamp("us", tz="UTC"),
+        )
+        uid = pa.array(range(len(minutes)), type=pa.int64())
+        pq.write_table(pa.table({"user_id": uid, "ts": ts}), path)
+        os.utime(path, (mtime, mtime))
+
+    work = tempfile.mkdtemp(prefix="hcdc_c17_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        # batch A: window [0,10) gets 5 rows; minute 35 pushes the
+        # watermark to 25 once the batch commits
+        seg(os.path.join(src, "seg_a.parquet"),
+            [0, 1, 2, 3, 4, 35], mtime=1_000_000_000)
+        # batch B: on-time row; its trigger evicts window [0,10)
+        seg(os.path.join(src, "seg_b.parquet"), [26], mtime=1_000_000_100)
+        # batch C: minute 5 is LATE (window already evicted -> drop);
+        # minute 45 advances the final watermark to 35
+        seg(os.path.join(src, "seg_c.parquet"),
+            [5, 45], mtime=1_000_000_200)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        name = "c17_late_drop"
+        ckpt = os.path.join(work, "ckpt")
+        with _small_shuffle(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            out = spark.table(name).select(
+                ((F.unix_timestamp(F.col("win.start")) - base) / 60)
+                .cast("bigint")
+                .alias("win_start_min"),
+                "n_events",
+            )
+            return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -31,6 +31,7 @@ CHANGED_THIS_ROUND = {
     "q41_binary_listing",
     "q51_approx_distinct",
     "q74_bucketed_join",
+    "c17_watermark_late_drop",
 }
 
 #: Long-green canaries that must stay in the prefix as regression tripwires.
@@ -110,8 +111,9 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 93
+    assert len(qs) >= 94
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 4: 10 formerly-rows-only queries gained oracles + q73/q74
-    assert len(oracles) >= 79
+    # round 4: 10 formerly-rows-only queries gained oracles + the new
+    # q73/q74/c17
+    assert len(oracles) >= 80
