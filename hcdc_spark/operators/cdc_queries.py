@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from hcdc_spark.catalog import event_ts_ms, load_tables
 from hcdc_spark.operators import goldens
-from hcdc_spark.registry import Registry
+from hcdc_spark.registry import Registry, values_oracle
 from hcdc_spark.session import scoped_shuffle_partitions
 
 REG = Registry()
@@ -71,7 +71,7 @@ def _demo_state(spark: SparkSession) -> DataFrame:
 
 @REG.add(
     "c01_cdc_file_state",
-    goldens.values_oracle(goldens.C01_SCHEMA, goldens.C01_ROWS),
+    values_oracle(goldens.C01_SCHEMA, goldens.C01_ROWS),
     doc="End-to-end CDC replay: synthetic HDFS-style event log → "
     "reconciled file_state table (SURVEY §2C). The seed-42 log is "
     "deterministic, so the oracle pins the expected 61 file states as "
@@ -89,7 +89,7 @@ def c01_cdc_file_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c02_cdc_error_channel",
-    goldens.values_oracle(goldens.C02_SCHEMA, goldens.C02_ROWS),
+    values_oracle(goldens.C02_SCHEMA, goldens.C02_ROWS),
     doc="Reconciler dead-letter channel (T25): anomalies as rows. The "
     "seed-42 log plants exactly two anomalies (ghost-file APPEND, "
     "duplicate ADD_FILE without overwrite); the golden oracle pins "
@@ -105,7 +105,7 @@ def c02_cdc_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c03_cdc_change_set",
-    goldens.values_oracle(goldens.C03_SCHEMA, goldens.C03_ROWS),
+    values_oracle(goldens.C03_SCHEMA, goldens.C03_ROWS),
     doc="T16 compressed change set: per-block covering byte interval "
     "for a tx range, computed from reconciled per-tx deltas. Golden "
     "VALUES oracle over the deterministic seed-42 log (44 block "
@@ -168,7 +168,7 @@ def c06_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c07_materialize_pipeline",
-    goldens.values_oracle(goldens.C07_SCHEMA, goldens.C07_ROWS),
+    values_oracle(goldens.C07_SCHEMA, goldens.C07_ROWS),
     doc="T14-T19 materializer end-to-end: synthetic entity files → "
     "file_state → grouped staging replication + change_data pointers + "
     "schema registry; returns the pointer table, pinned by a golden "
@@ -450,7 +450,7 @@ def c15_tx_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c16_editlog_decode",
-    goldens.values_oracle(goldens.C16_SCHEMA, goldens.C16_ROWS),
+    values_oracle(goldens.C16_SCHEMA, goldens.C16_ROWS),
     doc="S3 binary edit-log decode, driver-visible: distributed "
     "binaryFile+mapInPandas decode of REAL NameNode edit segments "
     "(the reference's own binary test fixtures) — CRC32-verified "
@@ -459,8 +459,11 @@ def c15_tx_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixture bytes are checked in and immutable, so the oracle pins "
     "the full decoded 25-tx lifecycle as a golden VALUES table; "
     "byte-level gates (CRC re-compute, txid contiguity) in "
-    "tests/test_editlog.py. Returns empty with a stable schema if the "
-    "fixture tree is absent (set HCDC_EDITLOG_FIXTURES).",
+    "tests/test_editlog.py. If the fixture tree is absent (set "
+    "HCDC_EDITLOG_FIXTURES) the query still runs and returns an empty "
+    "frame with a stable schema, but the golden oracle then "
+    "deliberately fails — absence of the fixtures is a red row, not a "
+    "silent pass (tests skip the comparison in that environment).",
     tags=("cdc", "editlog"),
 )
 def c16_editlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +486,8 @@ def c16_editlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(fixtures):
         print(
             f"WARNING: c16_editlog_decode: fixture dir {fixtures!r} not "
-            "found (set HCDC_EDITLOG_FIXTURES); returning empty frame",
+            "found (set HCDC_EDITLOG_FIXTURES); returning empty frame — "
+            "the golden oracle WILL mismatch against it",
             file=sys.stderr,
         )
         return spark.createDataFrame([], schema)

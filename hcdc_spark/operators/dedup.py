@@ -243,34 +243,25 @@ def lsh_candidate_pairs(
     return joined.select("doc_a", "doc_b").distinct()
 
 
-@REG.add(
-    "q29_minhash_lsh",
-    None,
-    doc="MinHash(32) + LSH(4 bands x 8 rows) near-dup pairs with exact "
-    "Jaccard >= 0.9. Scale shape: identical word-sets collapse to one "
-    "representative FIRST (groupBy on the set — one shuffle), LSH and "
-    "the exact verification run on representatives only, and member "
-    "pairs are expanded back by two cheap membership joins at the end. "
-    "Verification cost is rep-pairs (~k), not doc-pairs (~k * dup^2) — "
-    "on corpora with heavy duplication that is the difference between "
-    "touching thousands and millions of array intersections. Rows-only "
-    "for the driver (xxhash64 has no DuckDB equivalent); recall vs "
-    "exact Jaccard gated in tests/test_text_dedup_similarity.py.",
-    tags=("dedup", "lsh"),
-)
-def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    # sorted xxhash64 word sets: (a) set equality is array equality
-    # regardless of word order, (b) every downstream intersect compares
-    # longs, not strings. Hash collisions are negligible at 64 bits.
-    t = docs.select(
-        "doc_id",
-        F.array_sort(
-            F.transform(distinct_words("text"), lambda w: F.xxhash64(w))
-        ).alias("ws"),
-    )
+def _collapse_verify_expand(t: DataFrame, candidates_fn, threshold: float = 0.9) -> DataFrame:
+    """Shared tail of the MinHash-LSH pipelines (q29 xxhash64 mode /
+    q73 md5 mode) — only the candidate generator differs.
 
-    # 1. collapse identical word-sets (J=1 by definition)
+    (doc_id, ws sorted-array) →
+    1. collapse identical word-sets to one representative (J=1 by
+       definition; groupBy on the set — one shuffle);
+    2. ``candidates_fn(reps)`` → (doc_a, doc_b) candidate rep pairs;
+    3. exact Jaccard verification at rep level (array_intersect —
+       element type agnostic: longs in q29, strings in q73). No sketch
+       prefilter: the intersect costs O(|ws|) per pair, about the same
+       as a signature-compare estimate, and skipping it drops a join.
+       Revisit if |ws| grows to 1000s of tokens per doc;
+    4. expand back to member pairs (membership is doc-count scale).
+
+    Verification cost is rep-pairs (~k), not doc-pairs (~k * dup^2) —
+    on corpora with heavy duplication that is the difference between
+    touching thousands and millions of array intersections.
+    """
     grp = t.groupBy("ws").agg(
         F.min("doc_id").alias("rep"),
         F.collect_list("doc_id").alias("members"),
@@ -283,16 +274,8 @@ def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp.count()
     reps = grp.select(F.col("rep").alias("doc_id"), "ws")
 
-    # 2. LSH over representatives only
-    sig = _signatures_from_hashed_ws(reps, keep_size=True)
-    cand = lsh_candidate_pairs(sig, size_ratio=0.9)
+    cand = candidates_fn(reps)
 
-    # 3. exact verification at rep level (long-array intersect).
-    # No sketch prefilter: the intersect on hashed sets costs O(|ws|)
-    # per pair, about the same as the 32-compare sketch estimate here,
-    # and skipping it drops a join. Revisit if |ws| grows to 1000s of
-    # tokens per doc (then a zip_with sketch pass before shipping full
-    # word-set arrays through the join pays for itself).
     ws_a = reps.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     ws_b = reps.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     shared = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
@@ -305,12 +288,11 @@ def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shared").cast("double")
             / (F.size("ws_a") + F.size("ws_b") - F.col("shared")),
         )
-        .where(F.col("jaccard") >= 0.9)
+        .where(F.col("jaccard") >= threshold)
         .select(F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"),
                 "jaccard")
     )
 
-    # 4. expand back to member pairs (membership is doc-count scale)
     mem = grp.select("rep", F.explode("members").alias("doc"))
     intra = (
         mem.alias("x")
@@ -334,6 +316,40 @@ def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return intra.unionByName(cross)
+
+
+@REG.add(
+    "q29_minhash_lsh",
+    None,
+    doc="MinHash(72) + LSH(6 bands x 12 rows) near-dup pairs with exact "
+    "Jaccard >= 0.9. Scale shape: identical word-sets collapse to one "
+    "representative FIRST (groupBy on the set — one shuffle), LSH and "
+    "the exact verification run on representatives only, and member "
+    "pairs are expanded back by two cheap membership joins at the end "
+    "(the _collapse_verify_expand tail, shared with q73). Rows-only "
+    "for the driver (xxhash64 has no DuckDB equivalent — q73 is the "
+    "oracle-checked md5-mode twin); recall vs exact Jaccard gated in "
+    "tests/test_text_dedup_similarity.py.",
+    tags=("dedup", "lsh"),
+)
+def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # sorted xxhash64 word sets: (a) set equality is array equality
+    # regardless of word order, (b) every downstream intersect compares
+    # longs, not strings. Hash collisions are negligible at 64 bits.
+    t = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.transform(distinct_words("text"), lambda w: F.xxhash64(w))
+        ).alias("ws"),
+    )
+    return _collapse_verify_expand(
+        t,
+        lambda reps: lsh_candidate_pairs(
+            _signatures_from_hashed_ws(reps, keep_size=True),
+            size_ratio=0.9,
+        ),
+    )
 
 
 # ---------------------------------------------------------------- SimHash
@@ -644,76 +660,28 @@ def q73_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_sort(distinct_words("text")).alias("ws")
     ).where(F.size("ws") > 0)
 
-    # 1. collapse identical word-sets (J=1 by definition)
-    grp = t.groupBy("ws").agg(
-        F.min("doc_id").alias("rep"),
-        F.collect_list("doc_id").alias("members"),
-    ).cache()
-    grp.count()  # eager: both branches below must hit the cache
-    reps = grp.select(F.col("rep").alias("doc_id"), "ws")
+    def md5_candidates(reps: DataFrame) -> DataFrame:
+        # signatures + banding over representatives (pure projections);
+        # no size-ratio prefilter here — the md5 string pipeline is the
+        # oracle twin, and the prefilter is result-invariant anyway
+        sig = reps.select(
+            "doc_id", F.expr(_md5_signature_sql(Q73_HASHES)).alias("sig")
+        )
+        banded = sig.select(
+            "doc_id",
+            F.expr(
+                f"explode({_md5_band_sql(Q73_BANDS, rows_per_band)})"
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+        return (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band", "bucket"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
 
-    # 2. signatures + banding over representatives (pure projections)
-    sig = reps.select(
-        "doc_id", "ws", F.expr(_md5_signature_sql(Q73_HASHES)).alias("sig")
-    )
-    banded = sig.select(
-        "doc_id",
-        F.expr(
-            f"explode({_md5_band_sql(Q73_BANDS, rows_per_band)})"
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-
-    # 3. exact verification at rep level (string-array intersect)
-    ws_a = reps.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
-    ws_b = reps.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
-    shared = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
-    ver = (
-        cand.join(ws_a, "doc_a")
-        .join(ws_b, "doc_b")
-        .withColumn("shared", shared)
-        .withColumn(
-            "jaccard",
-            F.col("shared").cast("double")
-            / (F.size("ws_a") + F.size("ws_b") - F.col("shared")),
-        )
-        .where(F.col("jaccard") >= 0.9)
-        .select(
-            F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"),
-            "jaccard",
-        )
-    )
-
-    # 4. expand back to member pairs
-    mem = grp.select("rep", F.explode("members").alias("doc"))
-    intra = (
-        mem.alias("x")
-        .join(mem.alias("y"), "rep")
-        .where(F.col("x.doc") < F.col("y.doc"))
-        .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    ma = mem.select(F.col("rep").alias("rep_a"), F.col("doc").alias("da"))
-    mb = mem.select(F.col("rep").alias("rep_b"), F.col("doc").alias("db"))
-    cross = (
-        ver.join(ma, "rep_a")
-        .join(mb, "rep_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    return intra.unionByName(cross)
+    return _collapse_verify_expand(t, md5_candidates)

@@ -295,13 +295,18 @@ def q74_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         prev = None
     spark.conf.set(bcast_key, "-1")
-    joined, names, work = bucketed_join_frame(spark, sf_dir)
+    # Everything after the conf change sits under the finally: a failed
+    # table write must still restore broadcast joins for the shared
+    # driver session and drop whatever tables/dirs it managed to create.
+    work = None
     try:
+        joined, names, work = bucketed_join_frame(spark, sf_dir)
         return spark.createDataFrame(joined.collect(), joined.schema)
     finally:
-        for name in names:
+        for name in ("hcdc_b_orders", "hcdc_b_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(work, ignore_errors=True)
+        if work is not None:
+            shutil.rmtree(work, ignore_errors=True)
         if prev is not None:
             spark.conf.set(bcast_key, prev)
         else:

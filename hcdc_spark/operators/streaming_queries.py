@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hcdc_spark.operators import goldens
-from hcdc_spark.registry import Registry
+from hcdc_spark.registry import Registry, values_oracle
 from hcdc_spark.session import scoped_shuffle_partitions as _small_shuffle
 
 REG = Registry()
@@ -29,7 +29,7 @@ REG = Registry()
 
 @REG.add(
     "c04_stream_reconcile",
-    goldens.values_oracle(goldens.C04_SCHEMA, goldens.C04_ROWS),
+    values_oracle(goldens.C04_SCHEMA, goldens.C04_ROWS),
     doc="Streaming CDC reconciler (applyInPandasWithState keyed by "
     "inode) over a deterministic event log split into two segment "
     "files / micro-batches. The seed-7 log is deterministic, so the "
@@ -58,7 +58,7 @@ def c04_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, src, out, ckpt, max_files_per_trigger=1,
                 available_now=True,
             )
-            q.awaitTermination(300)
+            _await_drained(q, "c04_stream_reconcile")
             return spark.createDataFrame(
                 latest_state(spark, out)
                 .select(
@@ -79,6 +79,18 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     return event_stream(spark, sf_dir)
 
 
+def _await_drained(q, label: str, timeout: int = 300) -> None:
+    """awaitTermination with the timeout made LOUD: on a hung stream
+    the memory table would otherwise be read half-filled (a silent
+    wrong answer) and the caller's cleanup would rmtree the source out
+    from under a still-running query."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"{label}: stream did not drain within {timeout}s"
+        )
+
+
 def _drain(df, name: str, ckpt: str, mode: str = "append"):
     q = (
         df.writeStream.outputMode(mode)
@@ -88,7 +100,7 @@ def _drain(df, name: str, ckpt: str, mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_drained(q, name)
     return df.sparkSession.table(name)
 
 
@@ -190,7 +202,7 @@ def c10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c08_cdc_pipeline",
-    goldens.values_oracle(goldens.C08_SCHEMA, goldens.C08_ROWS),
+    values_oracle(goldens.C08_SCHEMA, goldens.C08_ROWS),
     doc="Full CDC pipeline in one streaming query: event segments → "
     "registry match → stateful fold → staging materialization + "
     "change_data pointers. Returns the entity row counts read back "
@@ -244,7 +256,7 @@ def c08_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 staging_dir=os.path.join(work, "staging"),
                 available_now=True,
             )
-            q.awaitTermination(300)
+            _await_drained(q, "c08_cdc_pipeline")
             ent = read_entity(
                 spark, os.path.join(work, "staging"), "sales", "customers"
             )
@@ -299,7 +311,7 @@ def c05_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_drained(q, name)
             out = spark.table(name).select(
                 F.unix_millis(F.col("win.start")).alias("win_start_ms"),
                 "event_type",
@@ -455,7 +467,7 @@ def c13_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_drained(q, name)
             out = spark.table(name).select(
                 "user_id",
                 F.unix_millis(F.col("sess.start")).alias("session_start_ms"),
@@ -505,7 +517,7 @@ def c14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_drained(q, name)
             out = (
                 spark.table(name)
                 .groupBy("event_type")
@@ -595,7 +607,7 @@ def c17_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_drained(q, name)
             out = spark.table(name).select(
                 ((F.unix_timestamp(F.col("win.start")) - base) / 60)
                 .cast("bigint")

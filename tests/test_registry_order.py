@@ -56,7 +56,7 @@ def _union_green() -> set[str]:
     """Names with a green driver row in any recorded round."""
     seen: set[str] = set()
     root = pathlib.Path(__file__).resolve().parent.parent
-    for p in sorted(root.glob("CORRECTNESS_r0*.json")):
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 seen.add(name)
@@ -88,7 +88,7 @@ def test_new_queries_land_inside_first_50():
     """Anything without any driver row yet is new → must be verified."""
     seen: set[str] = set()
     root = pathlib.Path(__file__).resolve().parent.parent
-    for p in root.glob("CORRECTNESS_r0*.json"):
+    for p in root.glob("CORRECTNESS_r*.json"):
         seen |= set(json.loads(p.read_text()).keys())
     names = list(E.queries().keys())
     new = [n for n in names if n not in seen]
