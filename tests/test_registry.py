@@ -71,3 +71,26 @@ def test_apply_registry_fills_columns(spark):
     assert m.count() > 0
     assert m.where(~F.col("path").startswith("/data/d0/")).count() == 0
     assert tagged.where(F.col("domain").isNull()).count() > 0
+
+
+def test_values_oracle_rendering():
+    """The golden VALUES renderer must survive quotes, NULLs and
+    booleans — a silent escaping bug here corrupts every golden
+    oracle at once."""
+    import duckdb
+
+    from hcdc_spark.registry import values_oracle
+
+    schema = [("s", "string"), ("n", "bigint"), ("b", "boolean"),
+              ("i", "int"), ("d", "double")]
+    rows = [
+        ("it's a 'quoted' path", 9, True, 3, 1.5),
+        (None, None, None, None, None),
+    ]
+    sql = values_oracle(schema, rows)
+    con = duckdb.connect()  # hold the connection: rel is lazy
+    rel = con.sql(sql)
+    assert rel.columns == ["s", "n", "b", "i", "d"]
+    got = rel.fetchall()
+    assert got[0] == ("it's a 'quoted' path", 9, True, 3, 1.5)
+    assert got[1] == (None, None, None, None, None)
