@@ -21,7 +21,7 @@ the standard reconciler, same as ``bootstrap_from_listing``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -246,9 +246,9 @@ def bootstrap_from_fsimage(
         """.format(dbs=default_block_size)
     )
 
-    ranked = files.withColumn(
-        "_rank", F.row_number().over(Window.orderBy("path"))
-    )
+    from hcdc_spark.cdc.snapshot import contiguous_rank
+
+    ranked = contiguous_rank(files, "path")
     ev = ranked.select(
         (F.lit(base_tx) + F.col("_rank")).alias("tx_id"),
         F.lit("CLOSE").alias("op"),

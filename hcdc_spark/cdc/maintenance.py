@@ -41,6 +41,11 @@ def compact_state_log(
     """
     log_path = os.path.join(out_dir, "file_state_log")
     log = spark.read.parquet(log_path)
+    # The streaming reconciler stamps batch_id; batch outputs written by
+    # the CLI's bootstrap/reconcile commands don't carry it — compaction
+    # must work on both (review r4: compact after reconcile crashed).
+    if "batch_id" not in log.columns:
+        log = log.withColumn("batch_id", F.lit(0).cast("long"))
     w = Window.partitionBy("inode_id").orderBy(
         F.col("batch_id").desc(), F.col("last_tx_id").desc()
     )
@@ -79,7 +84,12 @@ def gc_change_data(spark: SparkSession, staging_dir: str) -> int:
     Returns the number of live pointer rows."""
     ptr_path = os.path.join(staging_dir, "change_data")
     ptr = spark.read.parquet(ptr_path)
-    w = Window.partitionBy("src_path").orderBy(F.col("last_tx_id").desc())
+    # batch_tag desc as tie-breaker: re-materializations of the same
+    # file carry the same last_tx_id, and the kept pointer must be the
+    # one read_entity serves (same ordering, materialize.read_entity).
+    w = Window.partitionBy("src_path").orderBy(
+        F.col("last_tx_id").desc(), F.col("batch_tag").desc()
+    )
     live = (
         ptr.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

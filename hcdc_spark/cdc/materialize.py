@@ -78,12 +78,28 @@ def avro_available(spark: SparkSession) -> bool:
 
 
 def detect_format(spark: SparkSession, path_glob: str) -> DataFrame:
-    """(path, detected file_type) via magic-byte prefix over binaryFile.
+    """(path, detected file_type) via magic-byte prefix; extension is
+    the fallback, UNKNOWN otherwise.
 
-    Column-pruned: only the first bytes of `content` are examined per
-    file; extension is the fallback, UNKNOWN otherwise.
+    The listing is a metadata-only binaryFile projection; the magic
+    bytes come from a seek-read of each file's FIRST 8 BYTES through
+    ``read_block_ranges`` — referencing binaryFile's ``content`` column
+    materializes whole files (substring does not push down), which at
+    TB-directory scale would read every byte just to inspect four
+    (review r4; same S7 machinery as q61).
     """
-    bin_df = spark.read.format("binaryFile").load(path_glob)
+    from hcdc_spark.sources.readers import read_block_ranges
+
+    listing = (
+        spark.read.format("binaryFile").load(path_glob)
+        .select("path", "length")
+    )
+    ranges = listing.select(
+        "path",
+        F.lit(0).cast("long").alias("offset"),
+        F.least(F.col("length"), F.lit(8)).cast("long").alias("length"),
+    )
+    bin_df = read_block_ranges(spark, ranges)
     head = F.substring(F.col("content").cast("string"), 1, 4)
     by_magic = F.lit(None).cast("string")
     for magic, ftype in reversed(_MAGIC):
@@ -339,7 +355,13 @@ def read_entity(
     ptr = change_data(spark, staging_dir).where(
         (F.col("domain") == domain) & (F.col("entity") == entity)
     )
-    w = Window.partitionBy("src_path").orderBy(F.col("last_tx_id").desc())
+    # batch_tag desc as tie-breaker: re-materializations of an unchanged
+    # file carry the same last_tx_id, so last_tx_id alone picks an
+    # arbitrary batch per query (review r4); replica_state and
+    # gc_change_data order the same way.
+    w = Window.partitionBy("src_path").orderBy(
+        F.col("last_tx_id").desc(), F.col("batch_tag").desc()
+    )
     latest = (
         ptr.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

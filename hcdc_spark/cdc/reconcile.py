@@ -39,7 +39,15 @@ _FOLD_OUTPUT_SCHEMA = T.StructType(
     + [T.StructField("errors", T.ArrayType(ERROR_SCHEMA))]
 )
 
-_FILE_OPS_SETTING_PATH = ("ADD_FILE",)
+# Ops that only ever target FILE inodes — seeing an inode under any of
+# these proves it is not a directory (dirs receive only DELETE/RENAME).
+_FILE_ONLY_OPS = (
+    "ADD_FILE", "ADD_BLOCK", "UPDATE_BLOCKS", "APPEND", "TRUNCATE", "CLOSE",
+)
+# Ops that (re)assert an inode's path: ADD_FILE creates it, CLOSE
+# re-asserts it — crucially including Snapshot/Backlog bootstrap CLOSEs,
+# which create files with no ADD_FILE at all (cdc/snapshot.py).
+_PATH_SETTING_OPS = ("ADD_FILE", "CLOSE")
 
 
 def detect_tx_gaps(events: DataFrame) -> DataFrame:
@@ -85,9 +93,9 @@ def _path_history(events: DataFrame, seed: DataFrame | None = None) -> DataFrame
     """(inode_id, tx_id, path, namespace) timeline; path NULL ⇒ deleted
     at that tx. ``seed`` (carried-over live paths from prior batches,
     pinned at tx_id=-1) joins the timeline below every in-log event."""
-    sets_path = events.where(F.col("op") == "ADD_FILE").select(
-        "inode_id", "tx_id", "path", "namespace"
-    )
+    sets_path = events.where(
+        F.col("op").isin(*_PATH_SETTING_OPS) & F.col("path").isNotNull()
+    ).select("inode_id", "tx_id", "path", "namespace")
     renames = events.where(
         (F.col("op") == "RENAME") & F.col("inode_id").isNotNull()
     ).select(
@@ -107,7 +115,7 @@ def _path_history(events: DataFrame, seed: DataFrame | None = None) -> DataFrame
 
 def _file_inodes(events: DataFrame, known: DataFrame | None = None) -> DataFrame:
     out = (
-        events.where(F.col("op") == "ADD_FILE")
+        events.where(F.col("op").isin(*_FILE_ONLY_OPS))
         .select("inode_id")
         .distinct()
     )
@@ -235,33 +243,42 @@ def _expand_round(
 def _overwrite_deletes(
     events: DataFrame, file_inodes: DataFrame, seed: DataFrame | None
 ) -> DataFrame:
-    """RENAME with OVERWRITE onto an existing file: synthesize the dest
-    DELETE (reference does this inline before the rename,
-    SourceTransactionProcessor.java:689-704). Runs on the fully
-    dir-expanded log so a file parked on the dest path by an earlier
-    directory rename is seen."""
-    file_renames = (
+    """Synthesize the occupant's DELETE when another file claims its
+    path: RENAME with OVERWRITE onto an existing file
+    (SourceTransactionProcessor.java:689-704), and ADD_FILE with
+    overwrite=true whose path is held by a DIFFERENT inode
+    (processAddFileTxMessage, SourceTransactionProcessor.java:48-73 —
+    the same-inode case is the statemachine's T9 branch). Runs on the
+    fully dir-expanded log so a file parked on the target path by an
+    earlier directory rename is seen."""
+    claim_cols = (
+        F.col("tx_id").alias("r_tx"),
+        F.col("ts").alias("r_ts"),
+        F.col("namespace").alias("r_ns"),
+        F.col("inode_id").alias("r_inode"),
+    )
+    renames = (
         events.where(
             (F.col("op") == "RENAME") & (F.col("rename_opts") == "OVERWRITE")
         )
         .join(file_inodes, "inode_id", "left_semi")
-        .select(
-            F.col("tx_id").alias("r_tx"),
-            F.col("dest_path").alias("r_dest"),
-            F.col("ts").alias("r_ts"),
-            F.col("namespace").alias("r_ns"),
-        )
+        .select(F.col("dest_path").alias("r_dest"), *claim_cols)
     )
+    adds = events.where(
+        (F.col("op") == "ADD_FILE") & (F.col("overwrite") == True)  # noqa: E712
+    ).select(F.col("path").alias("r_dest"), *claim_cols)
+    claims = renames.unionByName(adds)
     w2 = Window.partitionBy("r_tx", "inode_id").orderBy(F.col("tx_id").desc())
     return (
         _path_history(events, seed)
-        .join(F.broadcast(file_renames), F.col("tx_id") < F.col("r_tx"))
+        .join(F.broadcast(claims), F.col("tx_id") < F.col("r_tx"))
         .where(F.col("namespace").eqNullSafe(F.col("r_ns")))
         .withColumn("rn", F.row_number().over(w2))
         .where(
             (F.col("rn") == 1)
             & F.col("path").isNotNull()
             & (F.col("path") == F.col("r_dest"))
+            & (F.col("inode_id") != F.col("r_inode"))
         )
         .select(
             F.col("r_tx").alias("tx_id"),

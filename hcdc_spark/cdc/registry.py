@@ -56,12 +56,22 @@ def _suffix(path_col: Column, prefix: str) -> Column:
     return F.substring(path_col, len(prefix) + 1, 1_000_000)
 
 
+def _full_match(pattern: str) -> str:
+    """Anchor a regex for whole-string semantics: the reference matches
+    with java.util.regex ``Matcher.matches()`` (full match,
+    DomainFilterMatcher.java:27-30, 82-84) while Spark's ``rlike`` is a
+    partial ``find()`` — unanchored, '/tmp/(.*)' would ignore any path
+    merely CONTAINING '/tmp/' and rule regexes would match suffixes."""
+    return f"^(?:{pattern})$"
+
+
 def match_entity(path_col: Column, rules: list[DomainFilter]) -> Column:
     """STRUCT(domain, entity) for the first matching rule, else NULL.
 
     Matching semantics mirror DomainFilterMatcher.matches: the path must
-    start with the rule's directory prefix and the remainder must match
-    the rule's regex; globally-ignored paths never match.
+    start with the rule's directory prefix and the remainder must
+    full-match the rule's regex; globally-ignored paths (full-match of
+    the ignore regex) never match.
     """
     result = F.lit(None).cast("struct<domain:string,entity:string>")
     # First match wins → build the chain back-to-front.
@@ -69,14 +79,16 @@ def match_entity(path_col: Column, rules: list[DomainFilter]) -> Column:
         prefix = r.path_prefix.rstrip("/")
         cond = path_col.startswith(prefix + "/") & _suffix(
             path_col, prefix + "/"
-        ).rlike(r.regex)
+        ).rlike(_full_match(r.regex))
         result = F.when(
             cond,
             F.struct(
                 F.lit(r.domain).alias("domain"), F.lit(r.entity).alias("entity")
             ),
         ).otherwise(result)
-    return F.when(path_col.rlike(IGNORE_REGEX), F.lit(None)).otherwise(result)
+    return F.when(
+        path_col.rlike(_full_match(IGNORE_REGEX)), F.lit(None)
+    ).otherwise(result)
 
 
 def apply_registry(

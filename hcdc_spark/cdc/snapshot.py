@@ -42,6 +42,48 @@ def _ext_type():
     )
 
 
+def contiguous_rank(df: DataFrame, order_col: str) -> DataFrame:
+    """Append ``_rank``: a globally contiguous 1-based rank by
+    ``order_col`` — computed DISTRIBUTED, not via the single-task
+    ``Window.orderBy`` global window (which funnels every row through
+    one partition; at the advertised 10^9-file bootstrap scale that
+    serializes or OOMs — review r4; detect_tx_gaps documents the same
+    trap). Shape: range-partition by the key, rank within partitions,
+    add per-partition offsets (a partition-count-sized driver list).
+    The range partitioning is pinned with an eager localCheckpoint so
+    the offset pass and the final pass see identical partitions."""
+    from pyspark.sql import Window
+
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    parted = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    local = parted.withColumn("_lrank", F.row_number().over(w))
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            "_rank", F.col("_lrank") + F.coalesce(F.col("_off"), F.lit(0))
+        )
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
 def bootstrap_from_listing(
     spark: SparkSession,
     path_glob: str,
@@ -64,13 +106,7 @@ def bootstrap_from_listing(
         .load(path_glob)
         .select("path", "length", "modificationTime")
     )
-    ranked = listing.withColumn(
-        "_rank",
-        F.row_number().over(
-            __import__("pyspark.sql.window", fromlist=["Window"])
-            .Window.orderBy("path")
-        ),
-    )
+    ranked = contiguous_rank(listing, "path")
     ev = ranked.select(
         (F.lit(base_tx) + F.col("_rank")).alias("tx_id"),
         F.lit("CLOSE").alias("op"),
@@ -110,19 +146,24 @@ def bootstrap_from_listing(
     return ev.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields])
 
 
-def generate_snapshot(file_state: DataFrame) -> DataFrame:
+def generate_snapshot(
+    file_state: DataFrame, namespace: str = "ns1"
+) -> DataFrame:
     """T22: live file_state rows → synthetic Snapshot CLOSE events.
 
     Replaying these into an *empty* reconciler reproduces the state
     (round-trip gated in tests) — which is exactly how a downstream
-    target bootstraps without the full event history.
+    target bootstraps without the full event history. ``namespace``
+    stamps the events (FILE_STATE_SCHEMA carries none): pass the
+    pipeline's real namespace or downstream eqNullSafe cascade joins
+    silently skip the snapshot-seeded rows.
     """
     live = file_state.where(F.col("state") != "Deleted")
     ev = live.select(
         F.col("last_tx_id").alias("tx_id"),
         F.lit("CLOSE").alias("op"),
         F.col("updated_time").alias("ts"),
-        F.lit("ns1").alias("namespace"),
+        F.lit(namespace).alias("namespace"),
         "path",
         "inode_id",
         F.lit(None).cast("string").alias("dest_path"),
@@ -155,7 +196,9 @@ def generate_snapshot(file_state: DataFrame) -> DataFrame:
     return ev.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields])
 
 
-def backlog_events(file_state: DataFrame, snapshot_tx: int) -> DataFrame:
+def backlog_events(
+    file_state: DataFrame, snapshot_tx: int, namespace: str = "ns1"
+) -> DataFrame:
     """T23: Backlog CLOSE for files that moved past the snapshot tx.
 
     Each block carries the T16-compressed covering interval of its
@@ -177,7 +220,7 @@ def backlog_events(file_state: DataFrame, snapshot_tx: int) -> DataFrame:
         F.col("last_tx_id").alias("tx_id"),
         F.lit("CLOSE").alias("op"),
         F.col("updated_time").alias("ts"),
-        F.lit("ns1").alias("namespace"),
+        F.lit(namespace).alias("namespace"),
         "path",
         "inode_id",
         F.lit(None).cast("string").alias("dest_path"),

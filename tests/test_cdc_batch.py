@@ -426,3 +426,41 @@ def test_reconcile_is_input_order_independent(spark):
     a = reconcile_batch(events_df(spark, log)).drop("errors")
     b = reconcile_batch(events_df(spark, shuffled)).drop("errors")
     assert canon(a) == canon(b)
+
+
+def test_bootstrapped_files_cascade_and_classify(spark):
+    # Files created by Snapshot CLOSE (fsimage/listing bootstrap) have
+    # no ADD_FILE; a later file DELETE must stay a file op and a dir
+    # DELETE must cascade over them (review r4: _file_inodes /
+    # _path_history were ADD_FILE-only).
+    events = [
+        ev(1, "CLOSE", path="/data/d/f1", inode_id=1, length=10,
+           mode="Snapshot", file_type="CSV", blocks=[blk(1, size=10)]),
+        ev(2, "CLOSE", path="/data/d/f2", inode_id=2, length=10,
+           mode="Snapshot", file_type="CSV", blocks=[blk(2, size=10)]),
+        ev(3, "DELETE", path="/data/d/f1", inode_id=1),   # file delete
+        ev(4, "DELETE", path="/data/d", inode_id=900),    # dir delete
+    ]
+    state = {r["inode_id"]: r for r in
+             reconcile_batch(events_df(spark, events)).collect()}
+    assert state[1]["state"] == "Deleted"      # not eaten as a dir op
+    assert state[2]["state"] == "Deleted"      # cascaded over bootstrap
+    assert 900 not in state
+
+
+def test_add_file_overwrite_deletes_other_inode(spark):
+    # ADD_FILE overwrite=true onto a path held by a DIFFERENT inode
+    # must synthesize the occupant's DELETE (reference
+    # processAddFileTxMessage) — the same-inode case is T9.
+    events = [
+        ev(1, "ADD_FILE", path="/a/x", inode_id=1, blocks=[blk(1, size=5)]),
+        ev(2, "CLOSE", path="/a/x", inode_id=1, length=5,
+           blocks=[blk(1, size=5)]),
+        ev(3, "ADD_FILE", path="/a/x", inode_id=2, overwrite=True,
+           blocks=[blk(2)]),
+    ]
+    state = {r["inode_id"]: r for r in
+             reconcile_batch(events_df(spark, events)).collect()}
+    assert state[1]["state"] == "Deleted"
+    assert state[2]["state"] == "New"
+    assert state[2]["path"] == "/a/x"

@@ -94,3 +94,35 @@ def test_values_oracle_rendering():
     got = rel.fetchall()
     assert got[0] == ("it's a 'quoted' path", 9, True, 3, 1.5)
     assert got[1] == (None, None, None, None, None)
+
+
+def test_full_match_semantics(spark):
+    """The reference matches with Matcher.matches() (whole string):
+    a path merely CONTAINING /tmp/ must not be globally ignored, and a
+    rule regex must not match a longer suffix (review r4 anchoring)."""
+    got = _match(spark, [
+        "/data/csv/nested/tmp/a.csv",          # contains /tmp/, not under it
+        "/data/csv/a.csv.bak",                 # regex must not suffix-match
+    ])
+    # contains '/tmp/' but doesn't start with it -> NOT globally ignored,
+    # and the suffix full-matches the rule regex -> legitimate match
+    assert got["/data/csv/nested/tmp/a.csv"] == ("d2", "CSV_ONLY")
+    assert got["/data/csv/a.csv.bak"] is None
+
+
+def test_full_match_tmp_containing_path_still_matchable(spark):
+    rules = [DomainFilter("d", "E", "/user/alice", r".*\.csv")]
+    df = spark.createDataFrame(
+        [("/user/alice/tmp/part.csv",), ("/tmp/alice/part.csv",)],
+        "path string",
+    )
+    out = {
+        r["path"]: r["m"]
+        for r in df.select(
+            "path", match_entity(F.col("path"), rules).alias("m")
+        ).collect()
+    }
+    # contains '/tmp/' but does not START with it -> NOT globally ignored
+    assert out["/user/alice/tmp/part.csv"] is not None
+    # literally under /tmp/ -> ignored even if a rule matched
+    assert out["/tmp/alice/part.csv"] is None
