@@ -251,6 +251,25 @@ def _decode_op(op: int, r: _Reader) -> dict:
         return {"genstamp": r.i64()}
     if op == OP_ALLOCATE_BLOCK_ID:
         return {"block_id": r.i64()}
+    if op == OP_APPEND:
+        # AppendOp.readFields: path, clientName, clientMachine,
+        # newBlock boolean, rpc ids
+        return {"path": r.string(), "client_name": r.string(),
+                "client_machine": r.string(), "new_block": r.boolean(),
+                "rpc": r.rpc_ids()}
+    if op == OP_TRUNCATE:
+        # TruncateOp.readFields: src, clientName, clientMachine,
+        # newLength (fixed i64), timestamp (fixed i64), compact block
+        # array holding at most the truncate block — no rpc ids
+        out = {"path": r.string(), "client_name": r.string(),
+               "client_machine": r.string(), "new_length": r.i64(),
+               "timestamp": r.i64()}
+        blocks = r.compact_block_array()
+        if len(blocks) > 1:
+            raise ValueError("OP_TRUNCATE with more than one block")
+        if blocks:
+            out["truncate_block"] = blocks[0]
+        return out
     # Unknown/unhandled op: keep the raw payload, never crash the scan —
     # the reconciler treats it as IGNORE and the bytes stay auditable.
     return {"raw": r.take(r.remaining()).hex()}
@@ -385,36 +404,85 @@ def ops_to_change_events(
         elif code == OP_UPDATE_BLOCKS:
             ev.update(op="UPDATE_BLOCKS", path=rec["path"],
                       blocks=[_ev_block(b, None) for b in rec["blocks"]])
+        elif code == OP_APPEND:
+            ev.update(op="APPEND", path=rec["path"],
+                      new_block=rec["new_block"])
+        elif code == OP_TRUNCATE:
+            ev.update(op="TRUNCATE", path=rec["path"],
+                      ts=rec["timestamp"],
+                      truncate_new_length=rec["new_length"])
         out.append(ev)
     return out
 
 
-def resolve_inodes(events):
+def resolve_inodes(events, max_rounds: int = 10):
     """Fill missing ``inode_id`` from the latest prior op on the same
-    path that carried one.
+    path that carried one — RENAME-aware.
 
     The binary log only stamps inode ids on OP_ADD (OP_CLOSE writes 0,
     path-only ops write nothing); the reference resolves the rest
     against its state store (SourceTransactionProcessor path lookups).
     Relationally that lookup is one window per path — last known inode
     at or before each txid — a single shuffle by path, embarrassingly
-    parallel across paths at any log size. The downstream fold keys by
-    inode, so this is what lets ADD/ADD_BLOCK/CLOSE/RENAME of one file
-    land in one state group.
+    parallel across paths at any log size.
+
+    A resolved RENAME additionally re-asserts its inode at the
+    DESTINATION path (an alias row ordered just after the rename's tx),
+    so ops addressed by the post-rename path resolve too — without
+    this, OP_DELETE of '/b' after OP_RENAME '/a'→'/b' resolved no
+    inode and the delete silently vanished (review r4). Rename CHAINS
+    (a→b then b→c in one log) need one extra pass per link, so the
+    fill iterates to a fixpoint (bounded by ``max_rounds``; round
+    count ≈ chain depth, and almost always 1).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     w = (
         Window.partitionBy("path")
-        .orderBy("tx_id")
+        .orderBy("tx_id", "_alias")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    known = F.when(F.col("inode_id") > 0, F.col("inode_id"))
-    return events.withColumn(
-        "inode_id",
-        F.coalesce(known, F.last(known, ignorenulls=True).over(w)),
+    cur = events.withColumn(
+        "inode_id", F.when(F.col("inode_id") > 0, F.col("inode_id"))
     )
+    prev_unresolved = None
+    for _ in range(max_rounds):
+        ev_rows = cur.select(
+            "path", "tx_id",
+            F.col("inode_id").alias("_src_inode"),
+            F.lit(0).alias("_alias"),
+        )
+        alias_rows = cur.where(
+            (F.col("op") == "RENAME")
+            & F.col("inode_id").isNotNull()
+            & F.col("dest_path").isNotNull()
+        ).select(
+            F.col("dest_path").alias("path"), "tx_id",
+            F.col("inode_id").alias("_src_inode"),
+            F.lit(1).alias("_alias"),
+        )
+        filled = (
+            ev_rows.unionByName(alias_rows)
+            .withColumn(
+                "_fill", F.last("_src_inode", ignorenulls=True).over(w)
+            )
+            .where(F.col("_alias") == 0)
+            .select("tx_id", "_fill")
+        )
+        cur = (
+            cur.drop("inode_id")
+            .join(filled, "tx_id", "left")
+            .withColumnRenamed("_fill", "inode_id")
+        )
+        unresolved = cur.where(
+            F.col("inode_id").isNull() & F.col("path").isNotNull()
+        ).count()
+        if unresolved == 0 or unresolved == prev_unresolved:
+            break
+        prev_unresolved = unresolved
+        cur = cur.localCheckpoint(eager=False)  # bound loop lineage
+    return cur.select(*events.columns)
 
 
 def read_editlog_binary(

@@ -54,7 +54,9 @@ def write_table(
             if os.path.exists(path):
                 if mode == "overwrite":
                     shutil.rmtree(path)
-                elif mode in ("error", "errorifexists"):
+                elif mode == "ignore":
+                    return  # Spark contract: silent no-op on existing
+                else:  # error / errorifexists / unknown modes
                     raise FileExistsError(path)
             avro_codec.write_avro(df, path).collect()
             return

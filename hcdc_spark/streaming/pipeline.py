@@ -23,7 +23,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from hcdc_spark.cdc.registry import DomainFilter, apply_registry
 
@@ -46,7 +45,10 @@ def run_cdc_pipeline(
     SourceChangeDeltaProcessor without FileDeltaProcessor).
     """
     from hcdc_spark.cdc.materialize import materialize
-    from hcdc_spark.streaming.reconciler import reconcile_stream
+    from hcdc_spark.streaming.reconciler import (
+        reconcile_stream,
+        state_log_sink,
+    )
     from hcdc_spark.streaming.source import read_event_stream
 
     events = read_event_stream(spark, source_dir, max_files_per_trigger)
@@ -56,31 +58,22 @@ def run_cdc_pipeline(
     events = apply_registry(events, rules)
     updates = reconcile_stream(events)
 
-    state_log = os.path.join(out_dir, "file_state_log")
-    err_path = os.path.join(out_dir, "errors")
+    def _materialize_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if staging_dir is not None:
+            materialize(
+                spark,
+                batch_df,
+                staging_dir,
+                batch_tag=f"b{batch_id:010d}",
+                target_format=target_format,
+                registry_dir=registry_dir,
+            )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.withColumn("batch_id", F.lit(batch_id))
-        batch_df.persist()
-        try:
-            batch_df.drop("errors").write.mode("append").parquet(state_log)
-            errs = batch_df.select(
-                "batch_id", F.explode("errors").alias("e")
-            ).select("batch_id", "e.*")
-            if not errs.isEmpty():
-                errs.write.mode("append").parquet(err_path)
-            if staging_dir is not None:
-                materialize(
-                    spark,
-                    batch_df,
-                    staging_dir,
-                    batch_tag=f"b{batch_id:010d}",
-                    target_format=target_format,
-                    registry_dir=registry_dir,
-                )
-        finally:
-            batch_df.unpersist()
-
+    sink = state_log_sink(
+        os.path.join(out_dir, "file_state_log"),
+        os.path.join(out_dir, "errors"),
+        extra=_materialize_batch,
+    )
     writer = (
         updates.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)

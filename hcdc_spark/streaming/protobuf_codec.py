@@ -135,6 +135,14 @@ def decode_change_delta(buf: bytes) -> dict:
                 out["timestamp"] = val
         elif wt == 2:
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > len(buf):
+                # A standard protobuf decoder raises on truncated input;
+                # silently returning the short slice would hand
+                # consumers mangled field values (review r4).
+                raise ValueError(
+                    f"DFSChangeDelta field {field} truncated: need "
+                    f"{ln} bytes, {len(buf) - pos} remain"
+                )
             payload = buf[pos:pos + ln]
             pos += ln
             if field == 1:
@@ -358,6 +366,36 @@ def from_protobuf_delta(
     return df.withColumn(out_col, _dec(F.col(in_col)))
 
 
+#: Engine op → reference payload class simple name (data_block.proto
+#: message names; ChangeDeltaSerDe dispatches on this string). NOT
+#: derivable by initcap: initcap('ADD_FILE') is 'Add_file', so the old
+#: 'DFS'+initcap form emitted 'DFSAdd_file' for every multi-word op.
+_PAYLOAD_TYPES = {
+    "ADD_FILE": "DFSAddFile",
+    "APPEND": "DFSAppendFile",
+    "DELETE": "DFSDeleteFile",
+    "CONCAT_DELETE": "DFSDeleteFile",
+    "ADD_BLOCK": "DFSAddBlock",
+    "UPDATE_BLOCKS": "DFSUpdateBlocks",
+    "TRUNCATE": "DFSTruncateBlock",
+    "CLOSE": "DFSCloseFile",
+    "RENAME": "DFSRenameFile",
+    "IGNORE": "DFSIgnoreTx",
+    "ERROR": "DFSError",
+}
+
+
+def payload_type_col(op_col="op"):
+    """Column: the reference payload class name for an op code."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _PAYLOAD_TYPES.items() for x in kv]
+    )
+    return F.coalesce(
+        F.element_at(mapping, F.col(op_col)),
+        F.concat(F.lit("DFS"), F.initcap(op_col)),
+    )
+
+
 def kafka_envelope_protobuf(events: DataFrame) -> DataFrame:
     """Wire-format twin of ``kafka_sink.kafka_envelope``: key =
     ``domain::entity`` (K2 ordering), value = protobuf DFSChangeDelta
@@ -371,7 +409,7 @@ def kafka_envelope_protobuf(events: DataFrame) -> DataFrame:
         ).otherwise(
             F.coalesce("namespace", F.lit("default"))
         ).alias("entity"),
-        F.concat(F.lit("DFS"), F.initcap("op")).alias("type"),
+        payload_type_col("op").alias("type"),
         F.coalesce(F.col("ts"), F.lit(0)).alias("timestamp"),
         F.to_json(F.struct(*events.columns)).cast("binary").alias("body"),
         F.col("domain"),

@@ -94,6 +94,32 @@ def reconcile_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def state_log_sink(state_log: str, err_path: str, extra=None):
+    """foreachBatch sink: append the batch's updated states to the
+    state log + exploded errors to the dead-letter table (T25), then
+    run ``extra(batch_df, batch_id)`` for per-batch follow-on work
+    (the pipeline's materialize step). One implementation, two callers
+    — run_reconciler and run_cdc_pipeline previously duplicated this
+    line for line and had started to drift (review r4)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.withColumn("batch_id", F.lit(batch_id))
+        batch_df.persist()
+        try:
+            batch_df.drop("errors").write.mode("append").parquet(state_log)
+            errs = batch_df.select(
+                "batch_id", F.explode("errors").alias("e")
+            ).select("batch_id", "e.*")
+            if not errs.isEmpty():
+                errs.write.mode("append").parquet(err_path)
+            if extra is not None:
+                extra(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
 def run_reconciler(
     spark: SparkSession,
     source_dir: str,
@@ -116,22 +142,10 @@ def run_reconciler(
     events = read_event_stream(spark, source_dir, max_files_per_trigger)
     updates = reconcile_stream(events)
 
-    state_log = os.path.join(out_dir, "file_state_log")
-    err_path = os.path.join(out_dir, "errors")
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.withColumn("batch_id", F.lit(batch_id))
-        batch_df.persist()
-        try:
-            batch_df.drop("errors").write.mode("append").parquet(state_log)
-            errs = batch_df.select(
-                "batch_id", F.explode("errors").alias("e")
-            ).select("batch_id", "e.*")
-            if not errs.isEmpty():
-                errs.write.mode("append").parquet(err_path)
-        finally:
-            batch_df.unpersist()
-
+    sink = state_log_sink(
+        os.path.join(out_dir, "file_state_log"),
+        os.path.join(out_dir, "errors"),
+    )
     writer = (
         updates.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)

@@ -33,11 +33,19 @@ _PATH_LOG_COLS = ("inode_id", "path", "namespace", "last_tx", "batch_id")
 
 def live_paths(spark: SparkSession, paths_dir: str) -> DataFrame | None:
     """Current (inode_id, path, namespace) of live files from the path
-    log; None when the log doesn't exist yet (first batch)."""
+    log; None when the log doesn't exist yet (first batch). Only the
+    path-missing error is treated as 'first batch' — any other read
+    failure (corrupt footer, permissions, transient FS outage) must
+    surface, because silently expanding with prior_paths=None drops
+    directory-cascade coverage of every earlier micro-batch."""
+    from pyspark.errors import AnalysisException
+
     try:
         log = spark.read.parquet(paths_dir)
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
     w = Window.partitionBy("inode_id").orderBy(
         F.col("batch_id").desc(), F.col("last_tx").desc()
     )
@@ -49,10 +57,21 @@ def live_paths(spark: SparkSession, paths_dir: str) -> DataFrame | None:
 
 
 def _path_updates(expanded: DataFrame, batch_id: int) -> DataFrame:
-    """Last path-setting event per inode in this batch → path-log rows."""
-    sets = expanded.where(F.col("op") == "ADD_FILE").select(
-        "inode_id", "tx_id", "path", "namespace"
-    )
+    """Last path-setting event per inode in this batch → path-log rows.
+
+    Path-setting ops match cdc/reconcile._PATH_SETTING_OPS: ADD_FILE
+    creates, CLOSE re-asserts — including Snapshot/Backlog bootstrap
+    CLOSEs, which create files with NO ADD_FILE; without them a
+    bootstrapped file never entered the path log and later directory
+    cascades (and even its own file DELETE's classification) missed it.
+    """
+    from hcdc_spark.cdc.reconcile import _PATH_SETTING_OPS
+
+    sets = expanded.where(
+        F.col("op").isin(*_PATH_SETTING_OPS)
+        & F.col("path").isNotNull()
+        & F.col("inode_id").isNotNull()
+    ).select("inode_id", "tx_id", "path", "namespace")
     renames = expanded.where(
         (F.col("op") == "RENAME") & F.col("inode_id").isNotNull()
     ).select(
@@ -76,7 +95,13 @@ def _path_updates(expanded: DataFrame, batch_id: int) -> DataFrame:
 
 
 def compact_path_log(spark: SparkSession, paths_dir: str) -> None:
-    """Fold the append-only path log to its live rows (T27 analogue)."""
+    """Fold the append-only path log to its live rows (T27 analogue).
+
+    Run OFFLINE like compact_state_log — the rewriter stream must not
+    be appending concurrently (the final step rewrites the directory).
+    """
+    import shutil
+
     cur = live_paths(spark, paths_dir)
     if cur is None:
         return
@@ -86,6 +111,7 @@ def compact_path_log(spark: SparkSession, paths_dir: str) -> None:
     tmp = paths_dir.rstrip("/") + ".compact"
     snap.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(paths_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_rewriter(

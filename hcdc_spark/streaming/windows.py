@@ -60,11 +60,17 @@ def namespace_activity(
 def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """T4 at the stream level: drop duplicate (tx_id) deliveries within
     the watermark. The stateful fold's own guard covers replays beyond
-    it, so the two compose to exactly-once state effects."""
+    it, so the two compose to exactly-once state effects.
+
+    ``dropDuplicatesWithinWatermark``, NOT plain ``dropDuplicates``: the
+    watermark only evicts dedup state when the engine knows entries
+    expire — a bare dropDuplicates(['tx_id']) keeps one state entry per
+    txid forever (review r4: unbounded state growth on the unbounded
+    stream this module targets)."""
     return (
         with_event_time(events)
         .withWatermark("event_time", watermark)
-        .dropDuplicates(["tx_id"])
+        .dropDuplicatesWithinWatermark(["tx_id"])
     )
 
 

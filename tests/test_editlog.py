@@ -203,3 +203,96 @@ def test_modern_rename_with_options_roundtrip():
     ev = ops_to_change_events(ops)[0]
     assert ev["op"] == "RENAME" and ev["rename_opts"] == "OVERWRITE"
     assert ev["path"] == "/a/src" and ev["dest_path"] == "/a/dst"
+
+
+def _frame_records(*recs, layout=-63):
+    """Frame MULTIPLE (op, txid, payload) records into one segment."""
+    import struct
+    import zlib
+
+    out = struct.pack(">i", layout) + struct.pack(">i", 0)
+    for op, txid, payload in recs:
+        body = struct.pack(">q", txid) + payload
+        rec = bytes([op]) + struct.pack(">i", len(body) + 4) + body
+        crc = zlib.crc32(rec) & 0xFFFFFFFF
+        out += rec + struct.pack(">I", crc)
+    return out + bytes([0xFF])
+
+
+def _ustr(s):
+    import struct
+
+    b = s.encode()
+    return struct.pack(">H", len(b)) + b
+
+
+def _rpc():
+    import struct
+
+    return struct.pack(">H", 0) + struct.pack(">i", -2)
+
+
+def test_append_and_truncate_decode():
+    """OP_APPEND/OP_TRUNCATE were declared but undecoded — they fell to
+    the raw->IGNORE path and truncates never shrank state (review r4)."""
+    import struct
+
+    from hcdc_spark.sources.editlog import (
+        OP_APPEND,
+        OP_TRUNCATE,
+        decode_segment,
+        ops_to_change_events,
+    )
+
+    append_payload = (
+        _ustr("/x/f") + _ustr("client-1") + _ustr("host-1")
+        + bytes([1])                       # newBlock = true
+        + _rpc()
+    )
+    truncate_payload = (
+        _ustr("/x/f") + _ustr("client-1") + _ustr("host-1")
+        + struct.pack(">q", 130)           # newLength
+        + struct.pack(">q", 1700000000000)  # timestamp
+        + bytes([0])                       # compact block array: vint 0
+    )
+    seg = _frame_records(
+        (OP_APPEND, 70, append_payload),
+        (OP_TRUNCATE, 71, truncate_payload),
+    )
+    recs = decode_segment(seg)
+    assert [r["op_name"] for r in recs] == ["OP_APPEND", "OP_TRUNCATE"]
+    assert recs[0]["new_block"] is True
+    assert recs[1]["new_length"] == 130
+    evs = ops_to_change_events(recs)
+    assert evs[0]["op"] == "APPEND" and evs[0]["new_block"] is True
+    assert evs[1]["op"] == "TRUNCATE"
+    assert evs[1]["truncate_new_length"] == 130
+    assert evs[1]["ts"] == 1700000000000
+
+
+def test_resolve_inodes_follows_renames(spark):
+    """An op addressed by a file's post-rename path must resolve the
+    inode through the rename (review r4: the window was path-only, so
+    the delete of '/b' after rename '/a'->'/b' vanished)."""
+    from hcdc_spark.cdc.model import CHANGE_EVENT_SCHEMA
+    from hcdc_spark.sources.editlog import resolve_inodes
+
+    def ev(tx, op, path, inode=None, dest=None):
+        base = {f.name: None for f in CHANGE_EVENT_SCHEMA.fields}
+        base.update(tx_id=tx, op=op, path=path, inode_id=inode,
+                    dest_path=dest, namespace="hdfs", mode="New")
+        return base
+
+    rows = [
+        ev(1, "ADD_FILE", "/a", inode=5),
+        ev(2, "CLOSE", "/a", inode=0),          # binary CLOSE writes 0
+        ev(3, "RENAME", "/a", dest="/b"),
+        ev(4, "DELETE", "/b"),
+        # chained: /b -> /c, then op on /c (needs a second round)
+        ev(5, "RENAME", "/b", dest="/c"),
+        ev(6, "APPEND", "/c"),
+    ]
+    df = spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+    got = {r["tx_id"]: r["inode_id"]
+           for r in resolve_inodes(df).collect()}
+    assert got == {1: 5, 2: 5, 3: 5, 4: 5, 5: 5, 6: 5}

@@ -270,3 +270,30 @@ def test_dispatch_fallback_forced(spark, monkeypatch):
     assert (d["namespace"], d["tx_id"], d["entity"], d["type"],
             d["timestamp"], bytes(d["body"]), d["domain"],
             d["entity_name"]) == ("n", 1, "e", "t", 5, b"xyz", None, None)
+
+
+def test_truncated_field_raises():
+    """A length-delimited field whose declared length overruns the
+    buffer must raise, not return a silently-truncated decode."""
+    good = encode_change_delta("ns", 7, "e", "t", 1, b"payload")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_change_delta(good[:-3])
+
+
+def test_payload_type_names_match_reference(spark):
+    """Envelope field 4 must carry the reference's payload class simple
+    names (data_block.proto) — initcap('ADD_FILE') would have produced
+    'DFSAdd_file' (review r4)."""
+    from hcdc_spark.streaming.protobuf_codec import payload_type_col
+
+    ops = ["ADD_FILE", "UPDATE_BLOCKS", "CLOSE", "IGNORE", "TRUNCATE"]
+    df = spark.createDataFrame([(o,) for o in ops], "op string")
+    got = dict(
+        (r["op"], r["t"])
+        for r in df.select("op", payload_type_col("op").alias("t")).collect()
+    )
+    assert got == {
+        "ADD_FILE": "DFSAddFile", "UPDATE_BLOCKS": "DFSUpdateBlocks",
+        "CLOSE": "DFSCloseFile", "IGNORE": "DFSIgnoreTx",
+        "TRUNCATE": "DFSTruncateBlock",
+    }

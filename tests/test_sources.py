@@ -117,3 +117,18 @@ def test_read_block_ranges_file_uri_scheme(spark, tmp_path):
         )
         [r] = read_block_ranges(spark, ranges).collect()
         assert bytes(r["content"]) == b"world"
+
+
+def test_avro_fallback_write_mode_ignore(spark, tmp_path):
+    """mode='ignore' on the fallback avro writer must be a silent no-op
+    when the path exists (the Spark contract) — it previously fell
+    through and clobbered the existing files (review r4)."""
+    from hcdc_spark.sources import readers, writers
+
+    path = str(tmp_path / "t.avro")
+    df1 = spark.range(3).select(F.col("id").alias("v"))
+    writers.write_table(df1, path, fmt="avro")
+    df2 = spark.range(100).select(F.col("id").alias("v"))
+    writers.write_table(df2, path, fmt="avro", mode="ignore")
+    back = readers.read_avro(spark, path)
+    assert back.count() == 3  # original data untouched

@@ -338,3 +338,45 @@ def test_kafka_protobuf_transport_roundtrip(spark):
         e = orig[d["tx_id"]]
         assert body["op"] == e["op"] and body["path"] == e["path"]
         assert r["key"] == d["entity"]  # partitioning key == envelope entity
+
+
+def test_cascade_reaches_bootstrap_close_files(spark, tmp_path):
+    # Files created by Snapshot CLOSE (no ADD_FILE — the fsimage/listing
+    # bootstrap shape) in batch 1 must enter the rewriter's path log so
+    # a directory DELETE in batch 2 cascades over them (review r4: the
+    # path log recorded ADD_FILE only).
+    from hcdc_spark.cdc.model import empty_event
+    from hcdc_spark.streaming.pipeline import run_cdc_pipeline_cascading
+
+    def blk(bid, size):
+        return {
+            "block_id": bid, "size": size, "block_size": 1 << 20,
+            "generation_stamp": 1, "start_offset": 0,
+            "end_offset": size - 1, "delta_size": size, "deleted": False,
+        }
+
+    seg1 = [
+        empty_event(tx_id=1, op="CLOSE", ts=1000, namespace="ns1",
+                    path="/boot/d/f1", inode_id=11, length=10,
+                    file_type="CSV", blocks=[blk(1, 10)], mode="Snapshot"),
+        empty_event(tx_id=2, op="CLOSE", ts=2000, namespace="ns1",
+                    path="/boot/other/f2", inode_id=12, length=10,
+                    file_type="CSV", blocks=[blk(2, 10)], mode="Snapshot"),
+    ]
+    seg2 = [
+        empty_event(tx_id=3, op="DELETE", ts=3000, namespace="ns1",
+                    path="/boot/d", inode_id=900, mode="New"),
+    ]
+    src = str(tmp_path / "segments")
+    write_event_segment(spark, seg1, src, "edits_0000001")
+    write_event_segment(spark, seg2, src, "edits_0000002")
+
+    q = run_cdc_pipeline_cascading(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        rules=[], max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    state = {r["inode_id"]: r for r in
+             latest_state(spark, str(tmp_path / "out")).collect()}
+    assert state[11]["state"] == "Deleted"     # cascaded over bootstrap
+    assert state[12]["state"] == "Finalized"   # sibling dir untouched
