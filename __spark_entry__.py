@@ -26,10 +26,12 @@ from hcdc_spark.registry import Registry
 # now carry golden/read_blob/tolerance oracles, plus the new md5-LSH
 # query — and (b) currency: r2-green queries whose modules were edited
 # in round 3 (their greenness predates the code they now run). The
-# eight r2-green queries left outside the prefix (q09_cross_join,
-# q15_sort_limit, q39_{csv,json,orc}_roundtrip, q40, q46_null_safe_eq,
-# q50_pivot) are the ones whose function bodies are untouched since
-# their green row — only sibling edits landed in their modules. The five xxhash64-based LSH queries
+# ten r2-green queries left outside the prefix (q04_left_outer_join,
+# q06_semi_join, q09_cross_join, q15_sort_limit,
+# q39_{csv,json,orc}_roundtrip, q40, q46_null_safe_eq, q50_pivot) are
+# the ones whose function bodies are untouched since their green row —
+# only sibling edits landed in their modules. q28/q58 re-enter: their
+# pair pipeline was refactored onto a shared helper this round. The five xxhash64-based LSH queries
 # (q29/q36/q38/q52/q53) and q43 stay rows-only by design (no DuckDB
 # hash equivalent; q73 now driver-checks the LSH pipeline in md5 mode)
 # and sit past 50 with their rows-only status on record (r3).
@@ -48,10 +50,10 @@ _FIRST_50: tuple[str, ...] = (
     "q51_approx_distinct",
     "q74_bucketed_join",
     "c17_watermark_late_drop",
+    "q28_jaccard_pairs",
+    "q58_dedup_clusters",
     # B: currency rotation — r2-green, module edited in r3
     "q03_join_topn_revenue",
-    "q04_left_outer_join",
-    "q06_semi_join",
     "q07_anti_join",
     "q08_theta_join",
     "q11_rollup",

@@ -53,6 +53,48 @@ def q27_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard) same-lang pairs with exact word-set
+    Jaccard >= threshold, via the inverted-index token join — pairs are
+    generated only for documents that SHARE a token (explode tokens,
+    self-join on token, count shared), linear in corpus + shared-token
+    pairs, never the cross product. One implementation, two callers:
+    q28 (top pairs) and q58 (cluster edges) previously duplicated it."""
+    t = docs.select(
+        "doc_id", "lang", distinct_words("text").alias("ws")
+    ).withColumn("n_words", F.size("ws").cast("long"))
+    tokens = t.select(
+        "doc_id", "lang", "n_words", F.explode("ws").alias("w")
+    )
+    a = tokens.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_words").alias("n_a"),
+        "w",
+    )
+    b = tokens.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_words").alias("n_b"),
+        "w",
+    )
+    shared = (
+        a.join(b, ["w"])
+        .where(
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
 @REG.add(
     "q28_jaccard_pairs",
     f"""
@@ -78,36 +120,8 @@ def q27_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q28_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    t = docs.select(
-        "doc_id", "lang", distinct_words("text").alias("ws")
-    ).withColumn("n_words", F.size("ws").cast("long"))
-    tokens = t.select(
-        "doc_id", "lang", "n_words", F.explode("ws").alias("w")
-    )
-    a = tokens.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("n_words").alias("n_a"),
-        "w",
-    )
-    b = tokens.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("n_words").alias("n_b"),
-        "w",
-    )
-    shared = (
-        a.join(b, ["w"])
-        .where((F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    jac = F.col("shared").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("shared")
-    )
     return (
-        shared.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.95)
+        exact_jaccard_pairs(docs, 0.95)
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(200)
     )
@@ -192,11 +206,20 @@ def lsh_candidate_pairs(
     sig: DataFrame,
     n_bands: int = N_BANDS,
     size_ratio: float | None = None,
+    n_hashes: int = N_HASHES,
 ) -> DataFrame:
     """Band the signatures and join within buckets → candidate pairs.
 
     Bucket key = xxhash64 of the band's slice (long, not md5 string —
     shorter shuffle rows, no codec hop).
+
+    ``n_hashes`` MUST equal the width of the ``sig`` arrays actually
+    passed in: the band expressions index sig[0..n_hashes-1] literally,
+    and an out-of-range index silently evaluates to NULL (non-ANSI
+    array access) — with the old hardcoded global, signatures built
+    with a smaller n_hashes made every all-NULL band slice hash to one
+    shared bucket, turning the candidate set into an O(n^2) cross
+    product (review r4).
 
     ``size_ratio``: if given, ``sig`` must carry an ``n`` column (set
     size) and pairs with min(n)/max(n) < ratio are dropped *inside the
@@ -206,7 +229,11 @@ def lsh_candidate_pairs(
     is the difference between shipping arrays for every bucket
     collision and only for size-compatible ones.
     """
-    rows_per_band = N_HASHES // n_bands
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by n_bands={n_bands}"
+        )
+    rows_per_band = n_hashes // n_bands
     carry = ["doc_id", "n"] if size_ratio is not None else ["doc_id"]
     # one SQL string, not n_bands py4j struct trees (see signature note)
     bands_sql = ", ".join(
@@ -262,16 +289,18 @@ def _collapse_verify_expand(t: DataFrame, candidates_fn, threshold: float = 0.9)
     on corpora with heavy duplication that is the difference between
     touching thousands and millions of array intersections.
     """
+    # Eagerly materialize: grp feeds two branches of one action (reps →
+    # LSH/verify, members → expansion); left lazy, both branches race
+    # ahead and each recomputes the tokenize + groupBy (~25% slower end
+    # to end at sf0.1). localCheckpoint instead of cache+count: same
+    # one-job materialization, but the blocks are released when the
+    # plan is garbage-collected instead of pinning executor storage for
+    # the session's lifetime (the driver harness runs q29 and q73
+    # back-to-back in one long-lived session — review r4).
     grp = t.groupBy("ws").agg(
         F.min("doc_id").alias("rep"),
         F.collect_list("doc_id").alias("members"),
-    ).cache()
-    # Eagerly materialize: grp feeds two branches of one action (reps →
-    # LSH/verify, members → expansion); left lazy, both branches race
-    # ahead of cache population and each recomputes the tokenize +
-    # groupBy. One small job here makes every downstream read a cache
-    # hit (~25% faster end to end at sf0.1).
-    grp.count()
+    ).localCheckpoint(eager=True)
     reps = grp.select(F.col("rep").alias("doc_id"), "ws")
 
     cand = candidates_fn(reps)
@@ -480,33 +509,7 @@ def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    t = docs.select(
-        "doc_id", "lang", distinct_words("text").alias("ws")
-    ).withColumn("n_words", F.size("ws").cast("long"))
-    tokens = t.select(
-        "doc_id", "lang", "n_words", F.explode("ws").alias("w")
-    )
-    a = tokens.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-        F.col("n_words").alias("n_a"), "w",
-    )
-    b = tokens.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-        F.col("n_words").alias("n_b"), "w",
-    )
-    shared = (
-        a.join(b, ["w"])
-        .where(
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-        )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    jac = F.col("shared").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("shared")
-    )
-    pairs = shared.where(jac >= 0.95).select("doc_a", "doc_b")
+    pairs = exact_jaccard_pairs(docs, 0.95).select("doc_a", "doc_b")
 
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -558,6 +561,17 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new.drop("_chg")
         if rnd % 2 == 1 and new.where(F.col("_chg")).isEmpty():
             break
+    else:
+        # Cap exhausted: if labels were STILL changing, the clusters
+        # are not converged and returning them would be a silent wrong
+        # answer (the oracle computes the true transitive closure) —
+        # fail loudly instead (review r4). A >20-diameter near-dup
+        # chain is pathological for real corpora; raise the cap
+        # deliberately if one ever appears.
+        if not new.where(F.col("_chg")).isEmpty():
+            raise ValueError(
+                "q58 label propagation did not converge in 20 rounds"
+            )
     # test hook: rounds actually executed (job-count gates are too
     # AQE-noisy — every adaptive query stage is its own job)
     q58_dedup_clusters.last_rounds = rnd + 1

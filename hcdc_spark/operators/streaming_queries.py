@@ -59,15 +59,18 @@ def c04_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 available_now=True,
             )
             _await_drained(q, "c04_stream_reconcile")
-            return spark.createDataFrame(
+            res = (
                 latest_state(spark, out)
                 .select(
                     "inode_id", "path", "state", "data_size", "num_blocks",
                     "last_tx_id",
                 )
                 .orderBy("inode_id")
-                .collect()
             )
+            # pass the schema explicitly: row-based inference crashes on
+            # an empty or all-NULL-column result, masking the real
+            # failure the golden oracle would otherwise surface
+            return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -192,9 +192,10 @@ def test_q73_md5_lsh_candidate_join_on_band_bucket(spark, sf_dir):
     assert not I.has_cartesian(df)
     p = I.simple_plan(df)
     assert "bucket" in p  # band/bucket key reaches the join
-    # the collapsed rep table is served from cache, not recomputed per
-    # branch: the plan must reference the InMemoryRelation
-    assert "InMemoryRelation" in p
+    # the collapsed rep table is served from the eager localCheckpoint,
+    # not recomputed per branch: every consumer scans the checkpointed
+    # RDD instead of re-running the tokenize + groupBy
+    assert "ExistingRDD" in p
 
 
 def test_q74_bucketed_join_no_shuffle_into_join(spark, sf_dir):

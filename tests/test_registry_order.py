@@ -32,6 +32,12 @@ CHANGED_THIS_ROUND = {
     "q51_approx_distinct",
     "q74_bucketed_join",
     "c17_watermark_late_drop",
+    # refactors late in round 4 (shared jaccard helper, µs-precision
+    # as-of, LSH localCheckpoint) — changed implementations re-verify
+    "q28_jaccard_pairs",
+    "q58_dedup_clusters",
+    "q47_asof_join",
+    "q73_minhash_lsh_md5",
 }
 
 #: Long-green canaries that must stay in the prefix as regression tripwires.
