@@ -26,11 +26,17 @@ from hcdc_spark.registry import Registry
 # now carry golden/read_blob/tolerance oracles, plus the new md5-LSH
 # query — and (b) currency: r2-green queries whose modules were edited
 # in round 3 (their greenness predates the code they now run). The
-# ten r2-green queries left outside the prefix (q04_left_outer_join,
+# seventeen r2-green queries left outside the prefix (q04_left_outer_join,
 # q06_semi_join, q09_cross_join, q15_sort_limit,
-# q39_{csv,json,orc}_roundtrip, q40, q46_null_safe_eq, q50_pivot) are
+# q39_{csv,json,orc}_roundtrip, q40, q46_null_safe_eq, q50_pivot, and —
+# rotated out for the seven operators NEW this round, q75-q81 —
+# q17_string_functions, q18_datetime_functions, q19_conditional,
+# q20_json_extract, q23_scalar_subquery, q13_window_rank,
+# q14_window_analytic) are
 # the ones whose function bodies are untouched since their green row —
-# only sibling edits landed in their modules. q28/q58 re-enter: their
+# only sibling edits landed in their modules (analytics.py's only
+# non-additive hunk since r2 is the q11/q12 rewrite), and their DuckDB
+# oracles re-run in every pytest suite. q28/q58 re-enter: their
 # pair pipeline was refactored onto a shared helper this round. The five xxhash64-based LSH queries
 # (q29/q36/q38/q52/q53) and q43 stay rows-only by design (no DuckDB
 # hash equivalent; q73 now driver-checks the LSH pipeline in md5 mode)
@@ -52,21 +58,21 @@ _FIRST_50: tuple[str, ...] = (
     "c17_watermark_late_drop",
     "q28_jaccard_pairs",
     "q58_dedup_clusters",
+    "q75_scd2_history",
+    "q76_doc_chunking",
+    "q77_approx_percentile",
+    "q78_weighted_sample",
+    "q79_zorder_cluster",
+    "q80_histogram",
+    "q81_corr_stats",
     # B: currency rotation — r2-green, module edited in r3
     "q03_join_topn_revenue",
     "q07_anti_join",
     "q08_theta_join",
     "q11_rollup",
-    "q13_window_rank",
-    "q14_window_analytic",
     "q16_set_ops",
-    "q17_string_functions",
-    "q18_datetime_functions",
-    "q19_conditional",
-    "q20_json_extract",
     "q21_hash_functions",
     "q22_explode_wordcount",
-    "q23_scalar_subquery",
     "q30_text_quality",
     "q31_token_count",
     "q32_lang_id",

@@ -418,3 +418,327 @@ def q65_map_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.schema_of_json(F.lit('{"k": 69}')).alias("props_schema"),
         )
     )
+
+
+# ------------------------------------------------- SCD2 dimension build
+
+_SCD2_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type AS state, ts_ms AS valid_from, event_id
+      FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER w AS valid_to,
+           (LEAD(valid_from) OVER w IS NULL) AS is_current,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+    FROM changes WINDOW w AS (PARTITION BY user_id ORDER BY valid_from,
+                              event_id)
+"""
+
+
+@REG.add(
+    "q75_scd2_history",
+    _SCD2_ORACLE,
+    doc="Slowly-changing-dimension type-2 build from a CDC-style event "
+    "stream: per user, consecutive identical states collapse and each "
+    "state change opens a version row with [valid_from, valid_to) "
+    "millisecond bounds, is_current on the open row, and a dense "
+    "version number. Two window passes over the SAME (user_id) "
+    "partitioning — Catalyst plans one shuffle and reuses the sort, so "
+    "at 100 TB this is a single exchange by the dimension key (the "
+    "minimum any SCD2 build can do). Ties inside a millisecond break "
+    "on event_id on both sides, so the result is deterministic. Oracle "
+    "re-derives the identical history with DuckDB windows.",
+    tags=("cdc", "window", "scd2"),
+)
+def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    base = ev.select(
+        "user_id", "event_type", "event_id",
+        event_ts_ms().alias("ts_ms"),
+    )
+    w_in = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    changes = (
+        base.withColumn("prev_type", F.lag("event_type").over(w_in))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts_ms").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w_out = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_out).alias("valid_to"),
+        F.lead("valid_from").over(w_out).isNull().alias("is_current"),
+        F.row_number().over(w_out).cast("long").alias("version"),
+    )
+
+
+# ------------------------------------- approx percentile rank contract
+
+
+@REG.add(
+    "q77_approx_percentile",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           quantile_cont(l_quantity, 0.5) AS exact_p50,
+           TRUE AS within_rank_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approx_percentile (t-digest-style sketch) per group with its "
+    "accuracy CONTRACT surfaced, mirroring q51's shape: sketch "
+    "internals differ across engines, so the query emits the exact "
+    "interpolated median plus a boolean certifying the approximate "
+    "median's true rank lies within +-0.5% of n/2 (rank(ap50) checked "
+    "via one broadcast-join count pass: #values strictly below <= "
+    "0.505n and #values at-or-below >= 0.495n). The oracle recomputes "
+    "n and the exact median and emits the constant TRUE, so a hash "
+    "match certifies the sketch met its rank bound on every group. At "
+    "100 TB the sketch's mergeability (map-side partial agg, fixed "
+    "memory) is the point — the exact percentile needs a full sort.",
+    tags=("agg", "approx", "percentile"),
+)
+def q77_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("ap50")
+    )
+    return (
+        li.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.percentile("l_quantity", 0.5).alias("exact_p50"),
+            F.sum(
+                F.when(F.col("l_quantity") < F.col("ap50"), 1).otherwise(0)
+            ).alias("_lt"),
+            F.sum(
+                F.when(F.col("l_quantity") <= F.col("ap50"), 1).otherwise(0)
+            ).alias("_le"),
+        )
+        .select(
+            "l_returnflag",
+            "n_items",
+            "exact_p50",
+            (
+                (F.col("_lt") <= 0.505 * F.col("n_items"))
+                & (F.col("_le") >= 0.495 * F.col("n_items"))
+            ).alias("within_rank_bound"),
+        )
+    )
+
+
+# ----------------------------------------------- z-order layout key
+
+
+def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton (z-order) interleave of two ``bits``-bit dimensions.
+
+    Pure integer arithmetic (shift/mask/or) — stays inside whole-stage
+    codegen, no UDF. Sorting or range-partitioning a table by this key
+    co-locates rows that are close in BOTH dimensions, so min/max file
+    statistics prune scans for predicates on either column — the
+    standard multi-dimensional clustering trick for 100 TB layouts
+    (Delta/Iceberg Z-ORDER is this exact key feeding a range partition).
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def _zorder_oracle() -> str:
+    xbits = " + ".join(f"(((x >> {i}) & 1) << {2 * i})" for i in range(10))
+    ybits = " + ".join(
+        f"(((y >> {i}) & 1) << {2 * i + 1})" for i in range(10)
+    )
+    return f"""
+    WITH d AS (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y
+               FROM lineitem),
+    z AS (SELECT x, y, ({xbits}) + ({ybits}) AS zval FROM d)
+    SELECT zval >> 14 AS bucket, COUNT(*) AS n_rows,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM z GROUP BY bucket
+    """
+
+
+@REG.add(
+    "q79_zorder_cluster",
+    _zorder_oracle(),
+    doc="Z-order (Morton) clustering key over two join/filter "
+    "dimensions, demonstrated as the layout audit a 100 TB table "
+    "maintenance job runs: interleave 10 bits of each dimension into a "
+    "20-bit z-value, bucket rows by the z-range a file would hold "
+    "(top 6 bits), and report per-bucket min/max of BOTH dimensions — "
+    "the exact statistics a scan would prune on. The key is built by "
+    "``zorder_key`` (shift/mask expressions, zero UDFs); the oracle "
+    "recomputes the identical interleave with DuckDB bit arithmetic.",
+    tags=("layout", "clustering", "scale"),
+)
+def q79_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    d = li.select(
+        (F.col("l_orderkey") % 1024).alias("x"),
+        (F.col("l_partkey") % 1024).alias("y"),
+    )
+    return (
+        d.withColumn("zval", zorder_key(F.col("x"), F.col("y")))
+        .groupBy(F.shiftright("zval", 14).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+# --------------------------------------------- histogram / binning
+
+
+@REG.add(
+    "q80_histogram",
+    """
+    WITH b AS (
+      SELECT l_extendedprice AS price,
+             LEAST(21, GREATEST(0,
+               CAST(FLOOR((l_extendedprice - 900.0) / 104100.0 * 20)
+                    AS INT) + 1)) AS bin
+      FROM lineitem)
+    SELECT bin, COUNT(*) AS n_rows,
+           MIN(price) AS bin_lo, MAX(price) AS bin_hi
+    FROM b GROUP BY bin
+    """,
+    doc="Equi-width histogram (20 bins over [900, 105000) plus the two "
+    "width_bucket-style overflow bins 0 and 21): the per-bin count and "
+    "observed min/max a profiler or optimizer collects. The bin "
+    "expression is written identically in both engines — one subtract, "
+    "one divide, one multiply, floor — so every IEEE intermediate is "
+    "bit-identical (DuckDB has no width_bucket; Spark's builtin "
+    "width_bucket is cross-checked against this formula in pytest). "
+    "One shuffle of 22 partial rows per task at any scale — histograms "
+    "are the canonical map-side-combine aggregate.",
+    tags=("agg", "histogram", "profile"),
+)
+def q80_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    bin_col = F.least(
+        F.lit(21),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("l_extendedprice") - F.lit(900.0))
+                / F.lit(104100.0)
+                * F.lit(20)
+            ).cast("int")
+            + F.lit(1),
+        ),
+    )
+    return (
+        li.select(F.col("l_extendedprice").alias("price"), bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("price").alias("bin_lo"),
+            F.max("price").alias("bin_hi"),
+        )
+    )
+
+
+# ------------------------------------- exact-moment statistics (corr)
+
+
+@REG.add(
+    "q81_corr_stats",
+    """
+    WITH b AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM b GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+           sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+             AS stddev_qty,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_price
+    FROM m
+    """,
+    doc="Sample stddev + Pearson correlation per group, computed from "
+    "EXACT integer moments (sums of x, y, x², y², xy over integer-"
+    "valued columns — quantity and floor-dollars price) and only then "
+    "combined in double arithmetic. Native corr()/stddev() stream "
+    "incremental float updates whose result depends on row order — "
+    "unusable for a hash-compared contract and nondeterministic under "
+    "retries at scale; the moment form is one map-side-combinable "
+    "shuffle of 7 exact integers per group, order-independent, and "
+    "bit-reproducible across engines AND across reruns (the IEEE ops "
+    "on the exact moments are the same every time). BIGINT moments "
+    "hold to ~10^9 rows of these magnitudes; beyond that switch the "
+    "moment sums to DECIMAL(38,0).",
+    tags=("agg", "stats", "corr"),
+)
+def q81_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor("l_extendedprice").cast("long").alias("y"),
+    )
+    m = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        (sx / nd).alias("mean_qty"),
+        F.sqrt(var_x / (nd * (F.col("n") - 1).cast("double"))).alias(
+            "stddev_qty"
+        ),
+        ((nd * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y))).alias(
+            "corr_qty_price"
+        ),
+    )

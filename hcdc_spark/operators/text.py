@@ -752,3 +752,110 @@ def q69_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "trigram")
         .limit(20)
     )
+
+
+# ------------------------------------------------- document chunking
+
+#: Chunk geometry: 200-char windows every 150 chars → 50-char overlap.
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+@REG.add(
+    "q76_doc_chunking",
+    f"""
+    WITH starts AS (
+      SELECT doc_id,
+             text,
+             UNNEST(generate_series(1, GREATEST(1, CAST(n_chars AS INT)),
+                                    {CHUNK_STRIDE})) AS start
+      FROM documents)
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start,
+           LENGTH(substring(text, CAST(start AS INT), {CHUNK_SIZE}))
+             AS chunk_chars,
+           md5(substring(text, CAST(start AS INT), {CHUNK_SIZE}))
+             AS chunk_md5
+    FROM starts
+    """,
+    doc="Fixed-window document chunking with overlap (RAG / context-"
+    "window prep): each document explodes into 200-char chunks every "
+    "150 chars (50-char overlap), identified by (doc_id, chunk_id) "
+    "with its start offset. The result surfaces chunk length + md5 "
+    "instead of the chunk text so the driver compare stays small while "
+    "still pinning every chunk's exact bytes. Pure builtins — sequence "
+    "+ posexplode + substring — so chunking is a shuffle-free scan-side "
+    "explode at 100 TB; downstream writers see ~n_chars/150 rows per "
+    "doc with bounded width.",
+    tags=("text", "pipeline", "chunking"),
+)
+def q76_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.col("n_chars").cast("int")),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.expr(f"substring(text, start, {CHUNK_SIZE})")
+    return (
+        docs.select(
+            "doc_id", "text", F.posexplode(starts).alias("pos", "start")
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("start"),
+            F.length(chunk).alias("chunk_chars"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+# -------------------------------------- deterministic weighted sample
+
+
+@REG.add(
+    "q78_weighted_sample",
+    """
+    SELECT doc_id, n_chars AS weight,
+           CAST(CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS
+             VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             / GREATEST(n_chars, 1) AS priority
+    FROM documents ORDER BY priority, doc_id LIMIT 50
+    """,
+    doc="Deterministic weighted sampling (k=50) by hash priority: each "
+    "doc draws a reproducible uniform 32-bit value from md5 of its "
+    "stable id, divides by its weight (n_chars), and the k smallest "
+    "priorities win — heavier docs get proportionally smaller "
+    "priorities, so inclusion odds scale with weight while the sample "
+    "is replayable across runs and engines (no rand()). The only "
+    "float op is one int/int IEEE division, bit-identical in both "
+    "engines; ties break on doc_id. Spark plans orderBy+limit as "
+    "TakeOrdered — a per-partition top-k then a k-row driver merge, "
+    "no global sort — which is the correct 100 TB shape for any "
+    "weighted corpus draw.",
+    tags=("text", "pipeline", "sampling"),
+)
+def q78_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            (
+                v.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+            ).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(50)
+    )

@@ -63,3 +63,112 @@ def test_asof_join_semantics(spark):
     # a(t=10) matches r10 (<=), b(t=20) matches r15, c(t=5) no match,
     # d(k=2,t=7) has only a future right row -> no match
     assert out == {"a": "r10", "b": "r15", "c": None, "d": None}
+
+
+def test_scd2_interval_invariants(spark, sf_dir):
+    """SCD2 contract: per user, versions are dense 1..k, intervals chain
+    exactly (valid_to == next valid_from), exactly one open row, and no
+    two consecutive versions carry the same state."""
+    rows = X.q75_scd2_history(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, hist in by_user.items():
+        hist.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(r["is_current"] for r in hist) == 1
+        assert hist[-1]["is_current"] and hist[-1]["valid_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+            assert a["state"] != b["state"], uid
+
+
+def test_zorder_key_known_values(spark):
+    """Morton interleave spot-checks: zorder_key(x, y) must place x bits
+    at even positions and y bits at odd positions."""
+    df = spark.createDataFrame(
+        [(0, 0), (3, 1), (1, 3), (1023, 0), (0, 1023), (1023, 1023)],
+        "x int, y int",
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", X.zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y)
+    assert got[(3, 1)] == 0b0111
+    assert got[(1023, 1023)] == (1 << 20) - 1
+
+
+def test_zorder_buckets_bound_both_dims(spark, sf_dir):
+    """The layout property the query audits: a z-range bucket bounds
+    BOTH dimensions (each bucket spans at most 1/8 of one dim and 1/8
+    of the other — 6 fixed top bits = 3 bits of each dimension)."""
+    rows = X.q79_zorder_cluster(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["x_max"] - r["x_min"] < 128, r
+        assert r["y_max"] - r["y_min"] < 128, r
+
+
+def test_histogram_bin_matches_width_bucket_builtin(spark, sf_dir):
+    """q80's hand-rolled bin formula exists only because DuckDB lacks
+    width_bucket; Spark's builtin must agree with it on every row (the
+    data sits far from any bin-edge float boundary)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    manual = F.least(
+        F.lit(21),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("l_extendedprice") - F.lit(900.0))
+                / F.lit(104100.0)
+                * F.lit(20)
+            ).cast("int")
+            + F.lit(1),
+        ),
+    )
+    builtin = F.width_bucket(
+        F.col("l_extendedprice"), F.lit(900.0), F.lit(105000.0), F.lit(20)
+    ).cast("int")
+    n_disagree = (
+        li.select(manual.alias("m"), builtin.alias("b"))
+        .where(F.col("m") != F.col("b"))
+        .count()
+    )
+    assert n_disagree == 0
+    # histogram totals cover every row exactly once
+    rows = X.q80_histogram(spark, sf_dir).collect()
+    assert sum(r["n_rows"] for r in rows) == li.count()
+
+
+def test_corr_stats_close_to_native(spark, sf_dir):
+    """The exact-moment corr/stddev must agree with Spark's native
+    streaming corr()/stddev_samp() to float tolerance — same statistic,
+    different (order-dependent) summation."""
+    got = {r["l_returnflag"]: r for r in X.q81_corr_stats(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    native = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.corr(F.col("l_quantity"), F.floor("l_extendedprice")).alias("c"),
+            F.stddev_samp(F.col("l_quantity").cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(native)
+    for flag, r in got.items():
+        assert abs(r["corr_qty_price"] - native[flag]["c"]) < 1e-9
+        assert abs(r["stddev_qty"] - native[flag]["s"]) < 1e-9

@@ -220,3 +220,42 @@ def test_q74_bucketed_join_no_shuffle_into_join(spark, sf_dir):
 
         shutil.rmtree(work, ignore_errors=True)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q75_scd2_single_exchange(spark, sf_dir):
+    """Both SCD2 window passes partition by user_id — Catalyst must
+    plan ONE exchange (the second window reuses the partitioning with
+    only a re-sort). A second exchange means the build stopped being
+    the minimal one-shuffle dimension pass."""
+    df = analytics_ext.q75_scd2_history(spark, sf_dir)
+    assert I.count_exchanges(df) == 1
+
+
+def test_q78_weighted_sample_take_ordered(spark, sf_dir):
+    """orderBy+limit must plan as TakeOrdered (per-partition top-k,
+    k-row driver merge) — a global Sort here would be a full shuffle
+    of the corpus for 50 rows."""
+    from hcdc_spark.operators import text
+
+    p = I.simple_plan(text.q78_weighted_sample(spark, sf_dir))
+    assert "TakeOrdered" in p
+    assert I.count_exchanges(text.q78_weighted_sample(spark, sf_dir)) == 0
+
+
+def test_q76_chunking_shuffle_free(spark, sf_dir):
+    """Chunking is a scan-side explode: zero exchanges, no UDFs."""
+    from hcdc_spark.operators import text
+
+    df = text.q76_doc_chunking(spark, sf_dir)
+    assert I.count_exchanges(df) == 0
+    assert "pythonudf" not in I.simple_plan(df).lower()
+
+
+def test_q79_zorder_key_stays_in_codegen(spark, sf_dir):
+    """The Morton key is pure shift/mask arithmetic — single agg
+    exchange, no UDFs, whole-stage codegen covers the projection."""
+    df = analytics_ext.q79_zorder_cluster(spark, sf_dir)
+    assert I.count_exchanges(df) == 1
+    p = I.simple_plan(df)
+    assert "pythonudf" not in p.lower()
+    assert I.codegen_stage_count(df) >= 1

@@ -38,6 +38,15 @@ CHANGED_THIS_ROUND = {
     "q58_dedup_clusters",
     "q47_asof_join",
     "q73_minhash_lsh_md5",
+    # operators NEW in round 4 (SCD2 build, chunking, approx-percentile
+    # contract, weighted sampling, z-order layout) — never verified
+    "q75_scd2_history",
+    "q76_doc_chunking",
+    "q77_approx_percentile",
+    "q78_weighted_sample",
+    "q79_zorder_cluster",
+    "q80_histogram",
+    "q81_corr_stats",
 }
 
 #: Long-green canaries that must stay in the prefix as regression tripwires.
@@ -117,9 +126,9 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 94
+    assert len(qs) >= 101
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 4: 10 formerly-rows-only queries gained oracles + the new
-    # q73/q74/c17
-    assert len(oracles) >= 80
+    # q73/q74/c17 + the seven new pipeline operators q75-q81
+    assert len(oracles) >= 87

@@ -306,3 +306,51 @@ def test_dedup_clusters_convergence_probe_every_other_round(spark, sf_dir):
     # sf0.001's pair graph has chain components (measured: converges
     # round 5-6); the gate catches drift toward the 20-round cap
     assert rounds <= 8, f"q58 ran {rounds} propagation rounds"
+
+
+def test_doc_chunking_covers_text_exactly(spark, sf_dir):
+    """Chunk geometry: chunks start every STRIDE chars from 1, every
+    doc yields ceil-coverage of its full text (last chunk reaches
+    n_chars), and each chunk's length is min(SIZE, n_chars-start+1)."""
+    from hcdc_spark.operators.text import CHUNK_SIZE, CHUNK_STRIDE
+    from hcdc_spark.operators.text import q76_doc_chunking
+
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    chunks = {}
+    for r in q76_doc_chunking(spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    assert set(chunks) == set(docs)
+    for doc_id, rows in chunks.items():
+        n = docs[doc_id]
+        rows.sort(key=lambda r: r["chunk_id"])
+        for i, r in enumerate(rows):
+            assert r["chunk_id"] == i
+            assert r["start"] == 1 + i * CHUNK_STRIDE
+            assert r["chunk_chars"] == min(CHUNK_SIZE, n - r["start"] + 1)
+        # full coverage: the last chunk's window reaches the end, and
+        # one more stride would start past the text
+        last = rows[-1]
+        assert last["start"] + last["chunk_chars"] - 1 == n
+        assert last["start"] + CHUNK_STRIDE > n
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """Inclusion odds must scale with weight: the sampled docs' mean
+    weight should clearly exceed the corpus mean, and the sample must
+    be stable across runs (hash priority, no rand)."""
+    from hcdc_spark.operators.text import q78_weighted_sample
+
+    sample1 = [r["doc_id"] for r in q78_weighted_sample(spark, sf_dir).collect()]
+    sample2 = [r["doc_id"] for r in q78_weighted_sample(spark, sf_dir).collect()]
+    assert sorted(sample1) == sorted(sample2)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sampled_mean = (
+        docs.where(F.col("doc_id").isin(sample1))
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert sampled_mean > corpus_mean * 1.15, (sampled_mean, corpus_mean)
