@@ -26,13 +26,13 @@ from hcdc_spark.registry import Registry
 # now carry golden/read_blob/tolerance oracles, plus the new md5-LSH
 # query — and (b) currency: r2-green queries whose modules were edited
 # in round 3 (their greenness predates the code they now run). The
-# seventeen r2-green queries left outside the prefix (q04_left_outer_join,
+# nineteen r2-green queries left outside the prefix (q04_left_outer_join,
 # q06_semi_join, q09_cross_join, q15_sort_limit,
 # q39_{csv,json,orc}_roundtrip, q40, q46_null_safe_eq, q50_pivot, and —
-# rotated out for the seven operators NEW this round, q75-q81 —
+# rotated out for the nine operators NEW this round, q75-q83 —
 # q17_string_functions, q18_datetime_functions, q19_conditional,
 # q20_json_extract, q23_scalar_subquery, q13_window_rank,
-# q14_window_analytic) are
+# q14_window_analytic, q59_contamination, q60_stratified_sample) are
 # the ones whose function bodies are untouched since their green row —
 # only sibling edits landed in their modules (analytics.py's only
 # non-additive hunk since r2 is the q11/q12 rewrite), and their DuckDB
@@ -65,6 +65,8 @@ _FIRST_50: tuple[str, ...] = (
     "q79_zorder_cluster",
     "q80_histogram",
     "q81_corr_stats",
+    "q82_fuzzy_search",
+    "q83_date_rollup_gapfill",
     # B: currency rotation — r2-green, module edited in r3
     "q03_join_topn_revenue",
     "q07_anti_join",
@@ -85,8 +87,6 @@ _FIRST_50: tuple[str, ...] = (
     "q55_corpus_composition",
     "q56_repetition",
     "q57_quality_funnel",
-    "q59_contamination",
-    "q60_stratified_sample",
     "q61_block_range_read",
     "q62_pii_redaction",
     "q65_map_json_functions",

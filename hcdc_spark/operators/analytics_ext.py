@@ -742,3 +742,63 @@ def q81_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_qty_price"
         ),
     )
+
+
+# ------------------------------------- time-bucket rollup + gap fill
+
+
+@REG.add(
+    "q83_date_rollup_gapfill",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(l_shipdate) AS DATE) AS lo,
+             CAST(MAX(l_shipdate) AS DATE) AS hi FROM lineitem),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        AS day
+      FROM bounds),
+    daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY CAST(l_shipdate AS DATE))
+    SELECT s.day, COALESCE(d.n_items, 0) AS n_items,
+           COALESCE(d.qty, 0.0) AS qty
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    doc="Time-bucket rollup with calendar gap-fill (the hypertable/"
+    "time_bucket_gapfill shape): aggregate the fact table per day, "
+    "then LEFT JOIN a generated contiguous date spine so empty days "
+    "surface as explicit zero rows — the form every downstream "
+    "time-series consumer (charting, anomaly detection, windowed "
+    "models) needs. The fact table shuffles ONCE into the daily "
+    "aggregate; the spine is generated from the 1-row min/max bounds "
+    "and is calendar-sized (tiny at any fact scale), so the gap-fill "
+    "join broadcasts the daily aggregate against it. Quantity sums go "
+    "through DECIMAL for exact cross-engine parity.",
+    tags=("agg", "timeseries", "gapfill"),
+)
+def q83_date_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    bounds = li.agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("lo"),
+        F.max(F.col("l_shipdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("qty"),
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_items", F.lit(0)).alias("n_items"),
+            F.coalesce("qty", F.lit(0.0)).alias("qty"),
+        )
+    )

@@ -859,3 +859,42 @@ def q78_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------- fuzzy string search
+
+#: Probe string for the fuzzy-search demo (30 chars, like the prefix).
+FUZZY_PROBE = "the quick brown fox jumps over"
+
+
+@REG.add(
+    "q82_fuzzy_search",
+    f"""
+    SELECT doc_id,
+           levenshtein(substring(text, 1, 30), '{FUZZY_PROBE}') AS dist
+    FROM documents ORDER BY dist, doc_id LIMIT 20
+    """,
+    doc="Fuzzy string search: top-20 documents by Levenshtein edit "
+    "distance between their 30-char prefix and a probe string. "
+    "Edit distance is the exact-rerank stage of every fuzzy-dedup / "
+    "fuzzy-lookup pipeline; both engines implement the standard "
+    "unit-cost DP, so the integer distances agree exactly. The scan "
+    "computes distances JVM-side (builtin levenshtein, no UDF) and "
+    "orderBy+limit plans as TakeOrdered — per-partition top-k, k-row "
+    "driver merge. At 100 TB you'd band candidates first (the "
+    "q28/q29/q73 n-gram pipelines) and reserve the DP for the "
+    "candidate set; this query IS that rerank operator.",
+    tags=("text", "similarity", "fuzzy"),
+)
+def q82_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(
+            "doc_id",
+            F.levenshtein(
+                F.substring("text", 1, 30), F.lit(FUZZY_PROBE)
+            ).alias("dist"),
+        )
+        .orderBy("dist", "doc_id")
+        .limit(20)
+    )

@@ -259,3 +259,25 @@ def test_q79_zorder_key_stays_in_codegen(spark, sf_dir):
     p = I.simple_plan(df)
     assert "pythonudf" not in p.lower()
     assert I.codegen_stage_count(df) >= 1
+
+
+def test_q82_fuzzy_search_take_ordered_no_udf(spark, sf_dir):
+    """Edit distance runs JVM-side on the scan; top-k must be
+    TakeOrdered, not a global sort."""
+    from hcdc_spark.operators import text
+
+    df = text.q82_fuzzy_search(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "TakeOrdered" in p
+    assert "pythonudf" not in p.lower()
+    assert I.count_exchanges(df) == 0
+
+
+def test_q83_gapfill_broadcasts_daily_onto_spine(spark, sf_dir):
+    """The gap-fill join must broadcast (both sides are calendar-sized
+    aggregates); the fact table contributes exactly its two aggregate
+    shuffles (min/max bounds + daily rollup), nothing more."""
+    df = analytics_ext.q83_date_rollup_gapfill(spark, sf_dir)
+    assert I.has_broadcast_join(df)
+    assert not I.has_cartesian(df)
+    assert I.count_exchanges(df) <= 3

@@ -47,6 +47,8 @@ CHANGED_THIS_ROUND = {
     "q79_zorder_cluster",
     "q80_histogram",
     "q81_corr_stats",
+    "q82_fuzzy_search",
+    "q83_date_rollup_gapfill",
 }
 
 #: Long-green canaries that must stay in the prefix as regression tripwires.
@@ -126,9 +128,9 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 101
+    assert len(qs) >= 103
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 4: 10 formerly-rows-only queries gained oracles + the new
-    # q73/q74/c17 + the seven new pipeline operators q75-q81
-    assert len(oracles) >= 87
+    # q73/q74/c17 + the nine new pipeline operators q75-q83
+    assert len(oracles) >= 89
