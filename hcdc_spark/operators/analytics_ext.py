@@ -616,6 +616,30 @@ def q79_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- histogram / binning
 
+#: q80 histogram geometry: 20 equi-width bins over [900, 105000).
+HIST_LO, HIST_HI, HIST_BINS = 900.0, 105000.0, 20
+HIST_SPAN = HIST_HI - HIST_LO
+
+
+def histogram_bin(col: Column) -> Column:
+    """width_bucket-shaped bin id for q80, written as explicit IEEE
+    arithmetic (one subtract, one divide, one multiply, floor) so the
+    DuckDB oracle can spell the identical expression — DuckDB has no
+    width_bucket builtin. Values below HIST_LO land in bin 0, at or
+    above HIST_HI in bin HIST_BINS+1, mirroring width_bucket. The
+    pytest gate cross-checks this formula against Spark's builtin
+    width_bucket on the data."""
+    return F.least(
+        F.lit(HIST_BINS + 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (col - F.lit(HIST_LO)) / F.lit(HIST_SPAN) * F.lit(HIST_BINS)
+            ).cast("int")
+            + F.lit(1),
+        ),
+    )
+
 
 @REG.add(
     "q80_histogram",
@@ -643,18 +667,7 @@ def q79_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q80_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    bin_col = F.least(
-        F.lit(21),
-        F.greatest(
-            F.lit(0),
-            F.floor(
-                (F.col("l_extendedprice") - F.lit(900.0))
-                / F.lit(104100.0)
-                * F.lit(20)
-            ).cast("int")
-            + F.lit(1),
-        ),
-    )
+    bin_col = histogram_bin(F.col("l_extendedprice"))
     return (
         li.select(F.col("l_extendedprice").alias("price"), bin_col.alias("bin"))
         .groupBy("bin")
@@ -673,7 +686,7 @@ def q80_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q81_corr_stats",
     """
     WITH b AS (
-      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT) AS x,
              CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
       FROM lineitem),
     m AS (
@@ -712,9 +725,13 @@ def q80_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q81_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    # FLOOR on both inputs, not a bare cast: Spark's double→long cast
+    # truncates while DuckDB's rounds, so FLOOR is the one spelling
+    # with identical semantics in both engines (quantity is
+    # integral-valued today, but the contract must not depend on that).
     b = li.select(
         "l_returnflag",
-        F.col("l_quantity").cast("long").alias("x"),
+        F.floor("l_quantity").cast("long").alias("x"),
         F.floor("l_extendedprice").cast("long").alias("y"),
     )
     m = b.groupBy("l_returnflag").agg(

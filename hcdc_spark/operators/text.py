@@ -871,28 +871,37 @@ FUZZY_PROBE = "the quick brown fox jumps over"
     "q82_fuzzy_search",
     f"""
     SELECT doc_id,
-           levenshtein(substring(text, 1, 30), '{FUZZY_PROBE}') AS dist
+           levenshtein(
+             substring(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'),
+                       1, 30),
+             '{FUZZY_PROBE}') AS dist
     FROM documents ORDER BY dist, doc_id LIMIT 20
     """,
     doc="Fuzzy string search: top-20 documents by Levenshtein edit "
-    "distance between their 30-char prefix and a probe string. "
-    "Edit distance is the exact-rerank stage of every fuzzy-dedup / "
-    "fuzzy-lookup pipeline; both engines implement the standard "
-    "unit-cost DP, so the integer distances agree exactly. The scan "
-    "computes distances JVM-side (builtin levenshtein, no UDF) and "
-    "orderBy+limit plans as TakeOrdered — per-partition top-k, k-row "
-    "driver merge. At 100 TB you'd band candidates first (the "
-    "q28/q29/q73 n-gram pipelines) and reserve the DP for the "
-    "candidate set; this query IS that rerank operator.",
+    "distance between their ASCII-projected 30-char prefix and a "
+    "probe string. Edit distance is the exact-rerank stage of every "
+    "fuzzy-dedup / fuzzy-lookup pipeline; both engines implement the "
+    "standard unit-cost DP, but DuckDB's counts BYTES while Spark's "
+    "counts CODEPOINTS, so the comparison runs on an ASCII projection "
+    "(strip chars outside \\x20-\\x7e on both sides — identical regex "
+    "semantics) where byte == codepoint and the integer distances "
+    "agree exactly; multilingual rerank should use the Spark side's "
+    "codepoint distance directly. The scan computes distances "
+    "JVM-side (builtin levenshtein, no UDF) and orderBy+limit plans "
+    "as TakeOrdered — per-partition top-k, k-row driver merge. At "
+    "100 TB you'd band candidates first (the q28/q29/q73 n-gram "
+    "pipelines) and reserve the DP for the candidate set; this query "
+    "IS that rerank operator.",
     tags=("text", "similarity", "fuzzy"),
 )
 def q82_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
     return (
         docs.select(
             "doc_id",
             F.levenshtein(
-                F.substring("text", 1, 30), F.lit(FUZZY_PROBE)
+                F.substring(ascii_text, 1, 30), F.lit(FUZZY_PROBE)
             ).alias("dist"),
         )
         .orderBy("dist", "doc_id")

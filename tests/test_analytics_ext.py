@@ -127,20 +127,12 @@ def test_histogram_bin_matches_width_bucket_builtin(spark, sf_dir):
     width_bucket; Spark's builtin must agree with it on every row (the
     data sits far from any bin-edge float boundary)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    manual = F.least(
-        F.lit(21),
-        F.greatest(
-            F.lit(0),
-            F.floor(
-                (F.col("l_extendedprice") - F.lit(900.0))
-                / F.lit(104100.0)
-                * F.lit(20)
-            ).cast("int")
-            + F.lit(1),
-        ),
-    )
+    manual = X.histogram_bin(F.col("l_extendedprice"))
     builtin = F.width_bucket(
-        F.col("l_extendedprice"), F.lit(900.0), F.lit(105000.0), F.lit(20)
+        F.col("l_extendedprice"),
+        F.lit(X.HIST_LO),
+        F.lit(X.HIST_HI),
+        F.lit(X.HIST_BINS),
     ).cast("int")
     n_disagree = (
         li.select(manual.alias("m"), builtin.alias("b"))
@@ -163,8 +155,10 @@ def test_corr_stats_close_to_native(spark, sf_dir):
         r["l_returnflag"]: r
         for r in li.groupBy("l_returnflag")
         .agg(
-            F.corr(F.col("l_quantity"), F.floor("l_extendedprice")).alias("c"),
-            F.stddev_samp(F.col("l_quantity").cast("long")).alias("s"),
+            F.corr(F.floor("l_quantity"), F.floor("l_extendedprice")).alias(
+                "c"
+            ),
+            F.stddev_samp(F.floor("l_quantity")).alias("s"),
         )
         .collect()
     }

@@ -237,9 +237,9 @@ def test_q78_weighted_sample_take_ordered(spark, sf_dir):
     of the corpus for 50 rows."""
     from hcdc_spark.operators import text
 
-    p = I.simple_plan(text.q78_weighted_sample(spark, sf_dir))
-    assert "TakeOrdered" in p
-    assert I.count_exchanges(text.q78_weighted_sample(spark, sf_dir)) == 0
+    df = text.q78_weighted_sample(spark, sf_dir)
+    assert "TakeOrdered" in I.simple_plan(df)
+    assert I.count_exchanges(df) == 0
 
 
 def test_q76_chunking_shuffle_free(spark, sf_dir):

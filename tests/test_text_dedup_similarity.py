@@ -354,3 +354,38 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
         .first()[0]
     )
     assert sampled_mean > corpus_mean * 1.15, (sampled_mean, corpus_mean)
+
+
+def test_fuzzy_search_ascii_projection_cross_engine(spark):
+    """DuckDB's levenshtein counts bytes, Spark's counts codepoints —
+    they disagree on raw multibyte text (café vs cafe: 2 vs 1). q82's
+    ASCII projection must make them agree on exactly such input."""
+    import duckdb
+
+    from hcdc_spark.operators.text import FUZZY_PROBE
+
+    samples = [
+        "café au lait — the quick brown fox",
+        "日本語テキスト the quick brown fox jumps",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", "")
+    got = {
+        r["text"]: r["dist"]
+        for r in df.select(
+            "text",
+            F.levenshtein(
+                F.substring(ascii_text, 1, 30), F.lit(FUZZY_PROBE)
+            ).alias("dist"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        want = con.sql(
+            "SELECT levenshtein(substring(regexp_replace(?, "
+            "'[^\\x20-\\x7e]', '', 'g'), 1, 30), ?)",
+            params=[s, FUZZY_PROBE],
+        ).fetchone()[0]
+        assert got[s] == want, s
+    con.close()
