@@ -166,3 +166,82 @@ def test_corr_stats_close_to_native(spark, sf_dir):
     for flag, r in got.items():
         assert abs(r["corr_qty_price"] - native[flag]["c"]) < 1e-9
         assert abs(r["stddev_qty"] - native[flag]["s"]) < 1e-9
+
+
+def test_scd2_matches_python_reference_on_random_log(spark):
+    """q75's windowed SCD2 build must equal a pure-Python fold over a
+    seeded random event log (300 users, duplicate timestamps, single-
+    event users) — one Spark job, exhaustive comparison."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(42)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    eid = 0
+    for uid in range(300):
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            # coarse ts pool → frequent duplicate timestamps per user
+            rows.append((eid, rng.randint(0, 20) * 1000, uid,
+                         rng.choice(types)))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, user_id long, state string"
+    )
+
+    # Spark: the same two-window build q75 uses, on this log
+    w_in = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    changes = (
+        df.withColumn("prev", F.lag("state").over(w_in))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+    )
+    w_out = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    got = sorted(
+        (r["user_id"], r["version"], r["state"], r["valid_from"],
+         r["valid_to"])
+        for r in changes.select(
+            "user_id",
+            F.row_number().over(w_out).alias("version"),
+            "state",
+            F.col("ts_ms").alias("valid_from"),
+            F.lead("ts_ms").over(w_out).alias("valid_to"),
+        ).collect()
+    )
+
+    # Python reference fold
+    by_user = {}
+    for eid_, ts, uid, state in rows:
+        by_user.setdefault(uid, []).append((ts, eid_, state))
+    want = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        versions = []
+        for ts, _e, state in evs:
+            if not versions or versions[-1][1] != state:
+                versions.append((ts, state))
+        for i, (ts, state) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            want.append((uid, i + 1, state, ts, nxt))
+    assert got == sorted(want)
+
+
+def test_zorder_key_is_bijective_on_grid(spark):
+    """zorder_key must be a bijection on the 32x32 grid (every z-value
+    distinct) and decode back to (x, y) by de-interleaving."""
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = df.select(
+        "x", "y", X.zorder_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    assert len({r["z"] for r in got}) == len(pts)
+
+    def deinterleave(z):
+        x = y = 0
+        for i in range(10):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in got:
+        assert deinterleave(r["z"]) == (r["x"], r["y"])
