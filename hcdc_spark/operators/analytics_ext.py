@@ -796,13 +796,6 @@ def q81_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q83_date_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    bounds = li.agg(
-        F.min(F.col("l_shipdate").cast("date")).alias("lo"),
-        F.max(F.col("l_shipdate").cast("date")).alias("hi"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi")).alias("day")
-    )
     daily = li.groupBy(
         F.col("l_shipdate").cast("date").alias("day")
     ).agg(
@@ -810,6 +803,19 @@ def q83_date_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(18,4)"))
         .cast("double")
         .alias("qty"),
+    )
+    # spine bounds come from the calendar-sized DAILY aggregate, not a
+    # second pass over the fact table. The lazy localCheckpoint pins
+    # the aggregate so both consumers (bounds + gap-fill join) share
+    # one materialization — without it Catalyst prunes the two branches
+    # differently (bounds needs only `day`), the exchanges stop being
+    # identical, and the fact table is scanned twice.
+    daily = daily.localCheckpoint(eager=False)
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
     )
     return (
         spine.join(daily, "day", "left")

@@ -275,9 +275,13 @@ def test_q82_fuzzy_search_take_ordered_no_udf(spark, sf_dir):
 
 def test_q83_gapfill_broadcasts_daily_onto_spine(spark, sf_dir):
     """The gap-fill join must broadcast (both sides are calendar-sized
-    aggregates); the fact table contributes exactly its two aggregate
-    shuffles (min/max bounds + daily rollup), nothing more."""
+    aggregates), and the fact table must be scanned exactly once: the
+    daily aggregate is localCheckpoint-pinned, so the visible plan
+    contains NO parquet scan at all (both consumers read the
+    checkpointed tiny aggregate) and only the spine/bounds exchanges."""
     df = analytics_ext.q83_date_rollup_gapfill(spark, sf_dir)
     assert I.has_broadcast_join(df)
     assert not I.has_cartesian(df)
-    assert I.count_exchanges(df) <= 3
+    p = I.simple_plan(df)
+    assert p.count("Scan parquet") == 0
+    assert I.count_exchanges(df) <= 2
