@@ -26,13 +26,14 @@ from hcdc_spark.registry import Registry
 # now carry golden/read_blob/tolerance oracles, plus the new md5-LSH
 # query — and (b) currency: r2-green queries whose modules were edited
 # in round 3 (their greenness predates the code they now run). The
-# nineteen r2-green queries left outside the prefix (q04_left_outer_join,
+# twenty-one r2-green queries left outside the prefix (q04_left_outer_join,
 # q06_semi_join, q09_cross_join, q15_sort_limit,
 # q39_{csv,json,orc}_roundtrip, q40, q46_null_safe_eq, q50_pivot, and —
-# rotated out for the nine operators NEW this round, q75-q83 —
+# rotated out for the eleven operators NEW this round, q75-q85 —
 # q17_string_functions, q18_datetime_functions, q19_conditional,
 # q20_json_extract, q23_scalar_subquery, q13_window_rank,
-# q14_window_analytic, q59_contamination, q60_stratified_sample) are
+# q14_window_analytic, q59_contamination, q60_stratified_sample,
+# q30_text_quality, q31_token_count) are
 # the ones whose function bodies are untouched since their green row —
 # only sibling edits landed in their modules (analytics.py's only
 # non-additive hunk since r2 is the q11/q12 rewrite), and their DuckDB
@@ -67,6 +68,8 @@ _FIRST_50: tuple[str, ...] = (
     "q81_corr_stats",
     "q82_fuzzy_search",
     "q83_date_rollup_gapfill",
+    "q84_retention_cohorts",
+    "q85_event_funnel",
     # B: currency rotation — r2-green, module edited in r3
     "q03_join_topn_revenue",
     "q07_anti_join",
@@ -75,8 +78,6 @@ _FIRST_50: tuple[str, ...] = (
     "q16_set_ops",
     "q21_hash_functions",
     "q22_explode_wordcount",
-    "q30_text_quality",
-    "q31_token_count",
     "q32_lang_id",
     "q33_fingerprint",
     "q44_grouping_sets",

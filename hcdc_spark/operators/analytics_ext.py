@@ -825,3 +825,106 @@ def q83_date_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("qty", F.lit(0.0)).alias("qty"),
         )
     )
+
+
+# --------------------------------------- cohort retention + funnel
+
+
+@REG.add(
+    "q84_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_day, day_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "counted distinct on each (cohort, day-offset) cell — the standard "
+    "product/engagement retention table. Spark derives the event day "
+    "tz-free from the epoch-nanos ts (date_from_unix_date of the "
+    "epoch-day quotient — identical to the oracle's wall-clock-as-UTC "
+    "CAST(ts AS DATE), never consulting the session timezone, see "
+    "catalog.normalize_event_ts). Plan shape: NO self-join — the "
+    "cohort day is a min() window over the user_id partition, so the "
+    "fact shuffles once by user_id, dedups (cohort, offset) pairs, "
+    "and aggregates the tiny matrix. All counts exact.",
+    tags=("analytics", "events", "retention"),
+)
+def q84_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # epoch-nanos → epoch-day → DATE, no timezone anywhere
+    day = F.date_from_unix_date(
+        F.expr("ts div 86400000000000").cast("int")
+    )
+    w_user = Window.partitionBy("user_id")
+    activity = (
+        ev.select("user_id", day.alias("day"))
+        .withColumn("cohort_day", F.min("day").over(w_user))
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@REG.add(
+    "q85_event_funnel",
+    """
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS stage_view,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL
+                            AND t_click > t_view) AS stage_click,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL
+                            AND t_click > t_view
+                            AND t_purchase > t_click) AS stage_purchase
+    FROM m
+    """,
+    doc="Ordered conversion funnel (view → click → purchase): a user "
+    "advances a stage only if the next event type FIRST occurs "
+    "strictly after the previous stage's first occurrence — the "
+    "min-timestamp-per-stage formulation, which needs exactly one "
+    "shuffle by user_id and one 1-row final reduce (no window, no "
+    "self-join; the naive per-stage join cascade shuffles the fact "
+    "once per stage). Stage times compare at MICROSECOND precision "
+    "(`ts div 1000`) matching DuckDB's timestamp comparisons exactly "
+    "(the q47 as-of lesson: ms truncation disagrees whenever two "
+    "events share a millisecond). NULL comparisons are three-valued "
+    "in both engines: a missing stage never advances the funnel.",
+    tags=("analytics", "events", "funnel"),
+)
+def q85_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    tus = F.expr("ts div 1000")
+
+    def first_ts(etype: str) -> Column:
+        return F.min(F.when(F.col("event_type") == etype, tus))
+
+    m = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    c_view = F.col("t_view").isNotNull()
+    c_click = c_view & (F.col("t_click") > F.col("t_view"))
+    c_purchase = c_click & (F.col("t_purchase") > F.col("t_click"))
+    return m.agg(
+        F.sum(c_view.cast("long")).alias("stage_view"),
+        F.sum(c_click.cast("long")).alias("stage_click"),
+        F.sum(c_purchase.cast("long")).alias("stage_purchase"),
+    )

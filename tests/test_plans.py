@@ -285,3 +285,22 @@ def test_q83_gapfill_broadcasts_daily_onto_spine(spark, sf_dir):
     p = I.simple_plan(df)
     assert p.count("Scan parquet") == 0
     assert I.count_exchanges(df) <= 2
+
+
+def test_q84_retention_no_join_two_exchanges(spark, sf_dir):
+    """Cohort day is a window min, not a self-join: no join node, and
+    the fact shuffles once by user_id plus the final matrix aggregate."""
+    df = analytics_ext.q84_retention_cohorts(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "Join" not in p
+    assert I.count_exchanges(df) <= 3
+
+
+def test_q85_funnel_single_user_shuffle(spark, sf_dir):
+    """The min-per-stage funnel needs exactly one shuffle by user_id
+    (plus the 1-row final reduce) — no window, no join, no per-stage
+    cascade."""
+    df = analytics_ext.q85_event_funnel(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "Join" not in p and "Window" not in p
+    assert I.count_exchanges(df) <= 2

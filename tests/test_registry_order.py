@@ -49,6 +49,8 @@ CHANGED_THIS_ROUND = {
     "q81_corr_stats",
     "q82_fuzzy_search",
     "q83_date_rollup_gapfill",
+    "q84_retention_cohorts",
+    "q85_event_funnel",
 }
 
 #: Long-green canaries that must stay in the prefix as regression tripwires.
@@ -128,9 +130,9 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 103
+    assert len(qs) >= 105
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 4: 10 formerly-rows-only queries gained oracles + the new
-    # q73/q74/c17 + the nine new pipeline operators q75-q83
-    assert len(oracles) >= 89
+    # q73/q74/c17 + the eleven new pipeline operators q75-q85
+    assert len(oracles) >= 91
