@@ -26,14 +26,15 @@ from hcdc_spark.registry import Registry
 # now carry golden/read_blob/tolerance oracles, plus the new md5-LSH
 # query — and (b) currency: r2-green queries whose modules were edited
 # in round 3 (their greenness predates the code they now run). The
-# twenty-one r2-green queries left outside the prefix (q04_left_outer_join,
+# twenty-four r2-green queries left outside the prefix (q04_left_outer_join,
 # q06_semi_join, q09_cross_join, q15_sort_limit,
 # q39_{csv,json,orc}_roundtrip, q40, q46_null_safe_eq, q50_pivot, and —
-# rotated out for the eleven operators NEW this round, q75-q85 —
+# rotated out for the fourteen operators NEW this round, q75-q88 —
 # q17_string_functions, q18_datetime_functions, q19_conditional,
 # q20_json_extract, q23_scalar_subquery, q13_window_rank,
 # q14_window_analytic, q59_contamination, q60_stratified_sample,
-# q30_text_quality, q31_token_count) are
+# q30_text_quality, q31_token_count, q32_lang_id, q33_fingerprint,
+# q65_map_json_functions) are
 # the ones whose function bodies are untouched since their green row —
 # only sibling edits landed in their modules (analytics.py's only
 # non-additive hunk since r2 is the q11/q12 rewrite), and their DuckDB
@@ -70,6 +71,9 @@ _FIRST_50: tuple[str, ...] = (
     "q83_date_rollup_gapfill",
     "q84_retention_cohorts",
     "q85_event_funnel",
+    "q86_unpivot",
+    "q87_array_lambdas",
+    "q88_robust_stats",
     # B: currency rotation — r2-green, module edited in r3
     "q03_join_topn_revenue",
     "q07_anti_join",
@@ -78,8 +82,6 @@ _FIRST_50: tuple[str, ...] = (
     "q16_set_ops",
     "q21_hash_functions",
     "q22_explode_wordcount",
-    "q32_lang_id",
-    "q33_fingerprint",
     "q44_grouping_sets",
     "q47_asof_join",
     "q48_range_join",
@@ -90,7 +92,6 @@ _FIRST_50: tuple[str, ...] = (
     "q57_quality_funnel",
     "q61_block_range_read",
     "q62_pii_redaction",
-    "q65_map_json_functions",
     # E: regression spine (green r3; one per family tripwire)
     "q01_pricing_summary",
     "q05_star_join",

@@ -928,3 +928,93 @@ def q85_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c_click.cast("long")).alias("stage_click"),
         F.sum(c_purchase.cast("long")).alias("stage_purchase"),
     )
+
+
+# --------------------------------------------------- unpivot / melt
+
+
+@REG.add(
+    "q86_unpivot",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, measure, value
+    FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price,
+                                             sum_disc))
+    """,
+    doc="Unpivot/melt (the inverse of q50's pivot): a wide per-flag "
+    "aggregate turns long as (measure, value) rows via the native "
+    "DataFrame.unpivot — q50 covers long→wide, this covers wide→long, "
+    "completing the reshape surface. The unpivot itself is a zero-"
+    "shuffle projection (row explosion of an already-tiny aggregate); "
+    "only the upstream groupBy shuffles. Sums go through DECIMAL for "
+    "exact parity; DuckDB's UNPIVOT is the oracle.",
+    tags=("reshape", "unpivot"),
+)
+def q86_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+
+    def dsum(c: str) -> Column:
+        return F.sum(F.col(c).cast("decimal(18,4)")).cast("double")
+
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------- robust stats (MAD)
+
+
+@REG.add(
+    "q88_robust_stats",
+    """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           ANY_VALUE(m) AS med_qty,
+           quantile_cont(abs(l.l_quantity - m), 0.5) AS mad_qty
+    FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    doc="Robust statistics: median absolute deviation per group — "
+    "MAD = median(|x - median(x)|), the outlier-resistant spread "
+    "measure every data-quality monitor wants next to stddev (q81). "
+    "Two-pass by construction: the per-group median (tiny) broadcasts "
+    "back over the fact scan, then one aggregate of the absolute "
+    "deviations. Interpolated medians are exact in binary here "
+    "(quantity values are small integers, deviations land on 0.5 "
+    "steps), so Spark percentile == DuckDB quantile_cont bit-exactly, "
+    "as q49 already proves for the same column.",
+    tags=("agg", "stats", "robust"),
+)
+def q88_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("m")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("m").alias("med_qty"),
+            F.percentile(
+                F.abs(F.col("l_quantity") - F.col("m")), 0.5
+            ).alias("mad_qty"),
+        )
+    )

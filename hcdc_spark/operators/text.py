@@ -907,3 +907,56 @@ def q82_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "doc_id")
         .limit(20)
     )
+
+
+# ------------------------------------- higher-order array functions
+
+
+@REG.add(
+    "q87_array_lambdas",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         x -> len(x) >= 6) AS longwords
+      FROM documents)
+    SELECT doc_id,
+           len(longwords) AS n_long,
+           array_to_string(
+             list_sort(list_transform(longwords, x -> len(x)),
+                       'DESC')[:3], ',') AS top3_lens
+    FROM w WHERE doc_id % 50 = 0
+    """,
+    doc="Higher-order array-function surface (SURVEY §2B scalar fns: "
+    "lambda transform / filter / sort / slice): tokenize each "
+    "document, lambda-filter to words of >=6 chars, count them, and "
+    "surface the top-3 word lengths (sorted desc, comma-joined — the "
+    "driver compare needs a scalar surface, not array cells). Every "
+    "lambda evaluates inside whole-stage codegen on the scan — "
+    "higher-order functions are the idiomatic way to process array "
+    "columns without exploding row counts, which at 100 TB is the "
+    "difference between a projection and a 10x shuffle. Empty-token "
+    "artifacts of the two engines' split semantics are eliminated by "
+    "the >=6 filter itself.",
+    tags=("text", "scalar", "higher-order"),
+)
+def q87_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    longwords = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"),
+        lambda x: F.length(x) >= 6,
+    )
+    lens_desc = F.sort_array(
+        F.transform(longwords, lambda x: F.length(x)), asc=False
+    )
+    return docs.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.size(longwords).alias("n_long"),
+        F.array_join(
+            F.transform(
+                F.slice(lens_desc, 1, 3), lambda i: i.cast("string")
+            ),
+            ",",
+        ).alias("top3_lens"),
+    )

@@ -304,3 +304,32 @@ def test_q85_funnel_single_user_shuffle(spark, sf_dir):
     p = I.simple_plan(df)
     assert "Join" not in p and "Window" not in p
     assert I.count_exchanges(df) <= 2
+
+
+def test_q86_unpivot_is_projection_over_one_shuffle(spark, sf_dir):
+    """Expand (unpivot) must sit above the tiny aggregate: exactly the
+    groupBy's exchanges, no extra shuffle for the reshape, no join."""
+    df = analytics_ext.q86_unpivot(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "Join" not in p
+    assert I.count_exchanges(df) <= 2
+
+
+def test_q87_lambdas_shuffle_free_no_udf(spark, sf_dir):
+    """Higher-order functions evaluate on the scan: zero exchanges,
+    zero Python evaluation nodes, no explode."""
+    from hcdc_spark.operators import text
+
+    df = text.q87_array_lambdas(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert I.count_exchanges(df) == 0
+    assert "pythonudf" not in p.lower()
+    assert "Generate" not in p  # no explode — arrays stay arrays
+
+
+def test_q88_mad_broadcasts_medians(spark, sf_dir):
+    """The per-group median (tiny) must broadcast back over the fact
+    scan; the deviations aggregate is the only extra shuffle."""
+    df = analytics_ext.q88_robust_stats(spark, sf_dir)
+    assert I.has_broadcast_join(df)
+    assert not I.has_cartesian(df)

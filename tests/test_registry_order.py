@@ -51,6 +51,9 @@ CHANGED_THIS_ROUND = {
     "q83_date_rollup_gapfill",
     "q84_retention_cohorts",
     "q85_event_funnel",
+    "q86_unpivot",
+    "q87_array_lambdas",
+    "q88_robust_stats",
 }
 
 #: Long-green canaries that must stay in the prefix as regression tripwires.
@@ -130,9 +133,9 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 105
+    assert len(qs) >= 108
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 4: 10 formerly-rows-only queries gained oracles + the new
-    # q73/q74/c17 + the eleven new pipeline operators q75-q85
-    assert len(oracles) >= 91
+    # q73/q74/c17 + the fourteen new pipeline operators q75-q88
+    assert len(oracles) >= 94
