@@ -245,3 +245,43 @@ def test_zorder_key_is_bijective_on_grid(spark):
 
     for r in got:
         assert deinterleave(r["z"]) == (r["x"], r["y"])
+
+
+def test_funnel_monotone_and_bounded(spark, sf_dir):
+    """Funnel stages must be non-increasing and bounded by the user
+    count; every stage must be hit by someone in the fixtures."""
+    r = X.q85_event_funnel(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert n_users >= r["stage_view"] >= r["stage_click"] >= r["stage_purchase"]
+    assert r["stage_view"] > 0
+
+
+def test_retention_offsets_consistent(spark, sf_dir):
+    """Retention invariants: offsets are non-negative, offset 0 exists
+    for every cohort (the cohort's own first day), and the offset-0
+    count equals the cohort's total user count (everyone is active on
+    their first day by construction)."""
+    rows = X.q84_retention_cohorts(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        assert r["day_offset"] >= 0
+        by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = r["n_users"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from hcdc_spark.catalog import load_tables
+
+    evn = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.date_from_unix_date(F.expr("ts div 86400000000000").cast("int"))
+    cohort_sizes = {
+        r["cohort_day"]: r["n"]
+        for r in evn.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(by_cohort) == set(cohort_sizes)
+    for cday, offsets in by_cohort.items():
+        assert offsets.get(0) == cohort_sizes[cday], cday
+        assert all(n <= cohort_sizes[cday] for n in offsets.values())
