@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hcdc_spark.catalog import event_ts_ms, load_tables
-from hcdc_spark.operators import goldens
+from hcdc_spark.operators import cdc_oracle, goldens
 from hcdc_spark.registry import Registry, values_oracle
 from hcdc_spark.session import scoped_shuffle_partitions
 
@@ -71,13 +71,16 @@ def _demo_state(spark: SparkSession) -> DataFrame:
 
 @REG.add(
     "c01_cdc_file_state",
-    values_oracle(goldens.C01_SCHEMA, goldens.C01_ROWS),
+    cdc_oracle.c01_oracle(),
     doc="End-to-end CDC replay: synthetic HDFS-style event log → "
-    "reconciled file_state table (SURVEY §2C). The seed-42 log is "
-    "deterministic, so the oracle pins the expected 61 file states as "
-    "a golden VALUES table — a full hash check of the fold + dir "
-    "cascades; semantics independently gated by tests/test_cdc_batch.py "
-    "pure-Python fold parity.",
+    "reconciled file_state table (SURVEY §2C). The oracle is an "
+    "INDEPENDENT relational re-derivation (operators/cdc_oracle.py): "
+    "the raw seed-42 events are embedded as input VALUES and the fold "
+    "— T4 dedup, directory cascades, T25 error exclusion, T3 "
+    "transitions, size/block bookkeeping — is recomputed in DuckDB "
+    "window SQL; a hash match is two formulations agreeing, not a "
+    "pinned replay. goldens.C01_ROWS stays as the pytest regression "
+    "pin (tests/test_cdc_queries.py closes the triangle).",
     tags=("cdc",),
 )
 def c01_cdc_file_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,11 +108,15 @@ def c02_cdc_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c03_cdc_change_set",
-    values_oracle(goldens.C03_SCHEMA, goldens.C03_ROWS),
+    cdc_oracle.c03_oracle(),
     doc="T16 compressed change set: per-block covering byte interval "
-    "for a tx range, computed from reconciled per-tx deltas. Golden "
-    "VALUES oracle over the deterministic seed-42 log (44 block "
-    "intervals) — hash-checks the per-tx delta bookkeeping end to end.",
+    "for a tx range, computed from reconciled per-tx deltas. The "
+    "oracle independently re-derives the delta bookkeeping from the "
+    "raw seed-42 events in DuckDB (operators/cdc_oracle.py): per-block "
+    "size trajectory = absolute assertions + the TRUNCATE clamp, each "
+    "size change lag-diffed into a [lo, hi] interval, then min/max per "
+    "block — DFSBlockState.compressedChangeSet as pure SQL, checked "
+    "against the Spark fold's deltas.",
     tags=("cdc",),
 )
 def c03_cdc_change_set(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,3 +27,29 @@ def test_cdc_query(spec, spark, oracle, sf_dir):
         assert df.count() > 0  # demos must produce rows
         return
     assert_matches_oracle(df, oracle, spec.oracle, spec.name)
+
+
+def test_relational_oracle_invariants():
+    """The c01/c03 relational fold is exact only under documented log
+    shapes — fail here (not with a silent oracle divergence) if the
+    generator ever changes."""
+    from hcdc_spark.operators import cdc_oracle
+
+    cdc_oracle.check_invariants(cdc_oracle.demo_events())
+
+
+def test_relational_oracle_matches_golden_pins(oracle):
+    """Triangle closure: the DuckDB relational re-derivation of the
+    seed-42 fold must equal the pinned golden rows (which the Spark
+    fold is separately checked against) — three independent
+    formulations (Python fold, window SQL, pins), one answer."""
+    from hcdc_spark.operators import cdc_oracle, goldens
+
+    got01 = sorted(
+        tuple(r) for r in oracle.execute(cdc_oracle.c01_oracle()).fetchall()
+    )
+    assert got01 == sorted(tuple(r) for r in goldens.C01_ROWS)
+    got03 = sorted(
+        tuple(r) for r in oracle.execute(cdc_oracle.c03_oracle()).fetchall()
+    )
+    assert got03 == sorted(tuple(r) for r in goldens.C03_ROWS)
