@@ -94,6 +94,16 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     second_fraction·1e6``. Verified under America/Los_Angeles including
     both DST-transition wall-clocks (spring-forward gap, fall-back
     overlap) in test_analytics.py::test_normalize_event_ts_tz_independent.
+
+    NON-NEGATIVE EPOCH ASSUMPTION: consumers that derive coarser units
+    from the nanos value with integer division (``ts div 86400e9`` for
+    days in q84/q85, ``ts div 1e6`` for millis in q75/event_ts_ms)
+    truncate toward zero, while their DuckDB oracles floor
+    (CAST(ts AS DATE), epoch_ms). The two agree iff ts >= 0 — i.e. all
+    event timestamps are on/after 1970-01-01, which load_tables data
+    satisfies by construction (2024-only fixtures). Pre-1970 data would
+    need F.floor-based division on the Spark side; gated in
+    test_analytics.py::test_event_ts_nonnegative.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType

@@ -502,9 +502,10 @@ def q75_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accuracy CONTRACT surfaced, mirroring q51's shape: sketch "
     "internals differ across engines, so the query emits the exact "
     "interpolated median plus a boolean certifying the approximate "
-    "median's true rank lies within +-0.5% of n/2 (rank(ap50) checked "
-    "via one broadcast-join count pass: #values strictly below <= "
-    "0.505n and #values at-or-below >= 0.495n). The oracle recomputes "
+    "median's true rank lies within +-0.5% OF N of the midpoint, i.e. "
+    "rank(ap50) in [0.495n, 0.505n] (checked via one broadcast-join "
+    "count pass: #values strictly below <= 0.505n and #values "
+    "at-or-below >= 0.495n). The oracle recomputes "
     "n and the exact median and emits the constant TRUE, so a hash "
     "match certifies the sketch met its rank bound on every group. At "
     "100 TB the sketch's mergeability (map-side partial agg, fixed "
@@ -809,7 +810,12 @@ def q83_date_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregate so both consumers (bounds + gap-fill join) share
     # one materialization — without it Catalyst prunes the two branches
     # differently (bounds needs only `day`), the exchanges stop being
-    # identical, and the fact table is scanned twice.
+    # identical, and the fact table is scanned twice. Tradeoff vs
+    # persist(): localCheckpoint CUTS LINEAGE, so an executor loss
+    # fails the job instead of recomputing — acceptable for the tiny
+    # calendar-sized aggregate (re-run cost ≈ one scan); a
+    # fault-tolerant variant would persist(DISK_ONLY) and accept the
+    # double-scan risk on eviction.
     daily = daily.localCheckpoint(eager=False)
     bounds = daily.agg(
         F.min("day").alias("lo"), F.max("day").alias("hi")
@@ -946,8 +952,8 @@ def q85_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sum_disc
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, measure, value
-    FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price,
-                                             sum_disc))
+    FROM wide UNPIVOT INCLUDE NULLS
+      (value FOR measure IN (sum_qty, sum_price, sum_disc))
     """,
     doc="Unpivot/melt (the inverse of q50's pivot): a wide per-flag "
     "aggregate turns long as (measure, value) rows via the native "
@@ -955,7 +961,10 @@ def q85_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "completing the reshape surface. The unpivot itself is a zero-"
     "shuffle projection (row explosion of an already-tiny aggregate); "
     "only the upstream groupBy shuffles. Sums go through DECIMAL for "
-    "exact parity; DuckDB's UNPIVOT is the oracle.",
+    "exact parity; DuckDB's UNPIVOT is the oracle, with INCLUDE NULLS "
+    "to match DataFrame.unpivot's keep-nulls semantics (DuckDB's "
+    "default drops NULL cells — latent divergence if a nullable "
+    "measure is ever added; the sums here are never NULL).",
     tags=("reshape", "unpivot"),
 )
 def q86_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,3 +54,16 @@ def test_normalize_event_ts_tz_independent(spark):
                 assert row["ts"] == cases[row["wall"]], (tz, row)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_event_ts_nonnegative(spark, sf_dir):
+    """Gate for catalog.normalize_event_ts's documented assumption:
+    `ts div N` (truncate-toward-zero) and the oracles' floor semantics
+    agree only for non-negative epochs, so the events fixture must
+    contain no pre-1970 timestamp."""
+    from pyspark.sql import functions as F
+
+    from hcdc_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    assert ev.where(F.col("ts") < 0).count() == 0
