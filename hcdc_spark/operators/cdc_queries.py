@@ -508,3 +508,106 @@ def c16_editlog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.size("blocks"), F.lit(0)).alias("n_blocks"),
             ).orderBy("tx_id")
         )
+
+
+def _c18_records() -> list[dict]:
+    """The synthesized layout -64 lifecycle: create (RS-6-3 policy id 1)
+    → grow → second block → close → rename, plus a create+delete pair
+    and the segment markers. Shared by the c18 query and the round-trip
+    tests so fixture and expectation can't drift apart."""
+    from hcdc_spark.sources import editlog as E
+
+    return [
+        {"txid": 1, "opcode": E.OP_START_LOG_SEGMENT},
+        {"txid": 2, "opcode": E.OP_ADD, "inode_id": 501,
+         "path": "/ec/f1.parquet", "mtime": 1_700_000_002_000,
+         "atime": 1_700_000_002_000, "block_size": 1 << 27,
+         "blocks": [{"block_id": 9001, "size": 0,
+                     "generation_stamp": 1001}],
+         "erasure_coding_policy_id": 1},
+        {"txid": 3, "opcode": E.OP_UPDATE_BLOCKS, "path": "/ec/f1.parquet",
+         "blocks": [{"block_id": 9001, "size": 4096,
+                     "generation_stamp": 1001}]},
+        {"txid": 4, "opcode": E.OP_ADD_BLOCK, "path": "/ec/f1.parquet",
+         "blocks": [{"block_id": 9001, "size": 4096,
+                     "generation_stamp": 1001},
+                    {"block_id": 9002, "size": 0,
+                     "generation_stamp": 1002}]},
+        {"txid": 5, "opcode": E.OP_CLOSE, "inode_id": 0,
+         "path": "/ec/f1.parquet", "mtime": 1_700_000_005_000,
+         "atime": 1_700_000_002_000, "block_size": 1 << 27,
+         "blocks": [{"block_id": 9001, "size": 4096,
+                     "generation_stamp": 1001},
+                    {"block_id": 9002, "size": 2048,
+                     "generation_stamp": 1002}]},
+        {"txid": 6, "opcode": E.OP_RENAME, "src": "/ec/f1.parquet",
+         "dst": "/ec/final_1.parquet", "timestamp": 1_700_000_006_000,
+         "options": []},
+        {"txid": 7, "opcode": E.OP_ADD, "inode_id": 502,
+         "path": "/ec/tmp.csv", "mtime": 1_700_000_007_000,
+         "atime": 1_700_000_007_000, "block_size": 1 << 27,
+         "blocks": [{"block_id": 9100, "size": 0,
+                     "generation_stamp": 1100}],
+         "erasure_coding_policy_id": 2},
+        {"txid": 8, "opcode": E.OP_DELETE, "path": "/ec/tmp.csv",
+         "timestamp": 1_700_000_008_000},
+        {"txid": 9, "opcode": E.OP_END_LOG_SEGMENT},
+    ]
+
+
+@REG.add(
+    "c18_editlog_layout64",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'IGNORE', CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), 0),
+      (CAST(2 AS BIGINT), 'ADD_FILE', '/ec/f1.parquet', NULL, 1),
+      (CAST(3 AS BIGINT), 'UPDATE_BLOCKS', '/ec/f1.parquet', NULL, 1),
+      (CAST(4 AS BIGINT), 'ADD_BLOCK', '/ec/f1.parquet', NULL, 2),
+      (CAST(5 AS BIGINT), 'CLOSE', '/ec/f1.parquet', NULL, 2),
+      (CAST(6 AS BIGINT), 'RENAME', '/ec/f1.parquet',
+       '/ec/final_1.parquet', 0),
+      (CAST(7 AS BIGINT), 'ADD_FILE', '/ec/tmp.csv', NULL, 1),
+      (CAST(8 AS BIGINT), 'DELETE', '/ec/tmp.csv', NULL, 0),
+      (CAST(9 AS BIGINT), 'IGNORE', NULL, NULL, 0)
+    ) AS t(tx_id, op, path, dest_path, n_blocks)
+    """,
+    doc="S3 on layout -64 (Hadoop 3 ERASURE_CODING): a synthesized "
+    "Hadoop-3 edit segment — written by the byte-level encode_segment "
+    "mirror, including the OP_ADD erasure-coding policy byte — is "
+    "decoded through the SAME distributed binaryFile+mapInPandas path "
+    "as c16 and surfaced as the transaction stream. The oracle is a "
+    "HAND-WRITTEN VALUES expectation of the 9-tx lifecycle (not "
+    "pipeline output), so a hash match certifies decode(encode(x)) "
+    "lands on the independently stated semantics; byte-level gates "
+    "(policy-id surfacing, -65 refusal, CRC tamper) in "
+    "tests/test_editlog.py. The -63 arm stays validated against the "
+    "reference's real binary fixtures via c16.",
+    tags=("cdc", "editlog"),
+)
+def c18_editlog_layout64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from hcdc_spark.sources.editlog import encode_segment, read_editlog_binary
+
+    work = tempfile.mkdtemp(prefix="hcdc_c18_")
+    try:
+        seg_dir = os.path.join(work, "ns", "current")
+        os.makedirs(seg_dir)
+        name = "edits_%019d-%019d" % (1, 9)
+        with open(os.path.join(seg_dir, name), "wb") as f:
+            f.write(encode_segment(_c18_records(), layout=-64))
+        with scoped_shuffle_partitions(spark):
+            ev = read_editlog_binary(
+                spark, os.path.join(work, "*/current/edits_*")
+            )
+            return _materialized(
+                ev.select(
+                    "tx_id", "op", "path", "dest_path",
+                    F.coalesce(F.size("blocks"), F.lit(0)).alias("n_blocks"),
+                ).orderBy("tx_id")
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

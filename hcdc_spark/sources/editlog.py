@@ -63,6 +63,14 @@ OP_TRUNCATE = 0x2E
 OP_APPEND = 0x2F
 OP_INVALID = 0xFF
 
+#: NameNodeLayoutVersion feature gates relevant to the field decoders.
+#: -63 = QUOTA_BY_STORAGE_TYPE (Hadoop 2.x tail, the reference's
+#: fixtures); -64 = ERASURE_CODING (Hadoop 3.0+): OP_ADD carries one
+#: extra policy-id byte. Layouts beyond -64 change unrelated framing
+#: and stay refused until a fixture exists to validate against.
+LAYOUT_ERASURE_CODING = -64
+SUPPORTED_LAYOUTS = (-63, -64)
+
 OPCODE_NAMES = {
     OP_ADD: "OP_ADD",
     OP_RENAME_OLD: "OP_RENAME_OLD",
@@ -193,7 +201,7 @@ class _Reader:
         return {"client_id": cid.hex(), "call_id": self.i32()}
 
 
-def _decode_add_close(r: _Reader, is_add: bool) -> dict:
+def _decode_add_close(r: _Reader, is_add: bool, layout: int) -> dict:
     out = {
         "inode_id": r.i64(),
         "path": r.string(),
@@ -214,17 +222,25 @@ def _decode_add_close(r: _Reader, is_add: bool) -> dict:
         out["client_machine"] = r.string()
         out["overwrite"] = r.boolean()
         out["storage_policy_id"] = r.u8()
+        if layout <= LAYOUT_ERASURE_CODING:
+            # NameNodeLayoutVersion.Feature.ERASURE_CODING (-64,
+            # Hadoop 3.0+): AddCloseOp gains a one-byte erasure-coding
+            # policy id right after the storage policy id on OP_ADD
+            # (FSEditLogOp.AddCloseOp.readFields). Skipping it would
+            # misalign every following field, caught by the trailing
+            # undecoded-bytes check — but decode it properly instead.
+            out["erasure_coding_policy_id"] = r.u8()
         out["rpc"] = r.rpc_ids()
     return out
 
 
-def _decode_op(op: int, r: _Reader) -> dict:
+def _decode_op(op: int, r: _Reader, layout: int) -> dict:
     if op in (OP_START_LOG_SEGMENT, OP_END_LOG_SEGMENT):
         return {}
     if op == OP_ADD:
-        return _decode_add_close(r, is_add=True)
+        return _decode_add_close(r, is_add=True, layout=layout)
     if op == OP_CLOSE:
-        return _decode_add_close(r, is_add=False)
+        return _decode_add_close(r, is_add=False, layout=layout)
     if op == OP_DELETE:
         return {"path": r.string(), "timestamp": r.i64(),
                 "rpc": r.rpc_ids()}
@@ -286,15 +302,15 @@ def decode_segment(data: bytes, verify_crc: bool = True) -> list[dict]:
     if len(data) < 8:
         raise ValueError("editlog segment shorter than header")
     layout = struct.unpack(">i", data[:4])[0]
-    # The per-op field decoders are byte-exact for layout -63 only
-    # (older layouts lack inodeId/storagePolicyId on OP_ADD; newer ones
-    # add erasure-coding fields). Refuse other layouts loudly instead of
-    # mis-mapping fields or failing late with a confusing truncation
-    # error mid-record.
-    if layout != -63:
+    # The per-op field decoders are byte-exact for the layouts listed in
+    # SUPPORTED_LAYOUTS only (older layouts lack inodeId /
+    # storagePolicyId on OP_ADD; -65 and newer change other framing).
+    # Refuse anything else loudly instead of mis-mapping fields or
+    # failing late with a confusing truncation error mid-record.
+    if layout not in SUPPORTED_LAYOUTS:
         raise ValueError(
             f"unsupported editlog layout version {layout} "
-            "(only -63 is implemented)"
+            f"(implemented: {sorted(SUPPORTED_LAYOUTS)})"
         )
     pos = 8
     out: list[dict] = []
@@ -322,7 +338,7 @@ def decode_segment(data: bytes, verify_crc: bool = True) -> list[dict]:
         r = _Reader(body)
         rec = {"txid": txid, "opcode": op,
                "op_name": OPCODE_NAMES.get(op, f"OP_{op:#04x}")}
-        rec.update(_decode_op(op, r))
+        rec.update(_decode_op(op, r, layout))
         if r.remaining() and "raw" not in rec:
             raise ValueError(
                 f"editlog op {rec['op_name']} txid {txid}: "
@@ -331,6 +347,130 @@ def decode_segment(data: bytes, verify_crc: bool = True) -> list[dict]:
         out.append(rec)
         pos += 5 + ln
     return out
+
+
+# ----------------------------------------------------- segment encoder
+
+
+def _enc_vlong(v: int) -> bytes:
+    """Hadoop WritableUtils.writeVLong — exact inverse of _Reader.vlong."""
+    if -112 <= v <= 127:
+        return struct.pack(">b", v)
+    base = -120 if v < 0 else -112
+    if v < 0:
+        v = ~v
+    tmp = []
+    while v:
+        tmp.append(v & 0xFF)
+        v >>= 8
+    return struct.pack(">b", base - len(tmp)) + bytes(reversed(tmp))
+
+
+def _enc_string(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+def _enc_text(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _enc_vlong(len(b)) + b
+
+
+def _enc_blocks(blocks: list[dict]) -> bytes:
+    out = struct.pack(">i", len(blocks))
+    for b in blocks:
+        out += struct.pack(
+            ">qqq", b["block_id"], b.get("size") or 0,
+            b.get("generation_stamp") or 0,
+        )
+    return out
+
+
+def _enc_compact_blocks(blocks: list[dict]) -> bytes:
+    out = _enc_vlong(len(blocks))
+    prev_size = prev_gs = 0
+    for b in blocks:
+        size = b.get("size") or 0
+        gs = b.get("generation_stamp") or 0
+        out += struct.pack(">q", b["block_id"])
+        out += _enc_vlong(size - prev_size) + _enc_vlong(gs - prev_gs)
+        prev_size, prev_gs = size, gs
+    return out
+
+
+def _enc_perm(user: str = "hdfs", group: str = "supergroup",
+              mode: int = 0o644) -> bytes:
+    return _enc_text(user) + _enc_text(group) + struct.pack(">H", mode)
+
+
+def _enc_rpc(call_id: int = 1) -> bytes:
+    cid = b"\x00" * 16  # 16-byte client UUID, zeroed for fixtures
+    return struct.pack(">H", len(cid)) + cid + struct.pack(">i", call_id)
+
+
+def _enc_payload(rec: dict, layout: int) -> bytes:
+    op = rec["opcode"]
+    if op in (OP_START_LOG_SEGMENT, OP_END_LOG_SEGMENT):
+        return b""
+    if op in (OP_ADD, OP_CLOSE):
+        out = struct.pack(">q", rec.get("inode_id") or 0)
+        out += _enc_string(rec["path"])
+        out += struct.pack(">H", rec.get("replication", 3))
+        out += struct.pack(">qq", rec.get("mtime") or 0,
+                           rec.get("atime") or 0)
+        out += struct.pack(">q", rec.get("block_size") or 0)
+        out += _enc_blocks(rec.get("blocks") or [])
+        out += _enc_perm()
+        if op == OP_ADD:
+            out += struct.pack(">i", 0)  # no ACL entries
+            out += b"\x00"  # empty xattr blob (pb varint length 0)
+            out += _enc_string(rec.get("client_name", "cli"))
+            out += _enc_string(rec.get("client_machine", "127.0.0.1"))
+            out += b"\x01" if rec.get("overwrite") else b"\x00"
+            out += bytes([rec.get("storage_policy_id", 0)])
+            if layout <= LAYOUT_ERASURE_CODING:
+                out += bytes([rec.get("erasure_coding_policy_id", 0)])
+            out += _enc_rpc()
+        return out
+    if op == OP_DELETE:
+        return (_enc_string(rec["path"])
+                + struct.pack(">q", rec.get("timestamp") or 0)
+                + _enc_rpc())
+    if op == OP_RENAME:
+        opts = bytes(rec.get("options") or [])
+        return (_enc_string(rec["src"]) + _enc_string(rec["dst"])
+                + struct.pack(">q", rec.get("timestamp") or 0)
+                + struct.pack(">i", len(opts)) + opts + _enc_rpc())
+    if op in (OP_ADD_BLOCK, OP_UPDATE_BLOCKS):
+        return (_enc_string(rec["path"])
+                + _enc_compact_blocks(rec.get("blocks") or [])
+                + _enc_rpc())
+    raise ValueError(f"encode_segment: unsupported opcode {op:#04x}")
+
+
+def encode_segment(records: list[dict], layout: int = -64) -> bytes:
+    """Serialize op records into an ``edits_*`` segment byte-for-byte in
+    the public FSEditLogOp on-disk format (the write-side mirror of
+    ``decode_segment``: same field order, CRC32 framing, 0xFF tail).
+
+    Primary use: synthesizing validation fixtures for layouts the
+    reference's checked-in binaries don't cover (-64 erasure coding —
+    no real Hadoop 3 segment exists in this environment, so the
+    round-trip plus hand-written golden expectations stand in until a
+    real cluster segment can be replayed; the decoder's -63 arm stays
+    validated against the reference's real fixtures byte-exactly).
+    """
+    if layout not in SUPPORTED_LAYOUTS:
+        raise ValueError(f"encode_segment: unsupported layout {layout}")
+    out = struct.pack(">ii", layout, 0)
+    for rec in records:
+        payload = _enc_payload(rec, layout)
+        body = struct.pack(">q", rec["txid"]) + payload
+        ln = len(body) + 4  # + trailing CRC word
+        framed = bytes([rec["opcode"]]) + struct.pack(">i", ln) + body
+        crc = zlib.crc32(framed) & 0xFFFFFFFF
+        out += framed + struct.pack(">I", crc)
+    return out + b"\xff"  # preallocation padding terminator
 
 
 # ------------------------------------------------- change-event mapping

@@ -165,12 +165,49 @@ def test_negative_field_length_raises():
 
 
 def test_only_validated_layout_accepted():
-    """Field decoders are byte-exact for layout -63 only; -64 segments
-    (erasure-coding era) must be refused up front, not mis-decoded."""
+    """Field decoders are byte-exact for layouts -63/-64 only; -65
+    segments (expanded string table era) must be refused up front, not
+    mis-decoded — and -62 (pre-quota-by-storage-type) likewise."""
     import struct
 
-    with pytest.raises(ValueError, match="layout"):
-        decode_segment(struct.pack(">i", -64) + bytes(8))
+    for layout in (-65, -62):
+        with pytest.raises(ValueError, match="layout"):
+            decode_segment(struct.pack(">i", layout) + bytes(8))
+
+
+def test_layout64_roundtrip_surfaces_ec_policy():
+    """decode(encode(x)) on a -64 segment recovers every op and the
+    OP_ADD erasure-coding policy byte; the same records encoded at -63
+    decode without the field (proving the layout gate, not a fixed
+    offset, controls the read)."""
+    from hcdc_spark.operators.cdc_queries import _c18_records
+    from hcdc_spark.sources.editlog import encode_segment
+
+    recs = _c18_records()
+    dec64 = decode_segment(encode_segment(recs, layout=-64))
+    assert [d["txid"] for d in dec64] == [r["txid"] for r in recs]
+    adds = {d["txid"]: d for d in dec64 if d["op_name"] == "OP_ADD"}
+    assert adds[2]["erasure_coding_policy_id"] == 1  # RS-6-3
+    assert adds[7]["erasure_coding_policy_id"] == 2  # RS-3-2
+    assert adds[2]["path"] == "/ec/f1.parquet"
+    assert [b["size"] for b in dec64[4 - 1]["blocks"]] == [4096, 0]
+
+    dec63 = decode_segment(encode_segment(recs, layout=-63))
+    assert all(
+        "erasure_coding_policy_id" not in d for d in dec63
+    )
+    # everything after the (absent) policy byte still decodes cleanly
+    assert {d["txid"] for d in dec63} == {r["txid"] for r in recs}
+
+
+def test_layout64_crc_tamper_fails_loudly():
+    from hcdc_spark.operators.cdc_queries import _c18_records
+    from hcdc_spark.sources.editlog import encode_segment
+
+    seg = bytearray(encode_segment(_c18_records(), layout=-64))
+    seg[40] ^= 0xFF  # flip one payload byte mid-record
+    with pytest.raises(ValueError, match="CRC"):
+        decode_segment(bytes(seg))
 
 
 def test_modern_rename_with_options_roundtrip():
