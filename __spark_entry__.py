@@ -30,19 +30,27 @@ from hcdc_spark.registry import Registry
 # — then (b) all 24 r2-dated queries, then (c) the 17 r3-dated queries
 # whose MODULES saw edits in round 4/5 (streaming_queries + cdc_queries
 # + the dedup/similarity/text refactor set), then (e) the regression
-# spine. The eleven r3-green queries left outside (q02, q10, q24, q25,
-# q26, q35, q42, q45, q70, q71, q72) are the ones whose function bodies
-# AND modules are untouched since their green row or whose siblings are
-# re-verified here (analytics.py carries the q01/q05/q12 spine;
-# skew.py/multimodal.py have no edits since round 3; q35 is the
-# quarantined capped oracle twin of q52 by design); their DuckDB
-# oracles re-run in every pytest suite. The five xxhash64-based LSH
+# spine. The thirteen r3-green queries left outside (q02, q10, q24,
+# q25, q26, q35, q42, q45, q63, q69, q70, q71, q72) are the ones whose
+# function bodies AND modules are untouched since their green row or
+# whose siblings are re-verified here (analytics.py carries the
+# q01/q05/q12 spine; text.py's q63/q69 bodies are r2-era and six
+# text.py siblings are r4-green; skew.py/multimodal.py have no edits
+# since round 3; q35 is the quarantined capped oracle twin of q52 by
+# design); their DuckDB oracles re-run in every pytest suite. Two
+# C-block slots went instead to c02/c04, whose oracles changed this
+# round — completing oracle independence for the whole seed-log demo
+# family (goldens remain only where procedural: c07/c08/c16). The five xxhash64-based LSH
 # queries (q29/q36/q38/q52/q53) and q43 stay rows-only by design and
 # sit past 50 with their rows-only status on record (r3).
 _FIRST_50: tuple[str, ...] = (
     # A: implementation/oracle changed this round — must (re)verify
+    # (c01-c04: golden VALUES oracles replaced by independent DuckDB
+    # relational re-derivations of the fold, operators/cdc_oracle.py)
     "c01_cdc_file_state",
+    "c02_cdc_error_channel",
     "c03_cdc_change_set",
+    "c04_stream_reconcile",
     "q86_unpivot",
     "c18_editlog_layout64",
     # B: currency — green rows dating to round 2
@@ -86,8 +94,6 @@ _FIRST_50: tuple[str, ...] = (
     "q64_embedding_quantization",
     "q66_hybrid_search",
     "q67_bm25_search",
-    "q63_sequence_packing",
-    "q69_ngram_topk",
     # E: regression spine (one tripwire per family)
     "q01_pricing_summary",
     "q05_star_join",

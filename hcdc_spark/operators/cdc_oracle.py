@@ -44,6 +44,14 @@ def demo_events() -> list[dict]:
     return generate_events(n_files=60, seed=42, with_anomalies=True)
 
 
+def stream_demo_events() -> list[dict]:
+    """The seed-7 log c04 replays through the streaming reconciler (two
+    micro-batches); its final state must equal this log's batch fold."""
+    from hcdc_spark.cdc.generator import generate_events
+
+    return generate_events(n_files=40, seed=7, with_dir_ops=False)
+
+
 def check_invariants(events: list[dict]) -> None:
     """Assert the log shapes the relational fold relies on (see module
     docstring). Raises AssertionError with a named invariant."""
@@ -143,11 +151,11 @@ def _sql_big(v) -> str:
     return "CAST(NULL AS BIGINT)" if v is None else f"CAST({v} AS BIGINT)"
 
 
-@lru_cache(maxsize=1)
-def _input_ctes() -> str:
+@lru_cache(maxsize=2)
+def _input_ctes(log: str = "seed42") -> str:
     """Render the raw log (duplicates included — the SQL dedups) as the
     ``ev_raw``/``blk_raw`` input CTEs."""
-    events = demo_events()
+    events = demo_events() if log == "seed42" else stream_demo_events()
     ev_rows = []
     blk_rows = []
     for e in events:
@@ -273,11 +281,8 @@ asserts AS (  -- absolute per-block size assertions in the event stream
 """
 
 
-def c01_oracle() -> str:
-    """file_state re-derived relationally from the raw seed-42 log."""
-    return f"""
-WITH {_input_ctes()},
-{_FOLD_CTES},
+#: file_state synthesis on top of the fold CTEs (shared by c01/c04).
+_STATE_CTES = """
 st AS (  -- T3 transitions: last state-changing op decides (RENAME keeps)
   SELECT inode_id,
          CASE op WHEN 'DELETE' THEN 'Deleted'
@@ -338,11 +343,61 @@ unknown AS (  -- inodes whose every event errored: state-only stub row
   SELECT inode_id FROM log WHERE inode_id IN (SELECT inode_id FROM file_inodes)
   EXCEPT SELECT inode_id FROM eff
 )
+"""
+
+
+def c01_oracle() -> str:
+    """file_state re-derived relationally from the raw seed-42 log."""
+    return f"""
+WITH {_input_ctes("seed42")},
+{_FOLD_CTES},
+{_STATE_CTES}
 SELECT inode_id, path, state, CAST(data_size AS BIGINT) AS data_size,
        CAST(num_blocks AS BIGINT) AS num_blocks, last_tx_id, file_type
 FROM folded
 UNION ALL
 SELECT inode_id, NULL, 'Unknown', NULL, NULL, NULL, NULL FROM unknown
+ORDER BY inode_id
+"""
+
+
+def c02_oracle() -> str:
+    """T25 error channel re-derived relationally: the dead-letter rows
+    are exactly the events the fold excludes — an ADD_FILE onto a live
+    path (without overwrite) and any non-creating op with no live file
+    state — with the statemachine's error text reconstructed from the
+    op. Relies on the same invariants as c01 (no overwrite claims, no
+    bootstrap CLOSEs), asserted by check_invariants."""
+    return f"""
+WITH {_input_ctes("seed42")},
+{_FOLD_CTES}
+SELECT tx_id, inode_id, path, op,
+       CASE WHEN op = 'ADD_FILE' THEN 'file exists and overwrite=false'
+            ELSE 'no live file state for op ' || op END AS error
+FROM lifec
+WHERE NOT ((op = 'ADD_FILE'
+            AND (last_add IS NULL OR COALESCE(last_del, -1) > last_add))
+        OR (op <> 'ADD_FILE'
+            AND last_add IS NOT NULL
+            AND COALESCE(last_del, -1) < last_add))
+"""
+
+
+def c04_oracle() -> str:
+    """The streaming reconciler's final state re-derived relationally
+    from the raw seed-7 log: availableNow micro-batching + restart must
+    land on the same file_state the window-SQL fold computes — a 3-way
+    agreement (streaming fold, batch fold parity in
+    tests/test_streaming.py, relational SQL)."""
+    return f"""
+WITH {_input_ctes("seed7")},
+{_FOLD_CTES},
+{_STATE_CTES}
+SELECT inode_id, path, state, CAST(data_size AS BIGINT) AS data_size,
+       CAST(num_blocks AS BIGINT) AS num_blocks, last_tx_id
+FROM folded
+UNION ALL
+SELECT inode_id, NULL, 'Unknown', NULL, NULL, NULL FROM unknown
 ORDER BY inode_id
 """
 

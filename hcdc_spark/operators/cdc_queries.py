@@ -92,11 +92,14 @@ def c01_cdc_file_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "c02_cdc_error_channel",
-    values_oracle(goldens.C02_SCHEMA, goldens.C02_ROWS),
+    cdc_oracle.c02_oracle(),
     doc="Reconciler dead-letter channel (T25): anomalies as rows. The "
     "seed-42 log plants exactly two anomalies (ghost-file APPEND, "
-    "duplicate ADD_FILE without overwrite); the golden oracle pins "
-    "both rows including the error text.",
+    "duplicate ADD_FILE without overwrite); the oracle re-derives them "
+    "INDEPENDENTLY in DuckDB as the complement of the fold's effective-"
+    "event set — error text reconstructed from the op, not pinned "
+    "output (operators/cdc_oracle.py; goldens.C02_ROWS stays as the "
+    "pytest pin).",
     tags=("cdc",),
 )
 def c02_cdc_error_channel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,7 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hcdc_spark.operators import goldens
+from hcdc_spark.operators import cdc_oracle, goldens
 from hcdc_spark.registry import Registry, values_oracle
 from hcdc_spark.session import scoped_shuffle_partitions as _small_shuffle
 
@@ -29,14 +29,16 @@ REG = Registry()
 
 @REG.add(
     "c04_stream_reconcile",
-    values_oracle(goldens.C04_SCHEMA, goldens.C04_ROWS),
+    cdc_oracle.c04_oracle(),
     doc="Streaming CDC reconciler (applyInPandasWithState keyed by "
     "inode) over a deterministic event log split into two segment "
-    "files / micro-batches. The seed-7 log is deterministic, so the "
-    "oracle pins the 40 reconciled file states as a golden VALUES "
-    "table — hash-checking the stateful streaming fold across the "
-    "micro-batch boundary; batch-equivalence and restart recovery "
-    "gated in tests/test_streaming.py.",
+    "files / micro-batches. The oracle re-derives the seed-7 log's "
+    "final file_state INDEPENDENTLY in DuckDB window SQL from the raw "
+    "events (operators/cdc_oracle.py) — a hash match means the "
+    "stateful streaming fold across the micro-batch boundary agrees "
+    "with a from-scratch relational formulation, not with its own "
+    "pinned output. Batch-equivalence and restart recovery gated in "
+    "tests/test_streaming.py; goldens.C04_ROWS stays as the pytest pin.",
     tags=("cdc", "streaming"),
 )
 def c04_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:

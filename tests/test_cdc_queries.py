@@ -30,26 +30,27 @@ def test_cdc_query(spec, spark, oracle, sf_dir):
 
 
 def test_relational_oracle_invariants():
-    """The c01/c03 relational fold is exact only under documented log
+    """The c01-c04 relational folds are exact only under documented log
     shapes — fail here (not with a silent oracle divergence) if the
     generator ever changes."""
     from hcdc_spark.operators import cdc_oracle
 
     cdc_oracle.check_invariants(cdc_oracle.demo_events())
+    cdc_oracle.check_invariants(cdc_oracle.stream_demo_events())
 
 
 def test_relational_oracle_matches_golden_pins(oracle):
-    """Triangle closure: the DuckDB relational re-derivation of the
-    seed-42 fold must equal the pinned golden rows (which the Spark
-    fold is separately checked against) — three independent
+    """Triangle closure: the DuckDB relational re-derivations of the
+    seed-42/seed-7 folds must equal the pinned golden rows (which the
+    Spark pipelines are separately checked against) — three independent
     formulations (Python fold, window SQL, pins), one answer."""
     from hcdc_spark.operators import cdc_oracle, goldens
 
-    got01 = sorted(
-        tuple(r) for r in oracle.execute(cdc_oracle.c01_oracle()).fetchall()
-    )
-    assert got01 == sorted(tuple(r) for r in goldens.C01_ROWS)
-    got03 = sorted(
-        tuple(r) for r in oracle.execute(cdc_oracle.c03_oracle()).fetchall()
-    )
-    assert got03 == sorted(tuple(r) for r in goldens.C03_ROWS)
+    for sql, rows in (
+        (cdc_oracle.c01_oracle(), goldens.C01_ROWS),
+        (cdc_oracle.c02_oracle(), goldens.C02_ROWS),
+        (cdc_oracle.c03_oracle(), goldens.C03_ROWS),
+        (cdc_oracle.c04_oracle(), goldens.C04_ROWS),
+    ):
+        got = sorted(tuple(r) for r in oracle.execute(sql).fetchall())
+        assert got == sorted(tuple(r) for r in rows)

@@ -23,7 +23,9 @@ import __spark_entry__ as E
 #: changed query needs a FRESH driver row regardless of past greenness.
 CHANGED_THIS_ROUND = {
     "c01_cdc_file_state",
+    "c02_cdc_error_channel",
     "c03_cdc_change_set",
+    "c04_stream_reconcile",
     "q86_unpivot",
     "c18_editlog_layout64",
 }
