@@ -27,7 +27,7 @@ from hcdc_spark.registry import Registry
 # VALUES oracles were replaced by independent DuckDB relational
 # re-derivations of the fold, operators/cdc_oracle.py), q86 (oracle
 # now UNPIVOT INCLUDE NULLS) and the NEW c18 layout -64 editlog decode
-# — then (b) all 24 r2-dated queries, then (c) the 17 r3-dated queries
+# — then (b) all 24 r2-dated queries, then (c) the 15 r3-dated queries
 # whose MODULES saw edits in round 4/5 (streaming_queries + cdc_queries
 # + the dedup/similarity/text refactor set), then (e) the regression
 # spine. The thirteen r3-green queries left outside (q02, q10, q24,

@@ -54,13 +54,49 @@ def stream_demo_events() -> list[dict]:
 
 def check_invariants(events: list[dict]) -> None:
     """Assert the log shapes the relational fold relies on (see module
-    docstring). Raises AssertionError with a named invariant."""
+    docstring). Raises AssertionError with a named invariant.
+
+    Runs on the tx-deduplicated log (the SQL dedups the same way), after
+    asserting replayed tx ids are byte-identical — a divergent replay
+    would make the SQL's arbitrary-duplicate pick nondeterministic."""
+    by_tx: dict[int, dict] = {}
+    for e in events:
+        prev = by_tx.setdefault(e["tx_id"], e)
+        assert prev == e, (
+            f"tx {e['tx_id']}: replayed event differs from original"
+        )
+    events = sorted(by_tx.values(), key=lambda e: e["tx_id"])
+
     ns = {e.get("namespace") for e in events}
     assert len(ns) == 1, f"single-namespace invariant violated: {ns}"
 
     file_inodes = {
         e["inode_id"] for e in events if e["op"] in _FILE_ONLY_OPS
     }
+    # directory ops: disjoint subtrees → single-round cascade is exact;
+    # collected first so the per-inode checks below can consult them
+    dir_ops = [
+        e for e in events
+        if e["op"] in ("DELETE", "RENAME")
+        and e["inode_id"] not in file_inodes
+    ]
+    areas: list[str] = []
+    for d in dir_ops:
+        mine = [d["path"]] + (
+            [d["dest_path"]] if d["op"] == "RENAME" else []
+        )
+        for a in areas:
+            for m in mine:
+                assert not (
+                    a == m or a.startswith(m + "/") or m.startswith(a + "/")
+                ), f"overlapping directory-op subtrees: {a} vs {m}"
+        areas.extend(mine)
+    # LIKE-pattern hygiene: the SQL matches cascade children with
+    # literal prefix compares, but keep dir names metacharacter-free so
+    # any future LIKE-based formulation can't silently wildcard
+    for a in areas:
+        assert "%" not in a, f"dir path contains LIKE wildcard: {a}"
+
     by_inode: dict[int, list[dict]] = {}
     for e in events:
         if e["inode_id"] in file_inodes:
@@ -80,13 +116,51 @@ def check_invariants(events: list[dict]) -> None:
             assert closes or not grows, (
                 f"inode {inode}: size growth after TRUNCATE without CLOSE"
             )
-        adds = [
-            e for e in evs
-            if e["op"] == "ADD_FILE" and not _is_errored_add(e, evs)
-        ]
-        assert len({e["tx_id"] for e in adds}) <= 1, (
+        adds = [e for e in evs if e["op"] == "ADD_FILE"]
+        effective = [e for e in adds if not _is_errored_add(e, evs)]
+        assert len({e["tx_id"] for e in effective}) <= 1, (
             f"inode {inode}: multiple effective ADD_FILEs"
         )
+        for e in adds:
+            if e in effective:
+                continue
+            # an errored re-ADD must target the inode's CURRENT live
+            # path and that path must sit outside every dir-op subtree:
+            # under these two conditions the raw-event path history the
+            # SQL (and the Spark pre-pass) cascade from cannot be
+            # corrupted by the errored row, and the inode cannot have
+            # been re-created after a cascade delete the file-level
+            # error check can't see
+            live = None
+            for x in evs:
+                if x["tx_id"] >= e["tx_id"]:
+                    break
+                if x["op"] == "ADD_FILE":
+                    live = x["path"]
+                elif x["op"] == "RENAME":
+                    live = x["dest_path"]
+            assert e["path"] == live, (
+                f"inode {inode}: errored ADD_FILE path {e['path']!r} "
+                f"differs from live path {live!r}"
+            )
+            assert not any(
+                live == a or live.startswith(a + "/") for a in areas
+            ), (
+                f"inode {inode}: errored ADD_FILE under a dir-op "
+                f"subtree ({live!r}) — cascade interaction unmodeled"
+            )
+        # no re-creation after any deletion the cascade could produce:
+        # every ADD_FILE must precede every dir op (file-level DELETE →
+        # re-ADD is modeled; dir-cascade DELETE → re-ADD is not)
+        if dir_ops:
+            first_dir_tx = min(d["tx_id"] for d in dir_ops)
+            late_adds = [
+                e for e in effective if e["tx_id"] > first_dir_tx
+            ]
+            assert not late_adds, (
+                f"inode {inode}: ADD_FILE after a directory op — "
+                "cascade/re-creation interaction unmodeled"
+            )
         for e in evs:
             if e["op"] == "CLOSE":
                 assert e.get("mode") not in ("Snapshot", "Backlog"), (
@@ -101,24 +175,6 @@ def check_invariants(events: list[dict]) -> None:
             assert not (
                 e["op"] == "ADD_FILE" and e.get("overwrite")
             ), f"inode {inode}: ADD_FILE overwrite claim"
-
-    # directory ops: disjoint subtrees → single-round cascade is exact
-    dir_ops = [
-        e for e in events
-        if e["op"] in ("DELETE", "RENAME")
-        and e["inode_id"] not in file_inodes
-    ]
-    areas: list[str] = []
-    for d in dir_ops:
-        mine = [d["path"]] + (
-            [d["dest_path"]] if d["op"] == "RENAME" else []
-        )
-        for a in areas:
-            for m in mine:
-                assert not (
-                    a == m or a.startswith(m + "/") or m.startswith(a + "/")
-                ), f"overlapping directory-op subtrees: {a} vs {m}"
-        areas.extend(mine)
 
 
 def _is_errored_add(e: dict, evs: list[dict]) -> bool:
@@ -152,10 +208,15 @@ def _sql_big(v) -> str:
 
 
 @lru_cache(maxsize=2)
-def _input_ctes(log: str = "seed42") -> str:
+def _input_ctes(log: str) -> str:
     """Render the raw log (duplicates included — the SQL dedups) as the
     ``ev_raw``/``blk_raw`` input CTEs."""
-    events = demo_events() if log == "seed42" else stream_demo_events()
+    if log == "seed42":
+        events = demo_events()
+    elif log == "seed7":
+        events = stream_demo_events()
+    else:  # a typo'd key must not silently select some log
+        raise ValueError(f"unknown oracle input log {log!r}")
     ev_rows = []
     blk_rows = []
     for e in events:
@@ -208,9 +269,12 @@ dir_ops AS (  -- DELETE/RENAME on a non-file inode ⇒ directory op
   WHERE op IN ('DELETE','RENAME')
     AND inode_id NOT IN (SELECT inode_id FROM file_inodes)
 ),
-hist0 AS (  -- path history of every file inode (NULL path = deleted)
+hist0 AS (  -- path history of every file inode (NULL path = deleted);
+            -- mirrors the Spark pre-pass _PATH_SETTING_OPS exactly:
+            -- ADD_FILE and CLOSE (re-)assert, RENAME moves, DELETE ends
   SELECT inode_id, tx_id, path FROM ev
-  WHERE op = 'ADD_FILE' AND inode_id IN (SELECT inode_id FROM file_inodes)
+  WHERE op IN ('ADD_FILE', 'CLOSE') AND path IS NOT NULL
+    AND inode_id IN (SELECT inode_id FROM file_inodes)
   UNION ALL
   SELECT inode_id, tx_id, dest_path FROM ev
   WHERE op = 'RENAME' AND inode_id IN (SELECT inode_id FROM file_inodes)
@@ -229,19 +293,24 @@ cur_at AS (  -- current path of each live file just before each dir op
   WHERE rn = 1 AND cur_path IS NOT NULL
 ),
 synth AS (  -- per-child synthetic events (single round: disjoint trees)
+            -- literal prefix compares (substr), NOT LIKE — a '_' or
+            -- '%' in a directory name must not act as a wildcard
+            -- (the Spark fold uses literal startswith)
   SELECT d_tx AS tx_id, 'DELETE' AS op, cur_path AS path,
          CAST(NULL AS VARCHAR) AS dest_path, inode_id,
          FALSE AS overwrite, CAST(NULL AS BIGINT) AS length,
          CAST(NULL AS BIGINT) AS trunc_len, CAST(NULL AS VARCHAR) AS file_type
   FROM cur_at
-  WHERE d_op = 'DELETE' AND cur_path LIKE d_path || '/%'
-        AND cur_path NOT LIKE '/tmp/%'
+  WHERE d_op = 'DELETE'
+        AND substr(cur_path, 1, length(d_path) + 1) = d_path || '/'
+        AND substr(cur_path, 1, 5) <> '/tmp/'
   UNION ALL
   SELECT d_tx, 'RENAME', cur_path,
          d_dest || substr(cur_path, length(d_path) + 1), inode_id,
          FALSE, NULL, NULL, NULL
   FROM cur_at
-  WHERE d_op = 'RENAME' AND cur_path LIKE d_path || '/%'
+  WHERE d_op = 'RENAME'
+        AND substr(cur_path, 1, length(d_path) + 1) = d_path || '/'
 ),
 log AS (  -- expanded log: dir rows dropped, synthetic children added
   SELECT tx_id, op, path, dest_path, inode_id, overwrite, length,
@@ -328,7 +397,11 @@ authoritative AS (  -- CLOSE length / TRUNCATE reset, latest of each
 ),
 folded AS (
   SELECT a.inode_id, p.path, s.state,
-         CASE WHEN a.close_tx IS NOT NULL THEN a.close_len
+         -- size authority is the LATEST of CLOSE length / TRUNCATE
+         -- reset (a truncate after the last close wins, matching the
+         -- statemachine's Finalized→Updating shrink), else block sums
+         CASE WHEN a.close_tx IS NOT NULL
+                   AND a.close_tx > COALESCE(a.t_tx, -1) THEN a.close_len
               WHEN a.t_tx IS NOT NULL THEN a.t_len
               ELSE COALESCE(b.sz, 0) END AS data_size,
          CASE WHEN s.state = 'Deleted' THEN 0
@@ -408,7 +481,7 @@ def c03_oracle() -> str:
     size trajectory (assertions + the TRUNCATE clamp), then min/max
     per block — DFSBlockState.compressedChangeSet relationally."""
     return f"""
-WITH {_input_ctes()},
+WITH {_input_ctes("seed42")},
 {_FOLD_CTES},
 truncs AS (
   SELECT inode_id, tx_id AS t_tx, trunc_len AS L

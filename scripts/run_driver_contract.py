@@ -77,6 +77,14 @@ def main() -> int:
 
     qs, os_ = E.queries(), E.oracle_sql()
     names = [n for n in list(qs)[:limit] if not only or n in only]
+    if only:
+        # a requested name outside the prefix (or misspelled) must be a
+        # loud error, not a silent "mismatches: 0"
+        missing = sorted(only - set(names))
+        if missing:
+            print(f"ERROR: not in the first {limit} registry entries: "
+                  f"{missing}")
+            return 2
     bad = 0
     for name in names:
         t0 = time.time()
