@@ -27,20 +27,22 @@ from hcdc_spark.registry import Registry
 # VALUES oracles were replaced by independent DuckDB relational
 # re-derivations of the fold, operators/cdc_oracle.py), q86 (oracle
 # now UNPIVOT INCLUDE NULLS) and the NEW c18 layout -64 editlog decode
-# — then (b) all 24 r2-dated queries, then (c) the 15 r3-dated queries
+# — then (b) all 24 r2-dated queries, then (c) the 14 r3-dated queries
 # whose MODULES saw edits in round 4/5 (streaming_queries + cdc_queries
 # + the dedup/similarity/text refactor set), then (e) the regression
-# spine. The thirteen r3-green queries left outside (q02, q10, q24,
-# q25, q26, q35, q42, q45, q63, q69, q70, q71, q72) are the ones whose
-# function bodies AND modules are untouched since their green row or
-# whose siblings are re-verified here (analytics.py carries the
+# spine. The fourteen r3-green queries left outside (q02, q10, q24,
+# q25, q26, q35, q42, q45, q63, q64, q69, q70, q71, q72) are the ones
+# whose function bodies AND modules are untouched since their green
+# row or whose siblings are re-verified here (analytics.py carries the
 # q01/q05/q12 spine; text.py's q63/q69 bodies are r2-era and six
-# text.py siblings are r4-green; skew.py/multimodal.py have no edits
-# since round 3; q35 is the quarantined capped oracle twin of q52 by
-# design); their DuckDB oracles re-run in every pytest suite. Two
-# C-block slots went instead to c02/c04, whose oracles changed this
-# round — completing oracle independence for the whole seed-log demo
-# family (goldens remain only where procedural: c07/c08/c16). The five xxhash64-based LSH
+# text.py siblings are r4-green; q64's similarity.py keeps four
+# in-window siblings; skew.py/multimodal.py have no edits since round
+# 3; q35 is the quarantined capped oracle twin of q52 by design);
+# their DuckDB oracles re-run in every pytest suite. Three C-block
+# slots went instead to c02/c04 (oracles changed — completing oracle
+# independence for the whole seed-log demo family; goldens remain only
+# where procedural: c07/c08/c16) and c16 (decode path changed for the
+# byte-exact encoder mirror).The five xxhash64-based LSH
 # queries (q29/q36/q38/q52/q53) and q43 stay rows-only by design and
 # sit past 50 with their rows-only status on record (r3).
 _FIRST_50: tuple[str, ...] = (
@@ -53,6 +55,11 @@ _FIRST_50: tuple[str, ...] = (
     "c04_stream_reconcile",
     "q86_unpivot",
     "c18_editlog_layout64",
+    # c16's decode path changed this round (OP_ADD retains the xattr
+    # blob for byte-exact re-encode) — output provably unchanged, but
+    # changed code re-verifies; funded by rotating q64 out (similarity
+    # keeps four in-window siblings)
+    "c16_editlog_decode",
     # B: currency — green rows dating to round 2
     "q04_left_outer_join",
     "q06_semi_join",
@@ -91,7 +98,6 @@ _FIRST_50: tuple[str, ...] = (
     "q68_semantic_dedup",
     "q34_knn_brute_force",
     "q37_centroid_by_label",
-    "q64_embedding_quantization",
     "q66_hybrid_search",
     "q67_bm25_search",
     # E: regression spine (one tripwire per family)

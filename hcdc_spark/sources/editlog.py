@@ -217,7 +217,8 @@ def _decode_add_close(r: _Reader, is_add: bool, layout: int) -> dict:
         if acl_count:
             raise ValueError(f"unsupported: {acl_count} ACL entries")
         xattr_len = r.pb_varint()  # protobuf writeDelimitedTo prefix
-        r.take(xattr_len)
+        # keep the opaque blob so encode(decode(x)) is byte-exact
+        out["xattr_raw"] = r.take(xattr_len).hex()
         out["client_name"] = r.string()
         out["client_machine"] = r.string()
         out["overwrite"] = r.boolean()
@@ -398,18 +399,36 @@ def _enc_compact_blocks(blocks: list[dict]) -> bytes:
     return out
 
 
-def _enc_perm(user: str = "hdfs", group: str = "supergroup",
-              mode: int = 0o644) -> bytes:
-    return _enc_text(user) + _enc_text(group) + struct.pack(">H", mode)
+def _enc_perm(perm: dict | None) -> bytes:
+    perm = perm or {"user": "hdfs", "group": "supergroup", "mode": 0o644}
+    return (_enc_text(perm["user"]) + _enc_text(perm["group"])
+            + struct.pack(">H", perm["mode"]))
 
 
-def _enc_rpc(call_id: int = 1) -> bytes:
-    cid = b"\x00" * 16  # 16-byte client UUID, zeroed for fixtures
-    return struct.pack(">H", len(cid)) + cid + struct.pack(">i", call_id)
+def _enc_pb_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_rpc(rpc: dict | None) -> bytes:
+    if rpc is None:
+        rpc = {"client_id": "00" * 16, "call_id": 1}
+    cid = bytes.fromhex(rpc["client_id"])
+    return (struct.pack(">H", len(cid)) + cid
+            + struct.pack(">i", rpc["call_id"]))
 
 
 def _enc_payload(rec: dict, layout: int) -> bytes:
     op = rec["opcode"]
+    if "raw" in rec:  # ops decoded opaquely re-encode verbatim
+        return bytes.fromhex(rec["raw"])
     if op in (OP_START_LOG_SEGMENT, OP_END_LOG_SEGMENT):
         return b""
     if op in (OP_ADD, OP_CLOSE):
@@ -420,31 +439,55 @@ def _enc_payload(rec: dict, layout: int) -> bytes:
                            rec.get("atime") or 0)
         out += struct.pack(">q", rec.get("block_size") or 0)
         out += _enc_blocks(rec.get("blocks") or [])
-        out += _enc_perm()
+        out += _enc_perm(rec.get("permissions"))
         if op == OP_ADD:
             out += struct.pack(">i", 0)  # no ACL entries
-            out += b"\x00"  # empty xattr blob (pb varint length 0)
+            xattr = bytes.fromhex(rec.get("xattr_raw", ""))
+            out += _enc_pb_varint(len(xattr)) + xattr
             out += _enc_string(rec.get("client_name", "cli"))
             out += _enc_string(rec.get("client_machine", "127.0.0.1"))
             out += b"\x01" if rec.get("overwrite") else b"\x00"
             out += bytes([rec.get("storage_policy_id", 0)])
             if layout <= LAYOUT_ERASURE_CODING:
                 out += bytes([rec.get("erasure_coding_policy_id", 0)])
-            out += _enc_rpc()
+            out += _enc_rpc(rec.get("rpc"))
         return out
     if op == OP_DELETE:
         return (_enc_string(rec["path"])
                 + struct.pack(">q", rec.get("timestamp") or 0)
-                + _enc_rpc())
+                + _enc_rpc(rec.get("rpc")))
+    if op == OP_RENAME_OLD:
+        return (_enc_string(rec["src"]) + _enc_string(rec["dst"])
+                + struct.pack(">q", rec.get("timestamp") or 0)
+                + _enc_rpc(rec.get("rpc")))
     if op == OP_RENAME:
         opts = bytes(rec.get("options") or [])
         return (_enc_string(rec["src"]) + _enc_string(rec["dst"])
                 + struct.pack(">q", rec.get("timestamp") or 0)
-                + struct.pack(">i", len(opts)) + opts + _enc_rpc())
+                + struct.pack(">i", len(opts)) + opts
+                + _enc_rpc(rec.get("rpc")))
     if op in (OP_ADD_BLOCK, OP_UPDATE_BLOCKS):
         return (_enc_string(rec["path"])
                 + _enc_compact_blocks(rec.get("blocks") or [])
-                + _enc_rpc())
+                + _enc_rpc(rec.get("rpc")))
+    if op == OP_APPEND:
+        return (_enc_string(rec["path"])
+                + _enc_string(rec.get("client_name", "cli"))
+                + _enc_string(rec.get("client_machine", "127.0.0.1"))
+                + (b"\x01" if rec.get("new_block") else b"\x00")
+                + _enc_rpc(rec.get("rpc")))
+    if op == OP_TRUNCATE:
+        blk = rec.get("truncate_block")
+        return (_enc_string(rec["path"])
+                + _enc_string(rec.get("client_name", "cli"))
+                + _enc_string(rec.get("client_machine", "127.0.0.1"))
+                + struct.pack(">q", rec["new_length"])
+                + struct.pack(">q", rec.get("timestamp") or 0)
+                + _enc_compact_blocks([blk] if blk else []))
+    if op == OP_SET_GENSTAMP_V2:
+        return struct.pack(">q", rec["genstamp"])
+    if op == OP_ALLOCATE_BLOCK_ID:
+        return struct.pack(">q", rec["block_id"])
     raise ValueError(f"encode_segment: unsupported opcode {op:#04x}")
 
 
@@ -453,12 +496,17 @@ def encode_segment(records: list[dict], layout: int = -64) -> bytes:
     the public FSEditLogOp on-disk format (the write-side mirror of
     ``decode_segment``: same field order, CRC32 framing, 0xFF tail).
 
-    Primary use: synthesizing validation fixtures for layouts the
-    reference's checked-in binaries don't cover (-64 erasure coding —
-    no real Hadoop 3 segment exists in this environment, so the
-    round-trip plus hand-written golden expectations stand in until a
-    real cluster segment can be replayed; the decoder's -63 arm stays
-    validated against the reference's real fixtures byte-exactly).
+    The writer is validated against REAL NameNode bytes:
+    ``encode_segment(decode_segment(seg), -63)`` reproduces every one
+    of the reference's checked-in -63 segments byte-for-byte
+    (tests/test_editlog.py::test_encode_decode_byte_identity_on_fixtures
+    — opaque ops re-emit their raw payload, OP_ADD preserves the xattr
+    blob/permissions/rpc ids verbatim). Primary use: synthesizing
+    validation fixtures for layouts the checked-in binaries don't
+    cover (-64 erasure coding — no real Hadoop 3 segment exists in
+    this environment; since the -63 write path is byte-exact against
+    real fixtures, the only unvalidated-against-a-cluster byte in a
+    synthesized -64 segment is the gated policy-id itself).
     """
     if layout not in SUPPORTED_LAYOUTS:
         raise ValueError(f"encode_segment: unsupported layout {layout}")

@@ -333,3 +333,30 @@ def test_resolve_inodes_follows_renames(spark):
     got = {r["tx_id"]: r["inode_id"]
            for r in resolve_inodes(df).collect()}
     assert got == {1: 5, 2: 5, 3: 5, 4: 5, 5: 5, 6: 5}
+
+
+def test_encode_decode_byte_identity_on_fixtures():
+    """The encoder must reproduce the reference's REAL -63 segments
+    byte-for-byte from their decoded records (permissions, rpc ids,
+    xattr blobs, opaque ops all preserved) — this pins the write path
+    to genuine Hadoop bytes, so a synthesized -64 fixture differs from
+    cluster truth by at most the gated policy byte."""
+    import struct
+
+    from hcdc_spark.sources.editlog import encode_segment
+
+    segs = _segments()
+    checked = 0
+    for f in segs:
+        with open(f, "rb") as fh:
+            data = fh.read()
+        recs = decode_segment(data)
+        if not recs:
+            continue
+        layout = struct.unpack(">i", data[:4])[0]
+        body = encode_segment(recs, layout=layout)[:-1]  # sans 0xFF
+        assert data[: len(body)] == body, f
+        # original continues only as preallocation padding (or ends)
+        assert len(data) == len(body) or data[len(body)] == 0xFF, f
+        checked += 1
+    assert checked >= 5  # the fixture tree carries 9 non-empty segments

@@ -28,6 +28,10 @@ CHANGED_THIS_ROUND = {
     "c04_stream_reconcile",
     "q86_unpivot",
     "c18_editlog_layout64",
+    # decode path gained xattr-blob retention for the byte-exact
+    # encoder mirror — surfaced output unchanged, but changed code
+    # re-verifies
+    "c16_editlog_decode",
 }
 
 #: The 24 queries whose green rows date to round 2 — the verdict's #1
