@@ -209,14 +209,21 @@ def _sql_big(v) -> str:
 
 @lru_cache(maxsize=2)
 def _input_ctes(log: str) -> str:
-    """Render the raw log (duplicates included — the SQL dedups) as the
-    ``ev_raw``/``blk_raw`` input CTEs."""
+    """Cached render of the two registry demo logs."""
     if log == "seed42":
         events = demo_events()
     elif log == "seed7":
         events = stream_demo_events()
     else:  # a typo'd key must not silently select some log
         raise ValueError(f"unknown oracle input log {log!r}")
+    return render_input_ctes(events)
+
+
+def render_input_ctes(events: list[dict]) -> str:
+    """Render a raw log (duplicates included — the SQL dedups) as the
+    ``ev_raw``/``blk_raw`` input CTEs. Public so tests can run the SAME
+    fold SQL over arbitrary invariant-satisfying logs (multi-seed
+    parity against the pure-Python statemachine)."""
     ev_rows = []
     blk_rows = []
     for e in events:
@@ -395,6 +402,27 @@ authoritative AS (  -- CLOSE length / TRUNCATE reset, latest of each
                   'UNKNOWN') AS file_type
   FROM eff GROUP BY inode_id
 ),
+trunc_dead AS (  -- blocks fully beyond the truncate point are Deleted
+                 -- (statemachine: offset >= new_len → state Deleted);
+                 -- a later CLOSE resurrects them, handled in folded
+  SELECT inode_id, COUNT(*) AS dead
+  FROM (
+    SELECT inode_id, L,
+           SUM(pre_size) OVER (PARTITION BY inode_id ORDER BY block_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum0
+    FROM (
+      SELECT a.inode_id, a.block_id, t.L,
+             MAX_BY(a.size, a.tx_id) AS pre_size
+      FROM asserts a
+      JOIN (SELECT inode_id, tx_id AS t_tx, trunc_len AS L
+            FROM eff WHERE op = 'TRUNCATE') t
+        ON a.inode_id = t.inode_id AND a.tx_id < t.t_tx
+      GROUP BY a.inode_id, a.block_id, t.L
+    )
+  )
+  WHERE COALESCE(cum0, 0) >= L
+  GROUP BY inode_id
+),
 folded AS (
   SELECT a.inode_id, p.path, s.state,
          -- size authority is the LATEST of CLOSE length / TRUNCATE
@@ -405,12 +433,18 @@ folded AS (
               WHEN a.t_tx IS NOT NULL THEN a.t_len
               ELSE COALESCE(b.sz, 0) END AS data_size,
          CASE WHEN s.state = 'Deleted' THEN 0
+              -- live count: truncate-deleted blocks subtract unless a
+              -- later CLOSE finalized (resurrected) every event block
+              WHEN a.t_tx IS NOT NULL
+                   AND a.t_tx > COALESCE(a.close_tx, -1)
+                THEN COALESCE(b.n_blocks, 0) - COALESCE(td.dead, 0)
               ELSE COALESCE(b.n_blocks, 0) END AS num_blocks,
          a.last_tx_id, a.file_type
   FROM authoritative a
   JOIN st s USING (inode_id)
   JOIN pth p USING (inode_id)
   LEFT JOIN blksum b USING (inode_id)
+  LEFT JOIN trunc_dead td USING (inode_id)
 ),
 unknown AS (  -- inodes whose every event errored: state-only stub row
   SELECT inode_id FROM log WHERE inode_id IN (SELECT inode_id FROM file_inodes)
@@ -419,30 +453,28 @@ unknown AS (  -- inodes whose every event errored: state-only stub row
 """
 
 
-def c01_oracle() -> str:
-    """file_state re-derived relationally from the raw seed-42 log."""
+def state_query(input_ctes: str, include_file_type: bool = True) -> str:
+    """Full file_state fold over the given rendered input CTEs."""
+    ft_col = ", file_type" if include_file_type else ""
+    ft_null = ", NULL" if include_file_type else ""
     return f"""
-WITH {_input_ctes("seed42")},
+WITH {input_ctes},
 {_FOLD_CTES},
 {_STATE_CTES}
 SELECT inode_id, path, state, CAST(data_size AS BIGINT) AS data_size,
-       CAST(num_blocks AS BIGINT) AS num_blocks, last_tx_id, file_type
+       CAST(num_blocks AS BIGINT) AS num_blocks, last_tx_id{ft_col}
 FROM folded
 UNION ALL
-SELECT inode_id, NULL, 'Unknown', NULL, NULL, NULL, NULL FROM unknown
+SELECT inode_id, NULL, 'Unknown', NULL, NULL, NULL{ft_null} FROM unknown
 ORDER BY inode_id
 """
 
 
-def c02_oracle() -> str:
-    """T25 error channel re-derived relationally: the dead-letter rows
-    are exactly the events the fold excludes — an ADD_FILE onto a live
-    path (without overwrite) and any non-creating op with no live file
-    state — with the statemachine's error text reconstructed from the
-    op. Relies on the same invariants as c01 (no overwrite claims, no
-    bootstrap CLOSEs), asserted by check_invariants."""
+def errors_query(input_ctes: str) -> str:
+    """T25 dead-letter rows = the complement of the fold's
+    effective-event set, error text reconstructed from the op."""
     return f"""
-WITH {_input_ctes("seed42")},
+WITH {input_ctes},
 {_FOLD_CTES}
 SELECT tx_id, inode_id, path, op,
        CASE WHEN op = 'ADD_FILE' THEN 'file exists and overwrite=false'
@@ -456,32 +488,37 @@ WHERE NOT ((op = 'ADD_FILE'
 """
 
 
+def c01_oracle() -> str:
+    """file_state re-derived relationally from the raw seed-42 log."""
+    return state_query(_input_ctes("seed42"), include_file_type=True)
+
+
+def c02_oracle() -> str:
+    """T25 error channel re-derived relationally: the dead-letter rows
+    are exactly the events the fold excludes — an ADD_FILE onto a live
+    path (without overwrite) and any non-creating op with no live file
+    state — with the statemachine's error text reconstructed from the
+    op. Relies on the same invariants as c01 (no overwrite claims, no
+    bootstrap CLOSEs), asserted by check_invariants."""
+    return errors_query(_input_ctes("seed42"))
+
+
 def c04_oracle() -> str:
     """The streaming reconciler's final state re-derived relationally
     from the raw seed-7 log: availableNow micro-batching + restart must
     land on the same file_state the window-SQL fold computes — a 3-way
     agreement (streaming fold, batch fold parity in
     tests/test_streaming.py, relational SQL)."""
-    return f"""
-WITH {_input_ctes("seed7")},
-{_FOLD_CTES},
-{_STATE_CTES}
-SELECT inode_id, path, state, CAST(data_size AS BIGINT) AS data_size,
-       CAST(num_blocks AS BIGINT) AS num_blocks, last_tx_id
-FROM folded
-UNION ALL
-SELECT inode_id, NULL, 'Unknown', NULL, NULL, NULL FROM unknown
-ORDER BY inode_id
-"""
+    return state_query(_input_ctes("seed7"), include_file_type=False)
 
 
-def c03_oracle() -> str:
+def changeset_query(input_ctes: str) -> str:
     """Per-block covering byte intervals re-derived from the raw log:
     the statemachine's delta bookkeeping as a lag over the per-block
     size trajectory (assertions + the TRUNCATE clamp), then min/max
     per block — DFSBlockState.compressedChangeSet relationally."""
     return f"""
-WITH {_input_ctes("seed42")},
+WITH {input_ctes},
 {_FOLD_CTES},
 truncs AS (
   SELECT inode_id, tx_id AS t_tx, trunc_len AS L
@@ -531,3 +568,8 @@ FROM deltas
 WHERE tx_id > 0 AND tx_id <= 1000000
 GROUP BY inode_id, block_id
 """
+
+
+def c03_oracle() -> str:
+    """Seed-42 change set via :func:`changeset_query`."""
+    return changeset_query(_input_ctes("seed42"))

@@ -54,3 +54,131 @@ def test_relational_oracle_matches_golden_pins(oracle):
     ):
         got = sorted(tuple(r) for r in oracle.execute(sql).fetchall())
         assert got == sorted(tuple(r) for r in rows)
+
+
+def _python_expand_dirs(events: list[dict]) -> list[dict]:
+    """Independent sequential directory-cascade expander for the parity
+    test below (third formulation — the Spark pre-pass is a fixpoint of
+    set joins, the oracle SQL a single-round window join; this one
+    replays the log event-by-event)."""
+    from hcdc_spark.operators.cdc_oracle import _FILE_ONLY_OPS
+
+    by_tx: dict[int, dict] = {}
+    for e in events:
+        by_tx.setdefault(e["tx_id"], e)
+    evs = sorted(by_tx.values(), key=lambda e: e["tx_id"])
+    file_inodes = {e["inode_id"] for e in evs if e["op"] in _FILE_ONLY_OPS}
+
+    cur: dict[int, str | None] = {}
+    out: list[dict] = []
+    for e in evs:
+        ino = e["inode_id"]
+        if ino not in file_inodes and e["op"] in ("DELETE", "RENAME"):
+            d_path, d_dest = e["path"], e.get("dest_path")
+            for child, p in sorted(cur.items()):
+                if not (p and p.startswith(d_path + "/")):
+                    continue
+                if e["op"] == "DELETE":
+                    if p.startswith("/tmp/"):
+                        continue
+                    out.append(dict(e, op="DELETE", path=p,
+                                    inode_id=child, dest_path=None))
+                    cur[child] = None
+                else:
+                    new = d_dest + p[len(d_path):]
+                    out.append(dict(e, op="RENAME", path=p,
+                                    inode_id=child, dest_path=new))
+                    cur[child] = new
+            continue  # directory row itself is dropped
+        if e["op"] in ("ADD_FILE", "CLOSE") and e.get("path") is not None:
+            cur[ino] = e["path"]
+        elif e["op"] == "RENAME":
+            cur[ino] = e.get("dest_path")
+        elif e["op"] == "DELETE":
+            cur[ino] = None
+        out.append(e)
+    return out
+
+
+def _python_fold(events: list[dict]):
+    """(state_rows, error_rows, changeset_rows) via the pure-Python
+    statemachine over the sequentially expanded log."""
+    from hcdc_spark.cdc.statemachine import (
+        compressed_change_set,
+        fold_events,
+    )
+
+    expanded = _python_expand_dirs(events)
+    by_inode: dict[int, list[dict]] = {}
+    for e in expanded:
+        by_inode.setdefault(e["inode_id"], []).append(e)
+
+    states, errors, changes = [], [], []
+    for inode, evs in sorted(by_inode.items()):
+        st, errs = fold_events(None, sorted(evs, key=lambda x: x["tx_id"]))
+        for er in errs:
+            errors.append((er["tx_id"], er["inode_id"], er["path"],
+                           er["op"], er["error"]))
+        if st is None:
+            states.append((inode, None, "Unknown", None, None, None, None))
+            continue
+        states.append((inode, st["path"], st["state"], st["data_size"],
+                       st["num_blocks"], st["last_tx_id"], st["file_type"]))
+        cs = compressed_change_set(st, 0, 1_000_000)
+        for blk in st["blocks"]:
+            if blk["block_id"] not in cs:
+                continue
+            lo, hi, deleted = cs[blk["block_id"]]
+            n = sum(1 for d in blk["deltas"]
+                    if 0 < d["tx_id"] <= 1_000_000)
+            changes.append((inode, blk["block_id"], lo, hi, deleted, n))
+    return sorted(states), sorted(errors), sorted(changes)
+
+
+def test_relational_fold_parity_across_seeds(oracle):
+    """Generalization gate: for EVERY generator log that satisfies
+    check_invariants — not just the two registry demos — the DuckDB
+    window-SQL fold must equal the pure-Python statemachine fold
+    (state, error channel, and per-block change set), with directory
+    cascades expanded by a third, sequential formulation. Logs that
+    violate the invariants are skipped (that is what the invariant
+    gate is FOR); the test requires a healthy sample of passing logs."""
+    from hcdc_spark.cdc.generator import generate_events
+    from hcdc_spark.operators import cdc_oracle as O
+
+    tested = skipped = 0
+    for seed in range(1, 27):
+        for kwargs in (
+            {"n_files": 15, "with_dir_ops": False},
+            {"n_files": 15, "with_dir_ops": True, "with_anomalies": True},
+            {"n_files": 25, "with_dir_ops": False,
+             "with_duplicates": False},
+        ):
+            events = generate_events(seed=seed, **kwargs)
+            try:
+                O.check_invariants(events)
+            except AssertionError:
+                skipped += 1
+                continue
+            tested += 1
+            ctes = O.render_input_ctes(events)
+            want_state, want_errs, want_cs = _python_fold(events)
+            got_state = sorted(
+                tuple(r) for r in
+                oracle.execute(O.state_query(ctes, True)).fetchall()
+            )
+            assert got_state == want_state, f"state diverged (seed {seed})"
+            got_errs = sorted(
+                tuple(r) for r in
+                oracle.execute(O.errors_query(ctes)).fetchall()
+            )
+            assert got_errs == want_errs, f"errors diverged (seed {seed})"
+            got_cs = sorted(
+                tuple(r) for r in
+                oracle.execute(O.changeset_query(ctes)).fetchall()
+            )
+            assert got_cs == want_cs, f"change set diverged (seed {seed})"
+    # ~42 of 78 candidate logs satisfy the invariants at these sizes —
+    # require a healthy floor so silent mass-skipping can't hollow the
+    # test out
+    assert tested >= 35, (tested, skipped)
