@@ -360,3 +360,85 @@ def test_encode_decode_byte_identity_on_fixtures():
         assert len(data) == len(body) or data[len(body)] == 0xFF, f
         checked += 1
     assert checked >= 5  # the fixture tree carries 9 non-empty segments
+
+
+# ------------------------------------------------------ codec properties
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    @settings(max_examples=300, deadline=None)
+    def test_vlong_roundtrip_full_int64(v):
+        """WritableUtils writeVLong/readVLong must invert across the
+        whole signed-64 range (single-byte fast path, multi-byte
+        positive, multi-byte negative)."""
+        from hcdc_spark.sources.editlog import _enc_vlong, _Reader
+
+        r = _Reader(_enc_vlong(v))
+        assert r.vlong() == v and r.remaining() == 0
+
+    @given(st.integers(min_value=0, max_value=2**63 - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_pb_varint_roundtrip(v):
+        from hcdc_spark.sources.editlog import _enc_pb_varint, _Reader
+
+        r = _Reader(_enc_pb_varint(v))
+        assert r.pb_varint() == v and r.remaining() == 0
+
+    _path = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00"
+        ),
+        min_size=1, max_size=40,
+    ).map(lambda s: "/" + s)
+
+    @given(
+        path=_path,
+        inode=st.integers(min_value=1, max_value=2**62),
+        sizes=st.lists(
+            st.integers(min_value=0, max_value=2**40), min_size=1,
+            max_size=4,
+        ),
+        layout=st.sampled_from([-63, -64]),
+        ec=st.integers(min_value=0, max_value=255),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_add_close_record_roundtrip(path, inode, sizes, layout, ec):
+        """encode→decode identity for OP_ADD/OP_CLOSE across random
+        paths (full UTF-8), block lists, and both layouts — the policy
+        byte must survive at -64 and be absent at -63."""
+        from hcdc_spark.sources.editlog import (
+            OP_ADD, OP_CLOSE, decode_segment, encode_segment,
+        )
+
+        blocks = [
+            {"block_id": 9000 + i, "size": s, "generation_stamp": i}
+            for i, s in enumerate(sizes)
+        ]
+        recs = [
+            {"txid": 1, "opcode": OP_ADD, "inode_id": inode, "path": path,
+             "mtime": 1, "atime": 2, "block_size": 3, "blocks": blocks,
+             "erasure_coding_policy_id": ec},
+            {"txid": 2, "opcode": OP_CLOSE, "inode_id": inode,
+             "path": path, "mtime": 4, "atime": 5, "block_size": 3,
+             "blocks": blocks},
+        ]
+        dec = decode_segment(encode_segment(recs, layout=layout))
+        add, close = dec
+        assert add["path"] == close["path"] == path
+        assert add["inode_id"] == inode
+        assert [b["size"] for b in add["blocks"]] == sizes
+        assert [b["size"] for b in close["blocks"]] == sizes
+        if layout == -64:
+            assert add["erasure_coding_policy_id"] == ec
+        else:
+            assert "erasure_coding_policy_id" not in add
+        assert "erasure_coding_policy_id" not in close
