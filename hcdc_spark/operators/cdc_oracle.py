@@ -161,8 +161,28 @@ def check_invariants(events: list[dict]) -> None:
                 f"inode {inode}: ADD_FILE after a directory op — "
                 "cascade/re-creation interaction unmodeled"
             )
+        # the fold SQL assumes chain order == block-id order (blocks
+        # are allocated with a monotonically increasing counter) and
+        # that every CLOSE ships its FULL block list (so a post-
+        # truncate CLOSE resurrects every truncate-dead block)
+        seen_blocks: list[int] = []
         for e in evs:
+            for b in e.get("blocks") or []:
+                if b["block_id"] not in seen_blocks:
+                    assert (
+                        not seen_blocks
+                        or b["block_id"] > seen_blocks[-1]
+                    ), (
+                        f"inode {inode}: block {b['block_id']} breaks "
+                        "chain-order == id-order"
+                    )
+                    seen_blocks.append(b["block_id"])
             if e["op"] == "CLOSE":
+                close_ids = {b["block_id"] for b in e.get("blocks") or []}
+                assert close_ids >= set(seen_blocks), (
+                    f"inode {inode}: CLOSE omits previously asserted "
+                    f"blocks {sorted(set(seen_blocks) - close_ids)}"
+                )
                 assert e.get("mode") not in ("Snapshot", "Backlog"), (
                     f"inode {inode}: bootstrap CLOSE in demo log"
                 )
@@ -245,13 +265,24 @@ def render_input_ctes(events: list[dict]) -> str:
                 f"({_sql_big(e['tx_id'])}, {pos}, "
                 f"{_sql_big(b['block_id'])}, {_sql_big(b.get('size') or 0)})"
             )
+    if not ev_rows:  # VALUES with zero rows is a parse error, not an
+        raise ValueError("render_input_ctes: empty event log")
+    if not blk_rows:  # blockless logs are legal — typed empty relation
+        blk_cte = (
+            "blk_raw AS (SELECT CAST(NULL AS BIGINT) AS tx_id, "
+            "CAST(NULL AS INTEGER) AS pos, CAST(NULL AS BIGINT) AS "
+            "block_id, CAST(NULL AS BIGINT) AS size WHERE FALSE)"
+        )
+    else:
+        blk_cte = (
+            "blk_raw(tx_id, pos, block_id, size) AS (VALUES\n"
+            + ",\n".join(blk_rows) + "\n)"
+        )
     return (
         "ev_raw(tx_id, op, path, dest_path, inode_id, overwrite, length,"
         " trunc_len, file_type) AS (VALUES\n"
         + ",\n".join(ev_rows)
-        + "\n), blk_raw(tx_id, pos, block_id, size) AS (VALUES\n"
-        + ",\n".join(blk_rows)
-        + "\n)"
+        + "\n), " + blk_cte
     )
 
 
@@ -353,6 +384,23 @@ asserts AS (  -- absolute per-block size assertions in the event stream
     FROM eff e JOIN blk b ON b.tx_id = e.tx_id
     WHERE e.op = 'ADD_BLOCK'
   ) WHERE r = 1
+),
+pre_trunc AS (  -- per-block size + cumulative chain offset just before
+                -- the (single) TRUNCATE; the ONE shared clamp input for
+                -- both the state fold's dead-block count and the change
+                -- set's interval synthesis — chain order == block-id
+                -- order by gated invariant
+  SELECT *, SUM(pre_size) OVER (PARTITION BY inode_id ORDER BY block_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum0
+  FROM (
+    SELECT a.inode_id, a.block_id, t.t_tx, t.L,
+           MAX_BY(a.size, a.tx_id) AS pre_size
+    FROM asserts a
+    JOIN (SELECT inode_id, tx_id AS t_tx, trunc_len AS L
+          FROM eff WHERE op = 'TRUNCATE') t
+      ON a.inode_id = t.inode_id AND a.tx_id < t.t_tx
+    GROUP BY a.inode_id, a.block_id, t.t_tx, t.L
+  )
 )
 """
 
@@ -404,22 +452,10 @@ authoritative AS (  -- CLOSE length / TRUNCATE reset, latest of each
 ),
 trunc_dead AS (  -- blocks fully beyond the truncate point are Deleted
                  -- (statemachine: offset >= new_len → state Deleted);
-                 -- a later CLOSE resurrects them, handled in folded
+                 -- a later CLOSE resurrects them (invariant: CLOSE
+                 -- ships the full block list), handled in folded
   SELECT inode_id, COUNT(*) AS dead
-  FROM (
-    SELECT inode_id, L,
-           SUM(pre_size) OVER (PARTITION BY inode_id ORDER BY block_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum0
-    FROM (
-      SELECT a.inode_id, a.block_id, t.L,
-             MAX_BY(a.size, a.tx_id) AS pre_size
-      FROM asserts a
-      JOIN (SELECT inode_id, tx_id AS t_tx, trunc_len AS L
-            FROM eff WHERE op = 'TRUNCATE') t
-        ON a.inode_id = t.inode_id AND a.tx_id < t.t_tx
-      GROUP BY a.inode_id, a.block_id, t.L
-    )
-  )
+  FROM pre_trunc
   WHERE COALESCE(cum0, 0) >= L
   GROUP BY inode_id
 ),
@@ -520,29 +556,14 @@ def changeset_query(input_ctes: str) -> str:
     return f"""
 WITH {input_ctes},
 {_FOLD_CTES},
-truncs AS (
-  SELECT inode_id, tx_id AS t_tx, trunc_len AS L
-  FROM eff WHERE op = 'TRUNCATE'
-),
-pre AS (  -- per-block size just before the (single) truncate
-  SELECT a.inode_id, a.block_id, t.t_tx, t.L,
-         MAX_BY(a.size, a.tx_id) AS pre_size
-  FROM asserts a JOIN truncs t
-    ON a.inode_id = t.inode_id AND a.tx_id < t.t_tx
-  GROUP BY a.inode_id, a.block_id, t.t_tx, t.L
-),
-clamped AS (  -- chain order = block_id order; clamp to the new length
+clamped AS (  -- statemachine TRUNCATE clamp over the shared pre_trunc
   SELECT inode_id, block_id, t_tx AS tx_id,
          -- SUM() OVER promotes to HUGEINT in DuckDB; pin BIGINT so the
          -- driver's type-sensitive hash sees bigint offsets
          CAST(CASE WHEN COALESCE(cum0, 0) >= L THEN 0
               WHEN COALESCE(cum0, 0) + pre_size > L THEN L - COALESCE(cum0, 0)
               ELSE pre_size END AS BIGINT) AS size
-  FROM (
-    SELECT *, SUM(pre_size) OVER (PARTITION BY inode_id ORDER BY block_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum0
-    FROM pre
-  )
+  FROM pre_trunc
 ),
 traj AS (  -- statemachine size trajectory per block
   SELECT *, COALESCE(LAG(size) OVER (PARTITION BY inode_id, block_id

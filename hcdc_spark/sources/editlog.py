@@ -406,6 +406,8 @@ def _enc_perm(perm: dict | None) -> bytes:
 
 
 def _enc_pb_varint(v: int) -> bytes:
+    if v < 0:  # arithmetic shift would loop forever
+        raise ValueError(f"pb varint cannot encode negative value {v}")
     out = bytearray()
     while True:
         b = v & 0x7F
