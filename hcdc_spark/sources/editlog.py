@@ -126,8 +126,10 @@ class _Reader:
 
     def string(self) -> str:
         """DeprecatedUTF8 string: uint16 length prefix (paths, client
-        names)."""
-        return self.take(self.u16()).decode("utf-8")
+        names). The payload is Hadoop *modified* UTF-8 (UTF8.readChars:
+        one sequence per UTF-16 code unit, so supplementary characters
+        arrive as CESU-8 surrogate pairs), not standard UTF-8."""
+        return _mutf8_decode(self.take(self.u16()))
 
     def text(self) -> str:
         """``org.apache.hadoop.io.Text`` string: vint length prefix
@@ -367,8 +369,74 @@ def _enc_vlong(v: int) -> bytes:
     return struct.pack(">b", base - len(tmp)) + bytes(reversed(tmp))
 
 
+def _mutf8_encode(s: str) -> bytes:
+    """Hadoop modified UTF-8 (org.apache.hadoop.io.UTF8.writeChars):
+    each UTF-16 code unit is encoded independently — 1 byte ≤ U+007F
+    (including NUL, unlike java.io.DataOutput.writeUTF), 2 bytes
+    ≤ U+07FF, 3 bytes otherwise — so a supplementary character becomes
+    a CESU-8 surrogate pair (6 bytes), never a 4-byte UTF-8 sequence.
+    BMP-only strings are byte-identical to standard UTF-8."""
+    if all(ord(c) < 0x10000 for c in s):
+        return s.encode("utf-8")
+    out = bytearray()
+    for c in s:
+        cp = ord(c)
+        if cp < 0x10000:
+            out += c.encode("utf-8")
+        else:
+            cp -= 0x10000
+            for su in (0xD800 + (cp >> 10), 0xDC00 + (cp & 0x3FF)):
+                out += bytes(
+                    (0xE0 | (su >> 12), 0x80 | ((su >> 6) & 0x3F),
+                     0x80 | (su & 0x3F))
+                )
+    return bytes(out)
+
+
+def _mutf8_decode(b: bytes) -> str:
+    """Inverse of :func:`_mutf8_encode` (UTF8.readChars): 1/2/3-byte
+    sequences only; CESU-8 surrogate pairs recombine into supplementary
+    characters; a 4-byte lead or a lone surrogate raises (Hadoop never
+    writes either, so silence would mask corrupt framing)."""
+    if b.isascii():
+        return b.decode("ascii")
+    units: list[int] = []
+    i, n = 0, len(b)
+    while i < n:
+        x = b[i]
+        if x & 0x80 == 0:
+            units.append(x)
+            i += 1
+        elif x & 0xE0 == 0xC0:
+            if i + 2 > n:
+                raise ValueError("modified-UTF-8 string truncated")
+            units.append(((x & 0x1F) << 6) | (b[i + 1] & 0x3F))
+            i += 2
+        elif x & 0xF0 == 0xE0:
+            if i + 3 > n:
+                raise ValueError("modified-UTF-8 string truncated")
+            units.append(
+                ((x & 0x0F) << 12)
+                | ((b[i + 1] & 0x3F) << 6)
+                | (b[i + 2] & 0x3F)
+            )
+            i += 3
+        else:
+            raise ValueError(
+                f"invalid modified-UTF-8 lead byte 0x{x:02x} (4-byte "
+                "UTF-8 sequences never occur in Hadoop UTF8 payloads)"
+            )
+    # recombine UTF-16 surrogate pairs; strict utf-16 decode makes a
+    # lone surrogate a loud error
+    return (
+        "".join(chr(u) for u in units)
+        .encode("utf-16-be", "surrogatepass")
+        .decode("utf-16-be")
+    )
+
+
 def _enc_string(s: str) -> bytes:
-    b = s.encode("utf-8")
+    b = _mutf8_encode(s)
     return struct.pack(">H", len(b)) + b
 
 

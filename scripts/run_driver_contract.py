@@ -7,17 +7,21 @@ normalized schema (type-sensitive — decimals/hugeint are automatic
 mismatches), and order-insensitive canonicalized values.
 
 Usage: python scripts/run_driver_contract.py [N] [name ...]
+Data dir defaults to /root/testdata/sf0.01; override with
+HCDC_CONTRACT_SF_DIR. The repo root is derived from this file's path.
 """
 
 from __future__ import annotations
 
 import datetime
 import math
+import os
+import pathlib
 import re
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 NORM = {"bigint": "int", "int": "int", "integer": "int", "smallint": "int",
         "tinyint": "int", "double": "f64", "float": "f32", "string": "str",
@@ -67,7 +71,7 @@ def main() -> int:
     import __spark_entry__ as E
 
     con = duckdb.connect()
-    sf = "/root/testdata/sf0.01"
+    sf = os.environ.get("HCDC_CONTRACT_SF_DIR", "/root/testdata/sf0.01")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(

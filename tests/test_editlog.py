@@ -364,6 +364,33 @@ def test_encode_decode_byte_identity_on_fixtures():
 
 # ------------------------------------------------------ codec properties
 
+
+def test_modified_utf8_supplementary_is_cesu8():
+    """Hadoop UTF8.writeChars encodes U+1F4BE as the CESU-8 surrogate
+    pair ED A0 BD ED B2 BE (two 3-byte sequences), NOT the 4-byte UTF-8
+    F0 9F 92 BE — pinned so a real NameNode segment with a non-BMP path
+    decodes to cluster truth."""
+    from hcdc_spark.sources.editlog import _mutf8_decode, _mutf8_encode
+
+    s = "/data/\U0001f4be.parquet"
+    enc = _mutf8_encode(s)
+    assert b"\xed\xa0\xbd\xed\xb2\xbe" in enc
+    assert b"\xf0" not in enc
+    assert _mutf8_decode(enc) == s
+    # BMP strings are byte-identical to standard UTF-8
+    bmp = "/data/café/中文.parquet"
+    assert _mutf8_encode(bmp) == bmp.encode("utf-8")
+    assert _mutf8_decode(bmp.encode("utf-8")) == bmp
+    # a 4-byte UTF-8 lead is corrupt framing for this writable → loud
+    import pytest
+
+    with pytest.raises(ValueError):
+        _mutf8_decode("\U0001f4be".encode("utf-8"))
+    # a lone surrogate must not decode silently
+    with pytest.raises(UnicodeDecodeError):
+        _mutf8_decode(b"\xed\xa0\xbd")
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
