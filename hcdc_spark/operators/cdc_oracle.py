@@ -372,24 +372,40 @@ eff AS (  -- effective events: error-channel rows excluded (T25)
          AND last_add IS NOT NULL
          AND COALESCE(last_del, -1) < last_add)
 ),
+epoch AS (  -- lifetime boundary: an effective ADD_FILE RESETS per-file
+            -- state (apply_event → _create_state discards prior blocks
+            -- and deltas, statemachine.py:127-136); the LAST one opens
+            -- the lifetime the fold reports. Re-creation after a
+            -- (cascade) delete is therefore modeled, not invariant-gated
+  SELECT inode_id, MAX(tx_id) AS e0 FROM eff
+  WHERE op = 'ADD_FILE' GROUP BY inode_id
+),
+effe AS (  -- effective events of each inode's FINAL lifetime; every
+           -- inode with effective events has an effective ADD_FILE
+           -- (bootstrap CLOSEs are invariant-gated out), so the LEFT
+           -- JOIN is belt-and-braces only
+  SELECT e.* FROM eff e
+  LEFT JOIN epoch p USING (inode_id)
+  WHERE e.tx_id >= COALESCE(p.e0, -1)
+),
 asserts AS (  -- absolute per-block size assertions in the event stream
   SELECT e.inode_id, e.tx_id, b.block_id, b.size
-  FROM eff e JOIN blk b ON b.tx_id = e.tx_id
+  FROM effe e JOIN blk b ON b.tx_id = e.tx_id
   WHERE e.op IN ('ADD_FILE','UPDATE_BLOCKS','CLOSE')
   UNION ALL
   SELECT inode_id, tx_id, block_id, size FROM (
     -- ADD_BLOCK ships [chain-tail, new]; only the last element creates
     SELECT e.inode_id, e.tx_id, b.block_id, b.size,
            ROW_NUMBER() OVER (PARTITION BY e.tx_id ORDER BY b.pos DESC) AS r
-    FROM eff e JOIN blk b ON b.tx_id = e.tx_id
+    FROM effe e JOIN blk b ON b.tx_id = e.tx_id
     WHERE e.op = 'ADD_BLOCK'
   ) WHERE r = 1
 ),
 pre_trunc AS (  -- per-block size + cumulative chain offset just before
-                -- the (single) TRUNCATE; the ONE shared clamp input for
-                -- both the state fold's dead-block count and the change
-                -- set's interval synthesis — chain order == block-id
-                -- order by gated invariant
+                -- the (single per lifetime) TRUNCATE; the ONE shared
+                -- clamp input for both the state fold's dead-block
+                -- count and the change set's interval synthesis —
+                -- chain order == block-id order by gated invariant
   SELECT *, SUM(pre_size) OVER (PARTITION BY inode_id ORDER BY block_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum0
   FROM (
@@ -397,7 +413,7 @@ pre_trunc AS (  -- per-block size + cumulative chain offset just before
            MAX_BY(a.size, a.tx_id) AS pre_size
     FROM asserts a
     JOIN (SELECT inode_id, tx_id AS t_tx, trunc_len AS L
-          FROM eff WHERE op = 'TRUNCATE') t
+          FROM effe WHERE op = 'TRUNCATE') t
       ON a.inode_id = t.inode_id AND a.tx_id < t.t_tx
     GROUP BY a.inode_id, a.block_id, t.t_tx, t.L
   )
@@ -417,7 +433,7 @@ st AS (  -- T3 transitions: last state-changing op decides (RENAME keeps)
     SELECT inode_id, op,
            ROW_NUMBER() OVER (PARTITION BY inode_id
                               ORDER BY tx_id DESC) AS rn
-    FROM eff WHERE op <> 'RENAME'
+    FROM effe WHERE op <> 'RENAME'
   ) WHERE rn = 1
 ),
 pth AS (  -- path: last ADD_FILE path / RENAME dest (DELETE keeps path)
@@ -427,7 +443,7 @@ pth AS (  -- path: last ADD_FILE path / RENAME dest (DELETE keeps path)
            CASE op WHEN 'ADD_FILE' THEN path ELSE dest_path END AS p,
            ROW_NUMBER() OVER (PARTITION BY inode_id
                               ORDER BY tx_id DESC) AS rn
-    FROM eff WHERE op IN ('ADD_FILE','RENAME')
+    FROM effe WHERE op IN ('ADD_FILE','RENAME')
   ) WHERE rn = 1
 ),
 blksum AS (  -- open-file size: sum of each block's latest asserted size
@@ -448,7 +464,7 @@ authoritative AS (  -- CLOSE length / TRUNCATE reset, latest of each
          -- file_type: last event asserting one (CLOSE), else UNKNOWN
          COALESCE(MAX_BY(file_type, tx_id) FILTER (file_type IS NOT NULL),
                   'UNKNOWN') AS file_type
-  FROM eff GROUP BY inode_id
+  FROM effe GROUP BY inode_id
 ),
 trunc_dead AS (  -- blocks fully beyond the truncate point are Deleted
                  -- (statemachine: offset >= new_len → state Deleted);

@@ -181,6 +181,60 @@ def featurize_media(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(body, schema=_EMB_SCHEMA)
 
 
+_EMB_MD5_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+MD5_EMB_DIM = 8  # one md5 = 32 hex chars = 8 four-hex-digit features
+
+
+def featurize_media_md5(media: DataFrame) -> DataFrame:
+    """Deterministic feature extraction with an oracle-expressible
+    hash: emb[i] = int(md5(payload)[4i:4i+4], 16) / 65535.0 — the q73
+    technique (md5 exists bit-identically in DuckDB, so the whole
+    embed+kNN pipeline becomes hash-checkable, unlike the sha256
+    variant). Same mapInPandas plumbing a real vision/audio encoder
+    slots into: Arrow binary batches in, array<double> out."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for buf in pdf["content"]:
+                h = hashlib.md5(bytes(buf)).hexdigest()
+                embs.append(
+                    [
+                        int(h[4 * i : 4 * i + 4], 16) / 65535.0
+                        for i in range(MD5_EMB_DIM)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "embedding": embs}
+            )
+
+    return media.mapInPandas(body, schema=_EMB_MD5_SCHEMA)
+
+
+def _duck_md5_emb_sql() -> str:
+    """The featurize_media_md5 embedding as one DuckDB list literal:
+    each element parses a 4-hex-digit md5 slice arithmetically
+    (strpos over the hex alphabet — DuckDB has no conv())."""
+
+    def hexval(p: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+
+    elems = []
+    for i in range(MD5_EMB_DIM):
+        p = 4 * i + 1
+        elems.append(
+            f"(4096*{hexval(p)} + 256*{hexval(p + 1)} + "
+            f"16*{hexval(p + 2)} + {hexval(p + 3)}) / 65535.0"
+        )
+    return "[" + ", ".join(elems) + "]"
+
+
 def decode_image_real(media: DataFrame) -> DataFrame:
     """Real image decode (width/height/mode via PIL), STUBBED: the
     container ships no imaging libraries. The Spark-side contract
@@ -249,24 +303,48 @@ def q42_media_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_media(media_from_documents(docs), with_mean_byte=False)
 
 
+def _q43_oracle() -> str:
+    emb = _duck_md5_emb_sql()
+    return f"""
+    WITH e AS (
+      SELECT media_id, {emb} AS emb
+      FROM (SELECT doc_id AS media_id, md5(text) AS h FROM documents)
+    ),
+    q AS (SELECT emb AS qv FROM e WHERE media_id = 0)
+    SELECT media_id,
+           list_dot_product(emb, (SELECT qv FROM q))
+             / (sqrt(list_dot_product(emb, emb))
+                * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cos_sim
+    FROM e
+    WHERE media_id <> 0
+    ORDER BY cos_sim DESC, media_id
+    LIMIT 5
+    """
+
+
 @REG.add(
     "q43_media_embed_knn",
-    None,
+    _q43_oracle(),
     doc="Media featurize → cosine top-5 vs media_id=0 using the exact "
-    "similarity arithmetic. Rows-only (hash-seeded embeddings are not "
-    "SQL-expressible); shape/determinism gated in "
-    "tests/test_multimodal.py.",
+    "similarity arithmetic. Embeddings are md5-derived (the q73 "
+    "technique), so the oracle re-derives the WHOLE embed+kNN pipeline "
+    "— md5, hex-slice features, dot products — in DuckDB SQL; the "
+    "mapInPandas Arrow plumbing a real encoder slots into stays on the "
+    "Spark side. Reference anchor: the binary-payload conversion "
+    "pipeline CDCDataConverter.convert (namenode-agent/.../common/"
+    "CDCDataConverter.java:54-72), whose decode stage this featurizer "
+    "stands in for.",
     tags=("multimodal", "similarity"),
 )
 def q43_media_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hcdc_spark.operators.similarity import _dot, _norm2
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    emb = featurize_media(media_from_documents(docs)).cache()
+    emb = featurize_media_md5(media_from_documents(docs)).cache()
     q = emb.where(F.col("media_id") == 0).collect()[0]["embedding"]
     qlit = F.array(*[F.lit(float(x)) for x in q])
     qn = math.sqrt(sum(float(x) ** 2 for x in q))
-    e = F.col("embedding").cast("array<double>")
+    e = F.col("embedding")
     return (
         emb.where(F.col("media_id") != 0)
         .select(

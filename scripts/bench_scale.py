@@ -1,0 +1,61 @@
+"""Scaling self-bench: the five most expensive headline queries at
+sf0.1 vs the synthesized sf1.0 (scripts/gen_sf_scale.py), min of N
+passes after a warmup pass. Near-linear growth (~10x time for 10x
+rows) validates the single-shuffle plan shapes; super-linear growth
+exposes a hidden quadratic.
+
+Usage: python scripts/bench_scale.py [passes=2]
+Prints one JSON line: {query: {"sf0.1": s, "sf1.0": s, "ratio": r}}.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+QUERIES = (
+    "q29_minhash_lsh",
+    "q03_join_topn_revenue",
+    "q10_agg_distinct",
+    "q05_star_join",
+    "q16_set_ops",
+)
+SF_DIRS = {"sf0.1": "/root/testdata/sf0.1",
+           "sf1.0": str(ROOT / ".benchdata" / "sf1.0")}
+
+
+def main() -> None:
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    from hcdc_spark.session import get_spark
+
+    spark = get_spark("hcdc-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        fn = qs[name]
+        row: dict[str, float] = {}
+        for sf, d in SF_DIRS.items():
+            fn(spark, d).count()  # warmup (codegen/JIT/Arrow workers)
+            best = min(
+                (lambda t0: (fn(spark, d).count(), time.time() - t0)[1])(
+                    time.time()
+                )
+                for _ in range(passes)
+            )
+            row[sf] = round(best, 2)
+        row["ratio"] = round(row["sf1.0"] / row["sf0.1"], 1)
+        out[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Generate a 10x scale-up of the driver's sf0.1 parquet tables.
+
+/root/testdata ships sf{0.001,0.01,0.1} only; the 100-TB design claims
+deserve at least one measured scaling point, so this script synthesizes
+an "sf1.0" from sf0.1 by unioning K key-shifted copies of every scaled
+table (referential integrity preserved: lineitem's order/part/supp
+foreign keys shift together with the parent tables' primary keys).
+Copy 0 is byte-value-identical to sf0.1, so sf0.1 is a subset.
+
+`documents` additionally salts every whitespace token with a per-copy
+suffix for copies > 0: identical texts across copies would multiply
+near-dup GROUP SIZES by K and the pair count by ~K^2, contaminating the
+q29 scaling measurement; with per-copy token salts, cross-copy Jaccard
+is 0 and the true near-dup workload scales exactly linearly.
+
+Output: .benchdata/sf1.0/ under the repo root (gitignored).
+Usage: python scripts/gen_sf_scale.py [K] (default 10)
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+SRC = "/root/testdata/sf0.1"
+OUT = str(pathlib.Path(__file__).resolve().parents[1] / ".benchdata" / "sf1.0")
+
+# table -> columns shifted by that table's own key stride
+_SHIFTS = {
+    "customer": {"c_custkey": "c"},
+    "orders": {"o_orderkey": "o", "o_custkey": "c"},
+    "lineitem": {"l_orderkey": "o", "l_partkey": "p", "l_suppkey": "s"},
+    "part": {"p_partkey": "p"},
+    "supplier": {"s_suppkey": "s"},
+    "documents": {"doc_id": "d"},
+}
+_STRIDE_KEY = {"c": ("customer", "c_custkey"), "o": ("orders", "o_orderkey"),
+               "p": ("part", "p_partkey"), "s": ("supplier", "s_suppkey"),
+               "d": ("documents", "doc_id")}
+_COPY_ASIS = ("nation", "region", "events", "embeddings")
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    strides = {
+        key: spark.read.parquet(f"{SRC}/{t}.parquet")
+        .agg(F.max(col)).collect()[0][0] + 1
+        for key, (t, col) in _STRIDE_KEY.items()
+    }
+    for t, shifts in _SHIFTS.items():
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        copies = []
+        for i in range(k):
+            c = src
+            for col, skey in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * strides[skey]))
+            if t == "documents" and i > 0:
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", rf"$1_c{i}"),
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+        print(f"{t}: {k}x written")
+    for t in _COPY_ASIS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{t}.parquet")
+        print(f"{t}: copied 1x")
+    print("done ->", OUT)
+
+
+if __name__ == "__main__":
+    main()

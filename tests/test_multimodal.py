@@ -81,6 +81,26 @@ def test_q43_knn_shape(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_featurize_md5_matches_hand_computation(spark, media):
+    """emb[i] = int(md5(payload)[4i:4i+4], 16) / 65535.0 — recomputed
+    here independently of the mapInPandas body (the DuckDB oracle for
+    q43 re-derives the same arithmetic in SQL)."""
+    import hashlib
+
+    rows = media.limit(8).collect()
+    got = {
+        r["media_id"]: r["embedding"]
+        for r in MM.featurize_media_md5(media.limit(8)).collect()
+    }
+    for r in rows:
+        h = hashlib.md5(bytes(r["content"])).hexdigest()
+        want = [
+            int(h[4 * i : 4 * i + 4], 16) / 65535.0
+            for i in range(MM.MD5_EMB_DIM)
+        ]
+        assert got[r["media_id"]] == want
+
+
 def test_resize_media_stride_content(spark, sf_dir):
     """The resized payload must be exactly content[::factor] — the
     pytest half of q71 (the oracle covers sizes only)."""
