@@ -250,6 +250,116 @@ def q36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- ANN, oracle-checkable
+
+# q36's random-hyperplane banding needs 16 float dot-product folds,
+# whose SIGN is cross-engine-stable only if the fold order is — a
+# fragile foundation for a hash-exact oracle. q89 is the q73-style
+# md5 twin: the SAME any-band-collision → exact-cosine-re-rank shape,
+# but the band key is md5 over the SIGN BITS OF RAW COMPONENTS
+# (axis-aligned hyperplanes — the degenerate LSH family where each
+# plane is a coordinate axis). A raw-component sign compare is a pure
+# float comparison on the parquet value, bit-identical in any engine,
+# so the full pipeline (banding, candidate gate, re-rank) re-derives
+# in DuckDB SQL. q36 stays the production path (random planes spread
+# buckets better); q89 makes the bucketing itself hash-checked.
+Q89_BANDS = 4
+Q89_BITS = 4
+
+
+def _sign_band_exprs(
+    n_bands: int = Q89_BANDS, bits: int = Q89_BITS
+) -> list[str]:
+    """Per-band `md5('1|0|...')` over component sign bits; identical
+    text renders in Spark SQL and DuckDB (element_at / [] are both
+    1-based)."""
+    out = []
+    for b in range(n_bands):
+        cases = ", ".join(
+            "CASE WHEN element_at(embedding, "
+            f"{b * bits + j + 1}) >= 0 THEN '1' ELSE '0' END"
+            for j in range(bits)
+        )
+        out.append(f"md5(concat_ws('|', {cases}))")
+    return out
+
+
+def _q89_oracle() -> str:
+    bands = ",\n           ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(
+            f"CASE WHEN embedding[{b * Q89_BITS + j + 1}] >= 0 "
+            "THEN '1' ELSE '0' END"
+            for j in range(Q89_BITS)
+        )
+        + f")) AS mband_{b}"
+        for b in range(Q89_BANDS)
+    )
+    collide = " OR ".join(
+        f"b.mband_{i} = (SELECT mband_{i} FROM q)" for i in range(Q89_BANDS)
+    )
+    return f"""
+    WITH banded AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+           {bands}
+      FROM embeddings
+    ), q AS (SELECT * FROM banded WHERE vec_id = 0)
+    SELECT b.vec_id, b.label,
+           list_dot_product(b.e, (SELECT e FROM q))
+             / (sqrt(list_dot_product(b.e, b.e))
+                * sqrt((SELECT list_dot_product(e, e) FROM q))) AS cos_sim
+    FROM banded b
+    WHERE b.vec_id <> 0 AND ({collide})
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """
+
+
+@REG.add(
+    "q89_ann_lsh_md5",
+    _q89_oracle(),
+    doc="ANN via banded sign-bit LSH (4 bands x 4 axis-aligned "
+    "hyperplanes), md5-bucketed so the WHOLE pipeline re-derives in "
+    "DuckDB — the oracle twin of q36 the way q73 twins q29. Candidate "
+    "iff any band's md5 bucket matches the vec_id=0 query's; exact "
+    "cosine re-rank (q34 arithmetic, verified bit-identical "
+    "cross-engine) picks top-10. Banding is a pure projection "
+    "(no shuffle); at scale the any-band gate is an equi-join on the "
+    "short (band, bucket) key via ann_candidates, never a cross join.",
+    tags=("similarity", "lsh"),
+)
+def q89_ann_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    banded = emb.select(
+        "*",
+        *[
+            F.expr(e).alias(f"mband_{b}")
+            for b, e in enumerate(_sign_band_exprs())
+        ],
+    )
+    qrow = banded.where(F.col("vec_id") == 0).collect()[0]
+    qlit = F.array(
+        *[F.lit(float(x)).cast("double") for x in qrow["embedding"]]
+    )
+    qnorm = math.sqrt(sum(float(x) ** 2 for x in qrow["embedding"]))
+    any_band = None
+    for b in range(Q89_BANDS):
+        hit = F.col(f"mband_{b}") == F.lit(qrow[f"mband_{b}"])
+        any_band = hit if any_band is None else (any_band | hit)
+    return (
+        banded.where(any_band & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot(_emb(), qlit) / (F.sqrt(_norm2(_emb())) * F.lit(qnorm))
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @REG.add(
     "q52_embedding_neardup_lsh",
     None,

