@@ -22,7 +22,13 @@ def generate_events(
     with_dir_ops: bool = True,
     with_duplicates: bool = True,
     with_anomalies: bool = False,
+    with_recreates: bool = False,
 ) -> list[dict]:
+    """``with_recreates`` adds DELETE→re-ADD lifetimes (file-level AND
+    cascade-deleted inodes re-created after the directory ops) drawn
+    from a SEPARATE rng stream, so every pre-existing seed's log —
+    including the seed-42/seed-7 golden demo logs — stays
+    byte-identical with the flag off."""
     rng = random.Random(seed)
     events: list[dict] = []
     tx = 0
@@ -36,6 +42,7 @@ def generate_events(
 
     dirs = [f"/data/d{i}" for i in range(max(2, n_files // 10))]
     live_paths: dict[int, str] = {}
+    deleted_inodes: list[int] = []
 
     for inode in range(1, n_files + 1):
         d = rng.choice(dirs)
@@ -149,10 +156,17 @@ def generate_events(
                 )
             )
             del live_paths[inode]
+            deleted_inodes.append(inode)
 
+    cascade_deleted: list[int] = []
+    anomaly_inode: int | None = None
     if with_dir_ops and live_paths:
         # delete one whole directory (inode 900000+ = directory inodes)
         victim_dir = dirs[0]
+        cascade_deleted = [
+            i for i, p in sorted(live_paths.items())
+            if p.startswith(victim_dir + "/")
+        ]
         t, ts = nxt()
         events.append(
             empty_event(
@@ -182,6 +196,7 @@ def generate_events(
         )
         if live_paths:
             inode, path = next(iter(live_paths.items()))
+            anomaly_inode = inode
             t, ts = nxt()
             events.append(
                 empty_event(
@@ -190,6 +205,125 @@ def generate_events(
                     blocks=[], mode="New",
                 )
             )
+
+    if with_recreates:
+        # Re-created lifetimes: both file-level DELETE→re-ADD and
+        # cascade-DELETE→re-ADD (the re-ADD lands AFTER the directory
+        # ops on purpose). Drawn from an independent rng so the shared
+        # `rng` stream — and therefore every existing seed's log — is
+        # untouched when the flag is off.
+        rng2 = random.Random(seed * 7919 + 17)
+        # the anomaly ADD may itself have re-created a cascade-deleted
+        # inode (live_paths does not see cascades) — a further re-ADD
+        # on it would be errored and its UPDATE_BLOCKS semantic, so
+        # keep it out of the pool
+        pool = set(deleted_inodes) | set(cascade_deleted)
+        pool.discard(anomaly_inode)
+        for inode in sorted(pool):
+            if rng2.random() >= 0.7:
+                continue
+            path = f"/data/re/file_{inode}.parquet"
+            blk_size = 1 << 20
+            t, ts = nxt()
+            b0 = {
+                "block_id": (block_counter := block_counter + 1),
+                "size": 0, "block_size": blk_size,
+                "generation_stamp": 1, "start_offset": None,
+                "end_offset": None, "delta_size": None, "deleted": False,
+            }
+            events.append(
+                empty_event(
+                    tx_id=t, op="ADD_FILE", ts=ts, namespace=namespace,
+                    path=path, inode_id=inode, block_size=blk_size,
+                    overwrite=False, modified_time=ts, blocks=[b0],
+                    mode="New",
+                )
+            )
+            size = 0
+            blocks2 = [dict(b0)]
+            for _ in range(rng2.randint(0, 2)):
+                grow = rng2.randint(1, blk_size // 2)
+                size += grow
+                blocks2[-1] = dict(
+                    blocks2[-1], size=(blocks2[-1]["size"] or 0) + grow
+                )
+                t, ts = nxt()
+                events.append(
+                    empty_event(
+                        tx_id=t, op="UPDATE_BLOCKS", ts=ts,
+                        namespace=namespace, path=path, inode_id=inode,
+                        blocks=[dict(blocks2[-1])], mode="New",
+                    )
+                )
+            if size > 10 and rng2.random() < 0.4:
+                # a truncate inside the re-created lifetime — and,
+                # sometimes, growth after it with no CLOSE (both now
+                # modeled by the relational fold)
+                new_len = rng2.randint(0, size - 1)
+                t, ts = nxt()
+                events.append(
+                    empty_event(
+                        tx_id=t, op="TRUNCATE", ts=ts,
+                        namespace=namespace, path=path, inode_id=inode,
+                        truncate_new_length=new_len, mode="New",
+                    )
+                )
+                size = new_len
+                if rng2.random() < 0.5:
+                    grow = rng2.randint(1, blk_size // 2)
+                    size += grow
+                    blocks2[-1] = dict(
+                        blocks2[-1],
+                        size=(blocks2[-1]["size"] or 0) + grow,
+                    )
+                    t, ts = nxt()
+                    events.append(
+                        empty_event(
+                            tx_id=t, op="UPDATE_BLOCKS", ts=ts,
+                            namespace=namespace, path=path,
+                            inode_id=inode,
+                            blocks=[dict(blocks2[-1])], mode="New",
+                        )
+                    )
+            roll = rng2.random()
+            if roll < 0.5:
+                t, ts = nxt()
+                events.append(
+                    empty_event(
+                        tx_id=t, op="CLOSE", ts=ts, namespace=namespace,
+                        path=path, inode_id=inode, length=size,
+                        modified_time=ts, file_type="PARQUET",
+                        blocks=[dict(b) for b in blocks2], mode="New",
+                    )
+                )
+            elif roll < 0.65:
+                # delete AGAIN — a third lifetime may follow for a few
+                t, ts = nxt()
+                events.append(
+                    empty_event(
+                        tx_id=t, op="DELETE", ts=ts, namespace=namespace,
+                        path=path, inode_id=inode, mode="New",
+                    )
+                )
+                if rng2.random() < 0.5:
+                    t, ts = nxt()
+                    b1 = {
+                        "block_id": (block_counter := block_counter + 1),
+                        "size": rng2.randint(1, blk_size),
+                        "block_size": blk_size, "generation_stamp": 1,
+                        "start_offset": None, "end_offset": None,
+                        "delta_size": None, "deleted": False,
+                    }
+                    events.append(
+                        empty_event(
+                            tx_id=t, op="ADD_FILE", ts=ts,
+                            namespace=namespace,
+                            path=f"/data/re2/file_{inode}.parquet",
+                            inode_id=inode, block_size=blk_size,
+                            overwrite=False, modified_time=ts,
+                            blocks=[b1], mode="New",
+                        )
+                    )
 
     if with_duplicates:
         # replay a slice verbatim — the T4 guard must make this a no-op

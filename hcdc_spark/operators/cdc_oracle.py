@@ -12,15 +12,22 @@ state machine as window aggregates, and the per-block delta bookkeeping
 as a lag-over-assertion-timeline — i.e. the c15 "two independent
 formulations, one answer" technique applied to the flagship CDC rows.
 
-The SQL is exact under invariants the seed-42 log satisfies by
-construction (single namespace, at most one TRUNCATE per file with no
-size growth between the TRUNCATE and the file's CLOSE/DELETE, disjoint
-directory-op subtrees, one effective ADD_FILE per inode, every CLOSE
-carrying an authoritative length, no overwrite claims and no
-Snapshot/Backlog bootstrap CLOSEs). ``check_invariants`` verifies every
-one of them and is asserted by tests/test_cdc_queries.py — if the
-generator ever changes shape, the gate fails before the oracle can
-silently diverge.
+The SQL is exact under invariants the generator logs satisfy by
+construction (single namespace, a known op vocabulary, disjoint
+directory-op subtrees, at most one TRUNCATE per file lifetime, every
+CLOSE carrying an authoritative length and the full block list, no
+overwrite claims, no Snapshot/Backlog bootstrap CLOSEs, and — via a
+sequential-fold simulation — only existence-model errors, i.e. every
+error row the Python statemachine emits is either "file exists and
+overwrite=false" or "no live file state", the two shapes the SQL's
+complement-based error channel derives). Re-creation (file-level or
+cascade DELETE followed by an effective re-ADD) and post-TRUNCATE
+growth without a CLOSE are MODELED, not gated: the ``epoch`` CTE folds
+only the final lifetime, and ``blk_final``/``blk_dead`` replay the full
+per-block size trajectory. ``check_invariants`` verifies every gated
+shape and is asserted by tests/test_cdc_queries.py — if the generator
+ever changes shape, the gate fails before the oracle can silently
+diverge.
 
 Reference semantics mirrored (same anchors as cdc/statemachine.py):
 per-op effects SourceTransactionProcessor.java, T4 dedup guard
@@ -52,6 +59,78 @@ def stream_demo_events() -> list[dict]:
     return generate_events(n_files=40, seed=7, with_dir_ops=False)
 
 
+#: The op vocabulary the fold SQL models. IGNORE/ERROR/CONCAT_DELETE
+#: have statemachine semantics the SQL does not reproduce (IGNORE skips
+#: the last_tx_id touch, ERROR forces the Error state), so a log using
+#: them is gated out rather than silently mis-folded.
+_MODELED_OPS = frozenset(
+    ("ADD_FILE", "ADD_BLOCK", "UPDATE_BLOCKS", "APPEND", "TRUNCATE",
+     "CLOSE", "DELETE", "RENAME")
+)
+
+
+def _simulate(events: list[dict]):
+    """Sequential gating simulator: tx-dedup, cascade directory ops in
+    log order, apply the statemachine. Returns (per-inode effective
+    event lists, error rows, final per-inode statemachine states).
+    Path tracking follows the raw-assertion
+    convention shared by the SQL's ``hist0``, the Spark pre-pass's
+    ``_PATH_SETTING_OPS`` and the parity test's sequential expander:
+    ADD_FILE/CLOSE (re-)assert, RENAME moves, DELETE ends — WITHOUT
+    error-filtering, so every formulation cascades from the same
+    observable history. (The parity test keeps its own independent
+    expander; this one only gates which logs are in scope.)"""
+    from hcdc_spark.cdc.statemachine import apply_event
+
+    by_tx: dict[int, dict] = {}
+    for e in events:
+        by_tx.setdefault(e["tx_id"], e)
+    evs = sorted(by_tx.values(), key=lambda e: e["tx_id"])
+    file_inodes = {e["inode_id"] for e in evs if e["op"] in _FILE_ONLY_OPS}
+
+    cur: dict[int, str | None] = {}
+    states: dict[int, dict | None] = {}
+    effective: dict[int, list[dict]] = {}
+    errors: list[dict] = []
+
+    def apply(e: dict) -> None:
+        ino = e["inode_id"]
+        st, errs = apply_event(states.get(ino), e)
+        states[ino] = st
+        errors.extend(errs)
+        if not errs:
+            effective.setdefault(ino, []).append(e)
+
+    for e in evs:
+        ino = e["inode_id"]
+        if ino not in file_inodes and e["op"] in ("DELETE", "RENAME"):
+            d_path, d_dest = e["path"], e.get("dest_path")
+            for child, p in sorted(cur.items()):
+                if not (p and p.startswith(d_path + "/")):
+                    continue
+                if e["op"] == "DELETE":
+                    if p.startswith("/tmp/"):
+                        continue
+                    child_e = dict(e, op="DELETE", path=p,
+                                   inode_id=child, dest_path=None)
+                    cur[child] = None
+                else:
+                    new = d_dest + p[len(d_path):]
+                    child_e = dict(e, op="RENAME", path=p,
+                                   inode_id=child, dest_path=new)
+                    cur[child] = new
+                apply(child_e)
+            continue
+        if e["op"] in ("ADD_FILE", "CLOSE") and e.get("path") is not None:
+            cur[ino] = e["path"]
+        elif e["op"] == "RENAME":
+            cur[ino] = e.get("dest_path")
+        elif e["op"] == "DELETE":
+            cur[ino] = None
+        apply(e)
+    return effective, errors, states
+
+
 def check_invariants(events: list[dict]) -> None:
     """Assert the log shapes the relational fold relies on (see module
     docstring). Raises AssertionError with a named invariant.
@@ -70,11 +149,28 @@ def check_invariants(events: list[dict]) -> None:
     ns = {e.get("namespace") for e in events}
     assert len(ns) == 1, f"single-namespace invariant violated: {ns}"
 
+    for e in events:
+        assert e["op"] in _MODELED_OPS, f"unmodeled op {e['op']}"
+        assert not (
+            e["op"] == "RENAME" and e.get("rename_opts") == "OVERWRITE"
+        ), f"inode {e['inode_id']}: RENAME OVERWRITE claim"
+        assert not (
+            e["op"] == "ADD_FILE" and e.get("overwrite")
+        ), f"inode {e['inode_id']}: ADD_FILE overwrite claim"
+        if e["op"] == "CLOSE":
+            assert e.get("mode") not in ("Snapshot", "Backlog"), (
+                f"inode {e['inode_id']}: bootstrap CLOSE in demo log"
+            )
+            assert e.get("length") is not None, (
+                f"inode {e['inode_id']}: CLOSE without length"
+            )
+
     file_inodes = {
         e["inode_id"] for e in events if e["op"] in _FILE_ONLY_OPS
     }
-    # directory ops: disjoint subtrees → single-round cascade is exact;
-    # collected first so the per-inode checks below can consult them
+    # directory ops: disjoint subtrees → single-round cascade is exact
+    # (a cascade RENAME can never move a file into another dir op's
+    # subtree, so the raw path history suffices for every dir op)
     dir_ops = [
         e for e in events
         if e["op"] in ("DELETE", "RENAME")
@@ -97,124 +193,65 @@ def check_invariants(events: list[dict]) -> None:
     for a in areas:
         assert "%" not in a, f"dir path contains LIKE wildcard: {a}"
 
-    by_inode: dict[int, list[dict]] = {}
-    for e in events:
-        if e["inode_id"] in file_inodes:
-            by_inode.setdefault(e["inode_id"], []).append(e)
+    # Sequential-fold simulation: (a) every error must be one of the
+    # two existence-model shapes the SQL's complement-based error
+    # channel derives — a semantic error (chain mismatch, unknown
+    # block, truncate without length, ...) means partial-apply
+    # semantics the relational fold cannot express; (b) the per-inode
+    # block-shape checks below run on EFFECTIVE events only, scoped per
+    # lifetime, because that is exactly the slice the ``asserts`` CTE
+    # folds (re-creation discards the prior lifetime's chain).
+    effective, errors, _ = _simulate(events)
+    for er in errors:
+        assert (
+            er["error"] == "file exists and overwrite=false"
+            or er["error"].startswith("no live file state for op ")
+        ), f"non-existence-model error: {er['error']!r}"
 
-    for inode, evs in by_inode.items():
-        evs = sorted(evs, key=lambda e: e["tx_id"])
-        truncs = [e for e in evs if e["op"] == "TRUNCATE"]
-        assert len(truncs) <= 1, f"inode {inode}: multiple TRUNCATEs"
-        if truncs:
-            after = [e for e in evs if e["tx_id"] > truncs[0]["tx_id"]]
-            closes = [e for e in after if e["op"] == "CLOSE"]
-            grows = [
-                e for e in after
-                if e["op"] in ("UPDATE_BLOCKS", "ADD_BLOCK")
-            ]
-            assert closes or not grows, (
-                f"inode {inode}: size growth after TRUNCATE without CLOSE"
-            )
-        adds = [e for e in evs if e["op"] == "ADD_FILE"]
-        effective = [e for e in adds if not _is_errored_add(e, evs)]
-        assert len({e["tx_id"] for e in effective}) <= 1, (
-            f"inode {inode}: multiple effective ADD_FILEs"
+    for inode, evs in effective.items():
+        if inode not in file_inodes:
+            continue
+        assert evs[0]["op"] == "ADD_FILE", (
+            f"inode {inode}: first effective op is {evs[0]['op']}, "
+            "not ADD_FILE — the epoch CTE needs a creating event"
         )
-        for e in adds:
-            if e in effective:
-                continue
-            # an errored re-ADD must target the inode's CURRENT live
-            # path and that path must sit outside every dir-op subtree:
-            # under these two conditions the raw-event path history the
-            # SQL (and the Spark pre-pass) cascade from cannot be
-            # corrupted by the errored row, and the inode cannot have
-            # been re-created after a cascade delete the file-level
-            # error check can't see
-            live = None
-            for x in evs:
-                if x["tx_id"] >= e["tx_id"]:
-                    break
-                if x["op"] == "ADD_FILE":
-                    live = x["path"]
-                elif x["op"] == "RENAME":
-                    live = x["dest_path"]
-            assert e["path"] == live, (
-                f"inode {inode}: errored ADD_FILE path {e['path']!r} "
-                f"differs from live path {live!r}"
-            )
-            assert not any(
-                live == a or live.startswith(a + "/") for a in areas
-            ), (
-                f"inode {inode}: errored ADD_FILE under a dir-op "
-                f"subtree ({live!r}) — cascade interaction unmodeled"
-            )
-        # no re-creation after any deletion the cascade could produce:
-        # every ADD_FILE must precede every dir op (file-level DELETE →
-        # re-ADD is modeled; dir-cascade DELETE → re-ADD is not)
-        if dir_ops:
-            first_dir_tx = min(d["tx_id"] for d in dir_ops)
-            late_adds = [
-                e for e in effective if e["tx_id"] > first_dir_tx
-            ]
-            assert not late_adds, (
-                f"inode {inode}: ADD_FILE after a directory op — "
-                "cascade/re-creation interaction unmodeled"
-            )
-        # the fold SQL assumes chain order == block-id order (blocks
-        # are allocated with a monotonically increasing counter) and
-        # that every CLOSE ships its FULL block list (so a post-
-        # truncate CLOSE resurrects every truncate-dead block)
-        seen_blocks: list[int] = []
+        lifetimes: list[list[dict]] = []
         for e in evs:
-            for b in e.get("blocks") or []:
-                if b["block_id"] not in seen_blocks:
-                    assert (
-                        not seen_blocks
-                        or b["block_id"] > seen_blocks[-1]
-                    ), (
-                        f"inode {inode}: block {b['block_id']} breaks "
-                        "chain-order == id-order"
+            if e["op"] == "ADD_FILE":
+                lifetimes.append([e])
+            else:
+                lifetimes[-1].append(e)
+        for life in lifetimes:
+            truncs = [e for e in life if e["op"] == "TRUNCATE"]
+            assert len(truncs) <= 1, (
+                f"inode {inode}: multiple TRUNCATEs in one lifetime"
+            )
+            # the fold SQL assumes chain order == block-id order
+            # (blocks are allocated with a monotonically increasing
+            # counter) and that every CLOSE ships its FULL block list
+            # (so a post-truncate CLOSE resurrects every truncate-dead
+            # block)
+            seen_blocks: list[int] = []
+            for e in life:
+                for b in e.get("blocks") or []:
+                    if b["block_id"] not in seen_blocks:
+                        assert (
+                            not seen_blocks
+                            or b["block_id"] > seen_blocks[-1]
+                        ), (
+                            f"inode {inode}: block {b['block_id']} "
+                            "breaks chain-order == id-order"
+                        )
+                        seen_blocks.append(b["block_id"])
+                if e["op"] == "CLOSE":
+                    close_ids = {
+                        b["block_id"] for b in e.get("blocks") or []
+                    }
+                    assert close_ids >= set(seen_blocks), (
+                        f"inode {inode}: CLOSE omits previously "
+                        f"asserted blocks "
+                        f"{sorted(set(seen_blocks) - close_ids)}"
                     )
-                    seen_blocks.append(b["block_id"])
-            if e["op"] == "CLOSE":
-                close_ids = {b["block_id"] for b in e.get("blocks") or []}
-                assert close_ids >= set(seen_blocks), (
-                    f"inode {inode}: CLOSE omits previously asserted "
-                    f"blocks {sorted(set(seen_blocks) - close_ids)}"
-                )
-                assert e.get("mode") not in ("Snapshot", "Backlog"), (
-                    f"inode {inode}: bootstrap CLOSE in demo log"
-                )
-                assert e.get("length") is not None, (
-                    f"inode {inode}: CLOSE without length"
-                )
-            assert not (
-                e["op"] == "RENAME" and e.get("rename_opts") == "OVERWRITE"
-            ), f"inode {inode}: RENAME OVERWRITE claim"
-            assert not (
-                e["op"] == "ADD_FILE" and e.get("overwrite")
-            ), f"inode {inode}: ADD_FILE overwrite claim"
-
-
-def _is_errored_add(e: dict, evs: list[dict]) -> bool:
-    """ADD_FILE on a live file with overwrite=false → error channel."""
-    if e["op"] != "ADD_FILE" or e.get("overwrite"):
-        return False
-    prior_add = any(
-        x["op"] == "ADD_FILE" and x["tx_id"] < e["tx_id"] for x in evs
-    )
-    prior_del = max(
-        (x["tx_id"] for x in evs
-         if x["op"] == "DELETE" and x["tx_id"] < e["tx_id"]),
-        default=-1,
-    )
-    last_add = max(
-        (x["tx_id"] for x in evs
-         if x["op"] == "ADD_FILE" and x["tx_id"] < e["tx_id"]),
-        default=-1,
-    )
-    return prior_add and prior_del < last_add
 
 
 def _sql_str(v) -> str:
@@ -289,25 +326,25 @@ def render_input_ctes(events: list[dict]) -> str:
 #: Shared fold CTEs: raw log → T4 dedup → directory cascade → error
 #: exclusion → effective event stream (+ per-block size assertions).
 _FOLD_CTES = """
-ev AS (  -- T4 idempotence: replayed txids are no-ops (dedup by tx)
+ev AS MATERIALIZED (  -- T4 idempotence: replayed txids are no-ops (dedup by tx)
   SELECT tx_id, op, path, dest_path, inode_id, overwrite, length,
          trunc_len, file_type
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tx_id) AS rn FROM ev_raw)
   WHERE rn = 1
 ),
-blk AS (SELECT DISTINCT tx_id, pos, block_id, size FROM blk_raw),
-file_inodes AS (  -- inodes seen under file-only ops are files
+blk AS MATERIALIZED (SELECT DISTINCT tx_id, pos, block_id, size FROM blk_raw),
+file_inodes AS MATERIALIZED (  -- inodes seen under file-only ops are files
   SELECT DISTINCT inode_id FROM ev
   WHERE op IN ('ADD_FILE','ADD_BLOCK','UPDATE_BLOCKS','APPEND',
                'TRUNCATE','CLOSE')
 ),
-dir_ops AS (  -- DELETE/RENAME on a non-file inode ⇒ directory op
+dir_ops AS MATERIALIZED (  -- DELETE/RENAME on a non-file inode ⇒ directory op
   SELECT tx_id AS d_tx, op AS d_op, path AS d_path, dest_path AS d_dest
   FROM ev
   WHERE op IN ('DELETE','RENAME')
     AND inode_id NOT IN (SELECT inode_id FROM file_inodes)
 ),
-hist0 AS (  -- path history of every file inode (NULL path = deleted);
+hist0 AS MATERIALIZED (  -- path history of every file inode (NULL path = deleted);
             -- mirrors the Spark pre-pass _PATH_SETTING_OPS exactly:
             -- ADD_FILE and CLOSE (re-)assert, RENAME moves, DELETE ends
   SELECT inode_id, tx_id, path FROM ev
@@ -320,7 +357,7 @@ hist0 AS (  -- path history of every file inode (NULL path = deleted);
   SELECT inode_id, tx_id, NULL FROM ev
   WHERE op = 'DELETE' AND inode_id IN (SELECT inode_id FROM file_inodes)
 ),
-cur_at AS (  -- current path of each live file just before each dir op
+cur_at AS MATERIALIZED (  -- current path of each live file just before each dir op
   SELECT d_tx, d_op, d_path, d_dest, inode_id, cur_path
   FROM (
     SELECT d.*, h.inode_id, h.path AS cur_path,
@@ -330,7 +367,7 @@ cur_at AS (  -- current path of each live file just before each dir op
   )
   WHERE rn = 1 AND cur_path IS NOT NULL
 ),
-synth AS (  -- per-child synthetic events (single round: disjoint trees)
+synth AS MATERIALIZED (  -- per-child synthetic events (single round: disjoint trees)
             -- literal prefix compares (substr), NOT LIKE — a '_' or
             -- '%' in a directory name must not act as a wildcard
             -- (the Spark fold uses literal startswith)
@@ -350,13 +387,13 @@ synth AS (  -- per-child synthetic events (single round: disjoint trees)
   WHERE d_op = 'RENAME'
         AND substr(cur_path, 1, length(d_path) + 1) = d_path || '/'
 ),
-log AS (  -- expanded log: dir rows dropped, synthetic children added
+log AS MATERIALIZED (  -- expanded log: dir rows dropped, synthetic children added
   SELECT tx_id, op, path, dest_path, inode_id, overwrite, length,
          trunc_len, file_type
   FROM ev WHERE tx_id NOT IN (SELECT d_tx FROM dir_ops)
   UNION ALL SELECT * FROM synth
 ),
-lifec AS (  -- creation/deletion watermarks before each event
+lifec AS MATERIALIZED (  -- creation/deletion watermarks before each event
   SELECT *,
     MAX(CASE WHEN op = 'ADD_FILE' THEN tx_id END) OVER w AS last_add,
     MAX(CASE WHEN op = 'DELETE' THEN tx_id END) OVER w AS last_del
@@ -364,7 +401,7 @@ lifec AS (  -- creation/deletion watermarks before each event
   WINDOW w AS (PARTITION BY inode_id ORDER BY tx_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ),
-eff AS (  -- effective events: error-channel rows excluded (T25)
+eff AS MATERIALIZED (  -- effective events: error-channel rows excluded (T25)
   SELECT * FROM lifec
   WHERE (op = 'ADD_FILE'
          AND (last_add IS NULL OR COALESCE(last_del, -1) > last_add))
@@ -372,7 +409,7 @@ eff AS (  -- effective events: error-channel rows excluded (T25)
          AND last_add IS NOT NULL
          AND COALESCE(last_del, -1) < last_add)
 ),
-epoch AS (  -- lifetime boundary: an effective ADD_FILE RESETS per-file
+epoch AS MATERIALIZED (  -- lifetime boundary: an effective ADD_FILE RESETS per-file
             -- state (apply_event → _create_state discards prior blocks
             -- and deltas, statemachine.py:127-136); the LAST one opens
             -- the lifetime the fold reports. Re-creation after a
@@ -380,7 +417,7 @@ epoch AS (  -- lifetime boundary: an effective ADD_FILE RESETS per-file
   SELECT inode_id, MAX(tx_id) AS e0 FROM eff
   WHERE op = 'ADD_FILE' GROUP BY inode_id
 ),
-effe AS (  -- effective events of each inode's FINAL lifetime; every
+effe AS MATERIALIZED (  -- effective events of each inode's FINAL lifetime; every
            -- inode with effective events has an effective ADD_FILE
            -- (bootstrap CLOSEs are invariant-gated out), so the LEFT
            -- JOIN is belt-and-braces only
@@ -388,20 +425,20 @@ effe AS (  -- effective events of each inode's FINAL lifetime; every
   LEFT JOIN epoch p USING (inode_id)
   WHERE e.tx_id >= COALESCE(p.e0, -1)
 ),
-asserts AS (  -- absolute per-block size assertions in the event stream
-  SELECT e.inode_id, e.tx_id, b.block_id, b.size
+asserts AS MATERIALIZED (  -- absolute per-block size assertions in the event stream
+  SELECT e.inode_id, e.tx_id, e.op, b.block_id, b.size
   FROM effe e JOIN blk b ON b.tx_id = e.tx_id
   WHERE e.op IN ('ADD_FILE','UPDATE_BLOCKS','CLOSE')
   UNION ALL
-  SELECT inode_id, tx_id, block_id, size FROM (
+  SELECT inode_id, tx_id, op, block_id, size FROM (
     -- ADD_BLOCK ships [chain-tail, new]; only the last element creates
-    SELECT e.inode_id, e.tx_id, b.block_id, b.size,
+    SELECT e.inode_id, e.tx_id, e.op, b.block_id, b.size,
            ROW_NUMBER() OVER (PARTITION BY e.tx_id ORDER BY b.pos DESC) AS r
     FROM effe e JOIN blk b ON b.tx_id = e.tx_id
     WHERE e.op = 'ADD_BLOCK'
   ) WHERE r = 1
 ),
-pre_trunc AS (  -- per-block size + cumulative chain offset just before
+pre_trunc AS MATERIALIZED (  -- per-block size + cumulative chain offset just before
                 -- the (single per lifetime) TRUNCATE; the ONE shared
                 -- clamp input for both the state fold's dead-block
                 -- count and the change set's interval synthesis —
@@ -417,13 +454,24 @@ pre_trunc AS (  -- per-block size + cumulative chain offset just before
       ON a.inode_id = t.inode_id AND a.tx_id < t.t_tx
     GROUP BY a.inode_id, a.block_id, t.t_tx, t.L
   )
+),
+clamped AS MATERIALIZED (  -- statemachine TRUNCATE clamp over the shared pre_trunc:
+              -- fully-beyond blocks zero out (and die), the straddling
+              -- block trims, earlier blocks keep their size (no row).
+              -- SUM() OVER promotes to HUGEINT in DuckDB; pin BIGINT
+              -- so downstream arithmetic stays driver-hashable
+  SELECT inode_id, block_id, t_tx AS tx_id,
+         CAST(CASE WHEN COALESCE(cum0, 0) >= L THEN 0
+              WHEN COALESCE(cum0, 0) + pre_size > L THEN L - COALESCE(cum0, 0)
+              ELSE pre_size END AS BIGINT) AS size
+  FROM pre_trunc
 )
 """
 
 
 #: file_state synthesis on top of the fold CTEs (shared by c01/c04).
 _STATE_CTES = """
-st AS (  -- T3 transitions: last state-changing op decides (RENAME keeps)
+st AS MATERIALIZED (  -- T3 transitions: last state-changing op decides (RENAME keeps)
   SELECT inode_id,
          CASE op WHEN 'DELETE' THEN 'Deleted'
                  WHEN 'CLOSE' THEN 'Finalized'
@@ -436,7 +484,7 @@ st AS (  -- T3 transitions: last state-changing op decides (RENAME keeps)
     FROM effe WHERE op <> 'RENAME'
   ) WHERE rn = 1
 ),
-pth AS (  -- path: last ADD_FILE path / RENAME dest (DELETE keeps path)
+pth AS MATERIALIZED (  -- path: last ADD_FILE path / RENAME dest (DELETE keeps path)
   SELECT inode_id, p AS path
   FROM (
     SELECT inode_id,
@@ -446,59 +494,69 @@ pth AS (  -- path: last ADD_FILE path / RENAME dest (DELETE keeps path)
     FROM effe WHERE op IN ('ADD_FILE','RENAME')
   ) WHERE rn = 1
 ),
-blksum AS (  -- open-file size: sum of each block's latest asserted size
-  SELECT inode_id, SUM(last_size) AS sz,
-         COUNT(*) AS n_blocks
+blk_final AS MATERIALIZED (  -- final size per block: the endpoint of its full
+                -- trajectory (event assertions + the TRUNCATE clamp —
+                -- exactly the statemachine's _grow_block stream, so
+                -- growth AFTER a truncate lands on the clamped base).
+                -- Truncate-dead blocks sit at size 0 and contribute 0
+                -- to the sum unless a later assertion resurrects them
+  SELECT inode_id, block_id, MAX_BY(size, tx_id) AS last_size
   FROM (
-    SELECT inode_id, block_id, MAX_BY(size, tx_id) AS last_size
-    FROM asserts GROUP BY inode_id, block_id
-  ) GROUP BY inode_id
+    SELECT inode_id, block_id, tx_id, size FROM asserts
+    UNION ALL SELECT inode_id, block_id, tx_id, size FROM clamped
+  ) GROUP BY inode_id, block_id
 ),
-authoritative AS (  -- CLOSE length / TRUNCATE reset, latest of each
+blk_dead AS MATERIALIZED (  -- truncate-killed blocks (chain offset >= new length ⇒
+               -- state Deleted) that stay dead: a later UPDATE_BLOCKS
+               -- listing the block or any CLOSE (full-block-list
+               -- invariant) revives it (statemachine sets the touched
+               -- block's state back to Updating/Finalized)
+  SELECT p.inode_id, p.block_id
+  FROM pre_trunc p
+  WHERE COALESCE(p.cum0, 0) >= p.L
+    AND NOT EXISTS (
+      SELECT 1 FROM asserts a
+      WHERE a.inode_id = p.inode_id AND a.block_id = p.block_id
+        AND a.tx_id > p.t_tx AND a.op IN ('UPDATE_BLOCKS', 'CLOSE'))
+),
+sizing AS MATERIALIZED (  -- which op last decided data_size: CLOSE pins the
+             -- authoritative length; every other size-affecting op
+             -- recomputes the block sum (the statemachine's recompute
+             -- sites in ADD_BLOCK/UPDATE_BLOCKS/TRUNCATE handlers);
+             -- DELETE and APPEND leave data_size untouched
   SELECT inode_id,
-         MAX_BY(length, tx_id) FILTER (op = 'CLOSE') AS close_len,
-         MAX(tx_id) FILTER (op = 'CLOSE') AS close_tx,
-         MAX_BY(trunc_len, tx_id) FILTER (op = 'TRUNCATE') AS t_len,
-         MAX(tx_id) FILTER (op = 'TRUNCATE') AS t_tx,
-         MAX(tx_id) AS last_tx_id,
+         MAX_BY(op, tx_id) AS last_sizing_op,
+         MAX_BY(length, tx_id) FILTER (op = 'CLOSE') AS close_len
+  FROM effe
+  WHERE op IN ('ADD_FILE','ADD_BLOCK','UPDATE_BLOCKS','TRUNCATE','CLOSE')
+  GROUP BY inode_id
+),
+meta AS MATERIALIZED (
+  SELECT inode_id, MAX(tx_id) AS last_tx_id,
          -- file_type: last event asserting one (CLOSE), else UNKNOWN
          COALESCE(MAX_BY(file_type, tx_id) FILTER (file_type IS NOT NULL),
                   'UNKNOWN') AS file_type
   FROM effe GROUP BY inode_id
 ),
-trunc_dead AS (  -- blocks fully beyond the truncate point are Deleted
-                 -- (statemachine: offset >= new_len → state Deleted);
-                 -- a later CLOSE resurrects them (invariant: CLOSE
-                 -- ships the full block list), handled in folded
-  SELECT inode_id, COUNT(*) AS dead
-  FROM pre_trunc
-  WHERE COALESCE(cum0, 0) >= L
-  GROUP BY inode_id
-),
-folded AS (
-  SELECT a.inode_id, p.path, s.state,
-         -- size authority is the LATEST of CLOSE length / TRUNCATE
-         -- reset (a truncate after the last close wins, matching the
-         -- statemachine's Finalized→Updating shrink), else block sums
-         CASE WHEN a.close_tx IS NOT NULL
-                   AND a.close_tx > COALESCE(a.t_tx, -1) THEN a.close_len
-              WHEN a.t_tx IS NOT NULL THEN a.t_len
-              ELSE COALESCE(b.sz, 0) END AS data_size,
+folded AS MATERIALIZED (
+  SELECT m.inode_id, p.path, s.state,
+         CASE WHEN z.last_sizing_op = 'CLOSE' AND z.close_len IS NOT NULL
+              THEN z.close_len
+              ELSE COALESCE(f.sz, 0) END AS data_size,
          CASE WHEN s.state = 'Deleted' THEN 0
-              -- live count: truncate-deleted blocks subtract unless a
-              -- later CLOSE finalized (resurrected) every event block
-              WHEN a.t_tx IS NOT NULL
-                   AND a.t_tx > COALESCE(a.close_tx, -1)
-                THEN COALESCE(b.n_blocks, 0) - COALESCE(td.dead, 0)
-              ELSE COALESCE(b.n_blocks, 0) END AS num_blocks,
-         a.last_tx_id, a.file_type
-  FROM authoritative a
+              ELSE COALESCE(f.n_blocks, 0) - COALESCE(d.dead, 0)
+              END AS num_blocks,
+         m.last_tx_id, m.file_type
+  FROM meta m
   JOIN st s USING (inode_id)
   JOIN pth p USING (inode_id)
-  LEFT JOIN blksum b USING (inode_id)
-  LEFT JOIN trunc_dead td USING (inode_id)
+  LEFT JOIN (SELECT inode_id, SUM(last_size) AS sz, COUNT(*) AS n_blocks
+             FROM blk_final GROUP BY inode_id) f USING (inode_id)
+  LEFT JOIN (SELECT inode_id, COUNT(*) AS dead FROM blk_dead
+             GROUP BY inode_id) d USING (inode_id)
+  LEFT JOIN sizing z USING (inode_id)
 ),
-unknown AS (  -- inodes whose every event errored: state-only stub row
+unknown AS MATERIALIZED (  -- inodes whose every event errored: state-only stub row
   SELECT inode_id FROM log WHERE inode_id IN (SELECT inode_id FROM file_inodes)
   EXCEPT SELECT inode_id FROM eff
 )
@@ -572,16 +630,7 @@ def changeset_query(input_ctes: str) -> str:
     return f"""
 WITH {input_ctes},
 {_FOLD_CTES},
-clamped AS (  -- statemachine TRUNCATE clamp over the shared pre_trunc
-  SELECT inode_id, block_id, t_tx AS tx_id,
-         -- SUM() OVER promotes to HUGEINT in DuckDB; pin BIGINT so the
-         -- driver's type-sensitive hash sees bigint offsets
-         CAST(CASE WHEN COALESCE(cum0, 0) >= L THEN 0
-              WHEN COALESCE(cum0, 0) + pre_size > L THEN L - COALESCE(cum0, 0)
-              ELSE pre_size END AS BIGINT) AS size
-  FROM pre_trunc
-),
-traj AS (  -- statemachine size trajectory per block
+traj AS MATERIALIZED (  -- statemachine size trajectory per block
   SELECT *, COALESCE(LAG(size) OVER (PARTITION BY inode_id, block_id
                                      ORDER BY tx_id), 0) AS prev
   FROM (
@@ -589,7 +638,7 @@ traj AS (  -- statemachine size trajectory per block
     UNION ALL SELECT inode_id, block_id, tx_id, size FROM clamped
   )
 ),
-deltas AS (  -- every size change emits one [lo, hi] interval (T2/T16)
+deltas AS MATERIALIZED (  -- every size change emits one [lo, hi] interval (T2/T16)
   SELECT inode_id, block_id, tx_id,
          CASE WHEN size > prev THEN prev ELSE size END AS start_offset,
          CASE WHEN size > prev THEN size - 1 ELSE prev - 1 END AS end_offset,

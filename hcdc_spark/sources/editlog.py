@@ -396,10 +396,29 @@ def _mutf8_encode(s: str) -> bytes:
 def _mutf8_decode(b: bytes) -> str:
     """Inverse of :func:`_mutf8_encode` (UTF8.readChars): 1/2/3-byte
     sequences only; CESU-8 surrogate pairs recombine into supplementary
-    characters; a 4-byte lead or a lone surrogate raises (Hadoop never
-    writes either, so silence would mask corrupt framing)."""
+    characters. A 4-byte lead raises (UTF8.writeChars never emits one).
+    A LONE surrogate also raises — that one is a deliberate strictness
+    choice, not a "Hadoop never writes it" claim: writeChars encodes
+    each UTF-16 code unit independently, so a Java string holding an
+    unpaired surrogate (legal in Java/HDFS paths) IS written as a lone
+    3-byte sequence. We reject it at this boundary because the decoded
+    value must cross into Arrow batches and JVM strings as valid UTF-8,
+    where a lone surrogate cannot be represented — failing loudly here
+    beats corrupting or dropping the path downstream. Each continuation
+    byte's top bits are validated (corrupt framing whose continuation
+    byte is e.g. ASCII must not silently mis-decode)."""
     if b.isascii():
         return b.decode("ascii")
+
+    def cont(j: int) -> int:
+        y = b[j]
+        if y & 0xC0 != 0x80:
+            raise ValueError(
+                f"invalid modified-UTF-8 continuation byte 0x{y:02x} "
+                f"at offset {j}"
+            )
+        return y & 0x3F
+
     units: list[int] = []
     i, n = 0, len(b)
     while i < n:
@@ -410,15 +429,13 @@ def _mutf8_decode(b: bytes) -> str:
         elif x & 0xE0 == 0xC0:
             if i + 2 > n:
                 raise ValueError("modified-UTF-8 string truncated")
-            units.append(((x & 0x1F) << 6) | (b[i + 1] & 0x3F))
+            units.append(((x & 0x1F) << 6) | cont(i + 1))
             i += 2
         elif x & 0xF0 == 0xE0:
             if i + 3 > n:
                 raise ValueError("modified-UTF-8 string truncated")
             units.append(
-                ((x & 0x0F) << 12)
-                | ((b[i + 1] & 0x3F) << 6)
-                | (b[i + 2] & 0x3F)
+                ((x & 0x0F) << 12) | (cont(i + 1) << 6) | cont(i + 2)
             )
             i += 3
         else:

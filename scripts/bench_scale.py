@@ -51,7 +51,9 @@ def main() -> None:
                 for _ in range(passes)
             )
             row[sf] = round(best, 2)
-        row["ratio"] = round(row["sf1.0"] / row["sf0.1"], 1)
+        # ratio from the unrounded floor-guarded base: a sub-10ms sf0.1
+        # best must not divide by a rounded-to-0.00 denominator
+        row["ratio"] = round(row["sf1.0"] / max(row["sf0.1"], 0.01), 1)
         out[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
     print(json.dumps(out))

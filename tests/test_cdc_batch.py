@@ -204,6 +204,47 @@ def test_spark_matches_pure_python(spark):
         assert gb == wb, f"inode {inode} blocks differ"
 
 
+def test_spark_matches_sequential_python_recreates(spark):
+    """Re-created lifetimes (file-level AND cascade DELETE→re-ADD,
+    truncate + post-truncate growth inside the new lifetime) must fold
+    identically through the distributed reconciler (fixpoint cascade
+    expansion + applyInPandas statemachine) and the sequential
+    pure-Python replay — the Spark face of the epoch coverage the
+    DuckDB relational-fold sweep gained this round."""
+    from hcdc_spark.operators.cdc_oracle import _simulate
+
+    for seed in (3, 9, 15):
+        events = generate_events(
+            n_files=15, seed=seed, with_dir_ops=True,
+            with_anomalies=True, with_recreates=True,
+        )
+        got = {
+            r["inode_id"]: r.asDict(recursive=True)
+            for r in reconcile_batch(events_df(spark, events)).collect()
+        }
+        _, _, states = _simulate(events)
+        want = {i: s for i, s in states.items() if s is not None}
+        # all-errored inodes surface as Unknown stubs on the Spark side
+        unknown = {i for i, g in got.items() if g["state"] == "Unknown"}
+        assert set(got) - unknown == set(want), f"seed {seed}"
+        assert unknown == {
+            i for i, s in states.items() if s is None
+        }, f"seed {seed}"
+        for inode, w in want.items():
+            g = got[inode]
+            for k in ("path", "state", "data_size", "num_blocks",
+                      "last_tx_id", "file_type"):
+                assert g[k] == w[k], (
+                    f"seed {seed} inode {inode} field {k}: "
+                    f"{g[k]} != {w[k]}"
+                )
+            gb = [(b["block_id"], b["data_size"], b["state"])
+                  for b in g["blocks"]]
+            wb = [(b["block_id"], b["data_size"], b["state"])
+                  for b in w["blocks"]]
+            assert gb == wb, f"seed {seed} inode {inode} blocks differ"
+
+
 def test_spark_idempotent_replay(spark):
     events = generate_events(n_files=25, seed=11, with_dir_ops=False,
                              with_duplicates=True)

@@ -153,6 +153,11 @@ def test_relational_fold_parity_across_seeds(oracle):
             {"n_files": 15, "with_dir_ops": True, "with_anomalies": True},
             {"n_files": 25, "with_dir_ops": False,
              "with_duplicates": False},
+            # round 7: re-created lifetimes (file-level AND
+            # cascade-DELETE→re-ADD, truncate + post-truncate growth
+            # inside the new lifetime) — the epoch CTE's real coverage
+            {"n_files": 15, "with_dir_ops": True, "with_anomalies": True,
+             "with_recreates": True},
         ):
             events = generate_events(seed=seed, **kwargs)
             try:
@@ -178,7 +183,8 @@ def test_relational_fold_parity_across_seeds(oracle):
                 oracle.execute(O.changeset_query(ctes)).fetchall()
             )
             assert got_cs == want_cs, f"change set diverged (seed {seed})"
-    # ~42 of 78 candidate logs satisfy the invariants at these sizes —
-    # require a healthy floor so silent mass-skipping can't hollow the
-    # test out
-    assert tested >= 35, (tested, skipped)
+    # Round 7 retired the re-creation and growth-after-TRUNCATE
+    # invariants (the fold now models both), so ALL 104 candidate logs
+    # satisfy the gate — require a floor close to that so silent
+    # mass-skipping can't hollow the test out
+    assert tested >= 95, (tested, skipped)

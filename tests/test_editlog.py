@@ -386,9 +386,18 @@ def test_modified_utf8_supplementary_is_cesu8():
 
     with pytest.raises(ValueError):
         _mutf8_decode("\U0001f4be".encode("utf-8"))
-    # a lone surrogate must not decode silently
+    # a lone surrogate must not decode silently (deliberate strictness:
+    # UTF8.writeChars CAN emit one for an unpaired-surrogate Java path,
+    # but the value could never cross Arrow/JVM as valid UTF-8)
     with pytest.raises(UnicodeDecodeError):
         _mutf8_decode(b"\xed\xa0\xbd")
+    # corrupt framing whose continuation byte is ASCII must raise, not
+    # mis-decode: 0xC3 lead followed by 'A' (0x41 & 0x3F would silently
+    # yield U+00C1 without the top-bits check)
+    with pytest.raises(ValueError):
+        _mutf8_decode(b"\xc3\x41")
+    with pytest.raises(ValueError):
+        _mutf8_decode(b"\xe4\xb8\x41")
 
 
 try:

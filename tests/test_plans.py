@@ -242,6 +242,21 @@ def test_q78_weighted_sample_take_ordered(spark, sf_dir):
     assert I.count_exchanges(df) == 0
 
 
+def test_q89_ann_md5_shuffle_free_take_ordered(spark, sf_dir):
+    """The md5 sign-bit banding is a pure projection over the scan and
+    the any-band gate a filter — the whole ANN query must plan as
+    TakeOrdered on top of a shuffle-free codegen stage (no exchange,
+    no Python UDF); at 100 TB the only data movement is the k-row
+    driver merge."""
+    from hcdc_spark.operators import similarity
+
+    df = similarity.q89_ann_lsh_md5(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "TakeOrdered" in p
+    assert "pythonudf" not in p.lower()
+    assert I.count_exchanges(df) == 0
+
+
 def test_q76_chunking_shuffle_free(spark, sf_dir):
     """Chunking is a scan-side explode: zero exchanges, no UDFs."""
     from hcdc_spark.operators import text

@@ -24,6 +24,14 @@ import __spark_entry__ as E
 CHANGED_THIS_ROUND = {
     "q43_media_embed_knn",
     "q89_ann_lsh_md5",
+    # the relational-fold oracle SQL was reworked (trajectory-based
+    # state synthesis + shared TRUNCATE-clamp CTE, re-creation epochs
+    # exercised) — outputs pinned identical on the goldens, but changed
+    # oracle text re-verifies under the driver hash
+    "c01_cdc_file_state",
+    "c02_cdc_error_channel",
+    "c03_cdc_change_set",
+    "c04_stream_reconcile",
 }
 
 #: The 14 queries whose latest driver green still dates to round 3 —

@@ -84,6 +84,16 @@ def test_ann_lsh_finds_true_neighbors(spark, sf_dir):
     # single-probe LSH: expect non-trivial overlap, not perfection
     assert len(ann) > 0
     assert len(brute & ann) >= 2, f"ANN overlap too low: {brute & ann}"
+    # the md5 sign-bit twin (q89) is oracle-exact for VALUES, but also
+    # gate its semantic quality the same way
+    md5_ann = {
+        r["vec_id"]
+        for r in similarity.q89_ann_lsh_md5(spark, sf_dir).collect()
+    }
+    assert len(md5_ann) > 0
+    assert len(brute & md5_ann) >= 2, (
+        f"md5-LSH ANN overlap too low: {brute & md5_ann}"
+    )
 
 
 def test_embedding_neardup_lsh_recall(spark, sf_dir):
