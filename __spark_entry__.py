@@ -25,18 +25,20 @@ from hcdc_spark.registry import Registry
 # round or stranded without any driver row — q43 (md5-embedding oracle
 # landed in r6 but never entered the window; both registry gates fired
 # on it), the NEW q89 (md5 sign-bit LSH ANN, the q73-style oracle
-# twin of q36), and c01-c04 whose relational-fold oracle SQL was
-# reworked this round (trajectory-based state synthesis so re-created
-# lifetimes and post-TRUNCATE growth are modeled); (b) ALL 14 queries
-# whose latest driver green still dates to round 3 (q02, q10, q24-q26,
-# q35, q42, q45, q63, q64, q69-q72 — the currency debt rounds 5 and 6
-# carried); (c) the oldest r4-dated rows, 25 of 39 (the judge-named
-# c06/c07/c08/c17 + q03/q07/q08/q47/q48/q11/q44/q49/q16/q21/q22
-# first, then the sources/text/dedup block q28/q41/q51/q54-q58/
-# q61/q62); (e) the regression spine, including c01 so the
-# relational-fold oracle family keeps a live tripwire. The 14
-# r4-dated queries left outside (q74-q85, q87, q88 — analytics_ext +
-# three whose slots funded the c02-c04 re-verification) keep their r4
+# twin of q36), q90 (NEW: cross-corpus chunk dedup, the C4-style
+# repeated-span pass), and c01-c04 whose relational-fold oracle SQL
+# was reworked this round (trajectory-based state synthesis so
+# re-created lifetimes and post-TRUNCATE growth are modeled); (b) ALL
+# 14 queries whose latest driver green still dates to round 3 (q02,
+# q10, q24-q26, q35, q42, q45, q63, q64, q69-q72 — the currency debt
+# rounds 5 and 6 carried); (c) the oldest r4-dated rows, 24 of 39
+# (the judge-named c06/c07/c08/c17 +
+# q03/q07/q08/q47/q48/q11/q44/q49/q16/q21/q22 first, then the
+# sources/text/dedup block q28/q41/q51/q54-q58/q61); (e) the
+# regression spine, including c01 so the relational-fold oracle
+# family keeps a live tripwire. The 15 r4-dated queries left outside
+# (q62, q74-q85, q87, q88 — analytics_ext + four whose slots funded
+# the c02-c04/q90 verification) keep their r4
 # rows, satisfying the round-7 bar of "no oracle-bearing query's
 # latest green older than r4"; all other round-6 greens stay
 # r6-dated. The five xxhash64-based LSH queries
@@ -51,6 +53,7 @@ _FIRST_50: tuple[str, ...] = (
     # c01 sits in the spine block below)
     "q43_media_embed_knn",
     "q89_ann_lsh_md5",
+    "q90_chunk_dedup",
     "c02_cdc_error_channel",
     "c03_cdc_change_set",
     "c04_stream_reconcile",
@@ -95,7 +98,6 @@ _FIRST_50: tuple[str, ...] = (
     "q57_quality_funnel",
     "q58_dedup_clusters",
     "q61_block_range_read",
-    "q62_pii_redaction",
     # E: regression spine (one tripwire per family; c01 carries the
     # relational-fold oracle family)
     "q01_pricing_summary",

@@ -812,6 +812,94 @@ def q76_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ cross-corpus chunk (line) dedup
+
+DEDUP_CHUNK_WORDS = 10
+
+
+@REG.add(
+    "q90_chunk_dedup",
+    f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             UNNEST(generate_series(
+               0, CAST((len(w) - 1) // {DEDUP_CHUNK_WORDS} AS INT))) AS idx,
+             w
+      FROM ws WHERE len(w) > 0
+    )
+    SELECT chunk_hash,
+           COUNT(*) AS n_occ,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(MIN(doc_id * 1000000 + idx) // 1000000 AS BIGINT)
+             AS first_doc,
+           CAST(MIN(doc_id * 1000000 + idx) % 1000000 AS BIGINT)
+             AS first_idx
+    FROM (
+      SELECT doc_id, idx,
+             md5(array_to_string(
+               w[idx * {DEDUP_CHUNK_WORDS} + 1 :
+                 idx * {DEDUP_CHUNK_WORDS} + {DEDUP_CHUNK_WORDS}], ' '))
+               AS chunk_hash
+      FROM hashed
+    )
+    GROUP BY chunk_hash
+    HAVING COUNT(*) >= 2
+    ORDER BY n_occ DESC, chunk_hash
+    LIMIT 100
+    """,
+    doc="Cross-corpus duplicate-span removal (the C4/RefinedWeb "
+    "'dedupe repeated lines across documents' pass, adapted to the "
+    "newline-free corpus as non-overlapping 10-word windows): every "
+    "chunk is md5-keyed, and any hash occurring 2+ times reports its "
+    "occurrence count, distinct-doc count and canonical first "
+    "(doc, chunk) site — the keep-first policy a rewrite pass would "
+    "apply. The first site is MIN over an encoded (doc_id, idx) pair "
+    "so both engines pick it with one aggregate. One shuffle on the "
+    "16-byte hash (chunk text never leaves the map side); top-100 via "
+    "TakeOrdered. At 100 TB this is the classic single-pass "
+    "hash-partitioned dedup — no sort, no self-join.",
+    tags=("text", "dedup", "pipeline"),
+)
+def q90_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = DEDUP_CHUNK_WORDS
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    chunks = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .where(F.size("w") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(w)-1) div {k} AS "
+                    f"INT)), i -> md5(concat_ws(' ', slice(w, i*{k}+1, "
+                    f"{k}))))"
+                )
+            ).alias("idx", "chunk_hash"),
+        )
+    )
+    pair = F.col("doc_id") * 1000000 + F.col("idx")
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(pair).alias("mp"),
+        )
+        .where(F.col("n_occ") >= 2)
+        .select(
+            "chunk_hash",
+            "n_occ",
+            "n_docs",
+            F.expr("mp div 1000000").alias("first_doc"),
+            (F.col("mp") % 1000000).alias("first_idx"),
+        )
+        .orderBy(F.col("n_occ").desc(), "chunk_hash")
+        .limit(100)
+    )
+
+
 # -------------------------------------- deterministic weighted sample
 
 

@@ -257,6 +257,21 @@ def test_q89_ann_md5_shuffle_free_take_ordered(spark, sf_dir):
     assert I.count_exchanges(df) == 0
 
 
+def test_q90_chunk_dedup_single_logical_shuffle(spark, sf_dir):
+    """Chunk hashing happens map-side (explode over the scan); the only
+    data movement is the groupBy on the 16-byte hash. countDistinct
+    plans as a two-stage expand over the SAME key, so allow its second
+    exchange but nothing more — and the top-100 must be TakeOrdered,
+    never a global sort."""
+    from hcdc_spark.operators import text
+
+    df = text.q90_chunk_dedup(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "TakeOrdered" in p
+    assert "pythonudf" not in p.lower()
+    assert I.count_exchanges(df) <= 2
+
+
 def test_q76_chunking_shuffle_free(spark, sf_dir):
     """Chunking is a scan-side explode: zero exchanges, no UDFs."""
     from hcdc_spark.operators import text

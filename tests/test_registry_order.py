@@ -24,6 +24,7 @@ import __spark_entry__ as E
 CHANGED_THIS_ROUND = {
     "q43_media_embed_knn",
     "q89_ann_lsh_md5",
+    "q90_chunk_dedup",
     # the relational-fold oracle SQL was reworked (trajectory-based
     # state synthesis + shared TRUNCATE-clamp CTE, re-creation epochs
     # exercised) — outputs pinned identical on the goldens, but changed
@@ -124,9 +125,9 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 110
+    assert len(qs) >= 111
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 7: q89 (md5 LSH ANN twin) joins the oracle-bearing set,
-    # q43's r6 oracle counted — 105 of 110
-    assert len(oracles) >= 105
+    # round 7: q89 (md5 LSH ANN twin) and q90 (chunk dedup) join the
+    # oracle-bearing set, q43's r6 oracle counted — 106 of 111
+    assert len(oracles) >= 106
