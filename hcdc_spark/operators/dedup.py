@@ -469,6 +469,130 @@ def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- SimHash, oracle-checkable
+
+
+def _q91_oracle() -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(N_SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END) * {1 << i}"
+        for i in range(N_SIMHASH_BITS)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_DW} AS ws FROM documents WHERE len({_DW}) > 0
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS hv
+      FROM (SELECT doc_id, unnest(ws) AS w FROM t)
+    ), bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM h GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM bits
+    ), bands AS (
+      SELECT doc_id, simhash, CAST(i AS BIGINT) AS band_idx,
+             (simhash >> CAST(8 * i AS INT)) & 255 AS band_val
+      FROM sh CROSS JOIN range(4) r(i)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    """
+
+
+@REG.add(
+    "q91_simhash_md5",
+    _q91_oracle(),
+    doc="SimHash(32-bit) near-dup pairs, md5-hash mode — the oracle "
+    "twin of q38 the way q73 twins q29 and q89 twins q36: the token "
+    "hash is the first 32 bits of md5(w) (exact integer arithmetic in "
+    "both engines), so the WHOLE pipeline — per-bit +1/-1 vote, sign "
+    "pack, 4x8-bit pigeonhole bands, any-band candidate join, "
+    "hamming<=6 verify via bit_count(xor) — re-derives in DuckDB SQL "
+    "and the banding itself is hash-checked. Same scale shape as q38: "
+    "one explode+groupBy for signatures (32 conditional sums, all "
+    "JVM-side), candidates shuffle on the (band, value) key and dedup "
+    "on bare ids before the verify. xxhash64 stays the production "
+    "default (no string materialization per token).",
+    tags=("dedup", "simhash"),
+)
+def q91_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tokens = docs.select(
+        "doc_id", F.explode(distinct_words("text")).alias("w")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(N_SIMHASH_BITS)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*aggs)
+    packed = None
+    for i in range(N_SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed + term
+    sh = agg.select("doc_id", packed.alias("simhash"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    ).withColumn("band_idx", F.col("band_idx").cast("long"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast(
+                "long"
+            ),
+        )
+        .where(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 @REG.add(
     "q58_dedup_clusters",
     f"""

@@ -25,6 +25,7 @@ CHANGED_THIS_ROUND = {
     "q43_media_embed_knn",
     "q89_ann_lsh_md5",
     "q90_chunk_dedup",
+    "q91_simhash_md5",
     # the relational-fold oracle SQL was reworked (trajectory-based
     # state synthesis + shared TRUNCATE-clamp CTE, re-creation epochs
     # exercised) — outputs pinned identical on the goldens, but changed
@@ -55,8 +56,8 @@ SPINE = {"q01_pricing_summary", "q05_star_join", "q39_avro_roundtrip",
 #: rows-only driver status is on record (r3) — keeping them in the
 #: prefix would burn slots that can never go green, so they sit PAST 50
 #: on purpose. Each non-iterative member has an md5-hash oracle twin
-#: carrying its greenness: q29↔q73, q36↔q89; q38/q52/q53 are genuinely
-#: iteration- or 64-bit-dependent.
+#: carrying its greenness: q29↔q73, q36↔q89, q38↔q91; q52/q53 are
+#: genuinely xxhash64-band- or float-iteration-dependent.
 ROWS_ONLY_BY_DESIGN = {
     "q29_minhash_lsh",
     "q36_ann_lsh",
@@ -125,9 +126,10 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 111
+    assert len(qs) >= 112
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 7: q89 (md5 LSH ANN twin) and q90 (chunk dedup) join the
-    # oracle-bearing set, q43's r6 oracle counted — 106 of 111
-    assert len(oracles) >= 106
+    # round 7: q89 (md5 LSH ANN twin), q90 (chunk dedup) and q91 (md5
+    # simhash twin) join the oracle-bearing set, q43's r6 oracle
+    # counted — 107 of 112
+    assert len(oracles) >= 107
