@@ -360,6 +360,100 @@ def q89_ann_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q92_BANDS = 6
+Q92_BITS = 4
+
+
+def _q92_oracle() -> str:
+    def band(b: int, alias: str) -> str:
+        return (
+            "md5(concat_ws('|', "
+            + ", ".join(
+                f"CASE WHEN {alias}.embedding[{b * Q92_BITS + j + 1}] >= 0 "
+                "THEN '1' ELSE '0' END"
+                for j in range(Q92_BITS)
+            )
+            + "))"
+        )
+
+    collide = " OR ".join(
+        f"{band(b, 'a')} = {band(b, 'b')}" for b in range(Q92_BANDS)
+    )
+    sim = (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(a.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {sim} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ({collide}) AND {sim} > 0.45
+    """
+
+
+@REG.add(
+    "q92_embedding_neardup_md5",
+    _q92_oracle(),
+    doc="Embedding near-dup via banded sign-bit LSH (6 bands x 4 "
+    "axis-aligned hyperplanes), md5-bucketed — the oracle twin of q52 "
+    "the way q89 twins q36: candidates collide on any band's md5 "
+    "bucket, exact cosine filters at the q35 threshold (0.45). Two "
+    "independent formulations, one answer: the Spark side keeps q52's "
+    "scale shape (explode to (band, bucket) rows, equi-join on the "
+    "short key, dedup bare id pairs BEFORE the vectors re-join — "
+    "never a cross join), while the oracle states the same semantics "
+    "as an any-band predicate over the pair square, tractable at "
+    "oracle scale. Exact-cosine arithmetic is the q34-proven "
+    "bit-identical form.",
+    tags=("similarity", "dedup", "lsh"),
+)
+def q92_embedding_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(e).alias(f"mband_{b}")
+            for b, e in enumerate(
+                _sign_band_exprs(n_bands=Q92_BANDS, bits=Q92_BITS)
+            )
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), F.col(f"mband_{b}").alias("bucket")
+            )
+            for b in range(Q92_BANDS)
+        ]
+    )
+    exploded = banded.select(
+        "vec_id", F.explode(pairs).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+    a = exploded.select("band", "bucket", F.col("vec_id").alias("vec_a"))
+    b = exploded.select("band", "bucket", F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), _emb().alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), _emb().alias("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") > 0.45)
+    )
+
+
 @REG.add(
     "q52_embedding_neardup_lsh",
     None,
