@@ -285,6 +285,21 @@ def generate_events(
                             blocks=[dict(blocks2[-1])], mode="New",
                         )
                     )
+                if size > 10 and rng2.random() < 0.5:
+                    # a SECOND truncate in the same lifetime — the
+                    # clamp chain must replay it against the first
+                    # one's shrunken sizes
+                    new_len = rng2.randint(0, size - 1)
+                    t, ts = nxt()
+                    events.append(
+                        empty_event(
+                            tx_id=t, op="TRUNCATE", ts=ts,
+                            namespace=namespace, path=path,
+                            inode_id=inode,
+                            truncate_new_length=new_len, mode="New",
+                        )
+                    )
+                    size = new_len
             roll = rng2.random()
             if roll < 0.5:
                 t, ts = nxt()

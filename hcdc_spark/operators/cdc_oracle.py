@@ -14,20 +14,23 @@ formulations, one answer" technique applied to the flagship CDC rows.
 
 The SQL is exact under invariants the generator logs satisfy by
 construction (single namespace, a known op vocabulary, disjoint
-directory-op subtrees, at most one TRUNCATE per file lifetime, every
-CLOSE carrying an authoritative length and the full block list, no
-overwrite claims, no Snapshot/Backlog bootstrap CLOSEs, and — via a
-sequential-fold simulation — only existence-model errors, i.e. every
-error row the Python statemachine emits is either "file exists and
-overwrite=false" or "no live file state", the two shapes the SQL's
-complement-based error channel derives). Re-creation (file-level or
-cascade DELETE followed by an effective re-ADD) and post-TRUNCATE
-growth without a CLOSE are MODELED, not gated: the ``epoch`` CTE folds
-only the final lifetime, and ``blk_final``/``blk_dead`` replay the full
-per-block size trajectory. ``check_invariants`` verifies every gated
-shape and is asserted by tests/test_cdc_queries.py — if the generator
-ever changes shape, the gate fails before the oracle can silently
-diverge.
+directory-op subtrees, every CLOSE carrying an authoritative length
+and the full block list, no overwrite claims, no Snapshot/Backlog
+bootstrap CLOSEs, and — via a sequential-fold simulation — only
+existence-model errors, i.e. every error row the Python statemachine
+emits is either "file exists and overwrite=false" or "no live file
+state", the two shapes the SQL's complement-based error channel
+derives). Re-creation (file-level or cascade DELETE followed by an
+effective re-ADD), post-TRUNCATE growth without a CLOSE, and multiple
+TRUNCATEs per lifetime are all MODELED, not gated: the ``epoch`` CTE
+folds only the final lifetime, ``blk_final``/``blk_dead`` replay the
+full per-block size trajectory, and the clamp CHAIN
+(:func:`_clamp_stage_ctes`, sized by :func:`trunc_rounds`) replays
+each truncate against the previous one's shrunken sizes. A lifetime
+with more than 8 TRUNCATEs is the one remaining (SQL-size) cap.
+``check_invariants`` verifies every gated shape and is asserted by
+tests/test_cdc_queries.py — if the generator ever changes shape, the
+gate fails before the oracle can silently diverge.
 
 Reference semantics mirrored (same anchors as cdc/statemachine.py):
 per-op effects SourceTransactionProcessor.java, T4 dedup guard
@@ -222,9 +225,13 @@ def check_invariants(events: list[dict]) -> None:
             else:
                 lifetimes[-1].append(e)
         for life in lifetimes:
+            # multiple TRUNCATEs per lifetime are MODELED (the clamp
+            # chain, sized by trunc_rounds()); the cap only bounds the
+            # generated SQL
             truncs = [e for e in life if e["op"] == "TRUNCATE"]
-            assert len(truncs) <= 1, (
-                f"inode {inode}: multiple TRUNCATEs in one lifetime"
+            assert len(truncs) <= 8, (
+                f"inode {inode}: {len(truncs)} TRUNCATEs in one "
+                "lifetime exceeds the clamp-chain cap"
             )
             # the fold SQL assumes chain order == block-id order
             # (blocks are allocated with a monotonically increasing
@@ -438,35 +445,81 @@ asserts AS MATERIALIZED (  -- absolute per-block size assertions in the event st
     WHERE e.op = 'ADD_BLOCK'
   ) WHERE r = 1
 ),
-pre_trunc AS MATERIALIZED (  -- per-block size + cumulative chain offset just before
-                -- the (single per lifetime) TRUNCATE; the ONE shared
-                -- clamp input for both the state fold's dead-block
-                -- count and the change set's interval synthesis —
-                -- chain order == block-id order by gated invariant
+truncs AS MATERIALIZED (  -- final-lifetime TRUNCATEs, ranked per inode:
+                          -- the clamp chain below replays them in order
+  SELECT inode_id, tx_id AS t_tx, trunc_len AS L,
+         ROW_NUMBER() OVER (PARTITION BY inode_id ORDER BY tx_id) AS rnk
+  FROM effe WHERE op = 'TRUNCATE'
+),
+traj_0 AS (  -- trajectory before any clamp: the event assertions
+  SELECT inode_id, block_id, tx_id, size FROM asserts
+)
+"""
+
+
+def _clamp_stage_ctes(trunc_rounds: int) -> str:
+    """The TRUNCATE clamp, chained: stage *i* clamps against the
+    trajectory that already includes stages 1..i-1's clamps, exactly
+    the statemachine's sequential replay (a second truncate sees the
+    first one's shrunken sizes; truncate-dead blocks sit at size 0, so
+    summing them reproduces the statemachine's skip-Deleted offset
+    walk). ``traj`` is the full per-block size stream, ``kills`` every
+    (block, truncate) pair the clamp drove to state Deleted — chain
+    order == block-id order by gated invariant. SUM() OVER promotes to
+    HUGEINT in DuckDB; the clamp pins BIGINT so downstream arithmetic
+    stays driver-hashable."""
+    parts = []
+    for i in range(1, trunc_rounds + 1):
+        parts.append(f"""
+pre_trunc_{i} AS MATERIALIZED (
   SELECT *, SUM(pre_size) OVER (PARTITION BY inode_id ORDER BY block_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum0
   FROM (
     SELECT a.inode_id, a.block_id, t.t_tx, t.L,
            MAX_BY(a.size, a.tx_id) AS pre_size
-    FROM asserts a
-    JOIN (SELECT inode_id, tx_id AS t_tx, trunc_len AS L
-          FROM effe WHERE op = 'TRUNCATE') t
-      ON a.inode_id = t.inode_id AND a.tx_id < t.t_tx
+    FROM traj_{i - 1} a
+    JOIN truncs t
+      ON a.inode_id = t.inode_id AND t.rnk = {i} AND a.tx_id < t.t_tx
     GROUP BY a.inode_id, a.block_id, t.t_tx, t.L
   )
 ),
-clamped AS MATERIALIZED (  -- statemachine TRUNCATE clamp over the shared pre_trunc:
-              -- fully-beyond blocks zero out (and die), the straddling
-              -- block trims, earlier blocks keep their size (no row).
-              -- SUM() OVER promotes to HUGEINT in DuckDB; pin BIGINT
-              -- so downstream arithmetic stays driver-hashable
+clamped_{i} AS MATERIALIZED (
   SELECT inode_id, block_id, t_tx AS tx_id,
          CAST(CASE WHEN COALESCE(cum0, 0) >= L THEN 0
               WHEN COALESCE(cum0, 0) + pre_size > L THEN L - COALESCE(cum0, 0)
               ELSE pre_size END AS BIGINT) AS size
-  FROM pre_trunc
-)
-"""
+  FROM pre_trunc_{i}
+),
+traj_{i} AS (
+  SELECT * FROM traj_{i - 1}
+  UNION ALL SELECT * FROM clamped_{i}
+)""")
+    kills = "\n  UNION ALL ".join(
+        f"SELECT inode_id, block_id, t_tx FROM pre_trunc_{i} "
+        "WHERE COALESCE(cum0, 0) >= L"
+        for i in range(1, trunc_rounds + 1)
+    )
+    parts.append(f"""
+traj AS MATERIALIZED (SELECT * FROM traj_{trunc_rounds}),
+kills AS MATERIALIZED (  -- every clamp that drove a block to Deleted
+  {kills}
+)""")
+    return ",".join(parts)
+
+
+def trunc_rounds(events: list[dict]) -> int:
+    """Clamp-chain depth for a log: the max TRUNCATE count any single
+    inode carries (tx-deduped; raw count upper-bounds the effective
+    final-lifetime count, and surplus stages clamp nothing). Floor 1
+    keeps the generated SQL shape uniform on truncate-free logs."""
+    by_tx: dict[int, dict] = {}
+    for e in events:
+        by_tx.setdefault(e["tx_id"], e)
+    counts: dict[int, int] = {}
+    for e in by_tx.values():
+        if e["op"] == "TRUNCATE":
+            counts[e["inode_id"]] = counts.get(e["inode_id"], 0) + 1
+    return max(counts.values(), default=1)
 
 
 #: file_state synthesis on top of the fold CTEs (shared by c01/c04).
@@ -495,29 +548,28 @@ pth AS MATERIALIZED (  -- path: last ADD_FILE path / RENAME dest (DELETE keeps p
   ) WHERE rn = 1
 ),
 blk_final AS MATERIALIZED (  -- final size per block: the endpoint of its full
-                -- trajectory (event assertions + the TRUNCATE clamp —
-                -- exactly the statemachine's _grow_block stream, so
-                -- growth AFTER a truncate lands on the clamped base).
-                -- Truncate-dead blocks sit at size 0 and contribute 0
-                -- to the sum unless a later assertion resurrects them
+                -- trajectory (event assertions + every TRUNCATE
+                -- clamp — exactly the statemachine's _grow_block
+                -- stream, so growth AFTER a truncate lands on the
+                -- clamped base). Truncate-dead blocks sit at size 0
+                -- and contribute 0 to the sum unless a later
+                -- assertion resurrects them
   SELECT inode_id, block_id, MAX_BY(size, tx_id) AS last_size
-  FROM (
-    SELECT inode_id, block_id, tx_id, size FROM asserts
-    UNION ALL SELECT inode_id, block_id, tx_id, size FROM clamped
-  ) GROUP BY inode_id, block_id
+  FROM traj GROUP BY inode_id, block_id
 ),
 blk_dead AS MATERIALIZED (  -- truncate-killed blocks (chain offset >= new length ⇒
                -- state Deleted) that stay dead: a later UPDATE_BLOCKS
                -- listing the block or any CLOSE (full-block-list
                -- invariant) revives it (statemachine sets the touched
-               -- block's state back to Updating/Finalized)
-  SELECT p.inode_id, p.block_id
-  FROM pre_trunc p
-  WHERE COALESCE(p.cum0, 0) >= p.L
-    AND NOT EXISTS (
+               -- block's state back to Updating/Finalized); with
+               -- several truncates a block is dead at end iff SOME
+               -- kill has no resurrection after it (the last one)
+  SELECT DISTINCT k.inode_id, k.block_id
+  FROM kills k
+  WHERE NOT EXISTS (
       SELECT 1 FROM asserts a
-      WHERE a.inode_id = p.inode_id AND a.block_id = p.block_id
-        AND a.tx_id > p.t_tx AND a.op IN ('UPDATE_BLOCKS', 'CLOSE'))
+      WHERE a.inode_id = k.inode_id AND a.block_id = k.block_id
+        AND a.tx_id > k.t_tx AND a.op IN ('UPDATE_BLOCKS', 'CLOSE'))
 ),
 sizing AS MATERIALIZED (  -- which op last decided data_size: CLOSE pins the
              -- authoritative length; every other size-affecting op
@@ -563,13 +615,20 @@ unknown AS MATERIALIZED (  -- inodes whose every event errored: state-only stub 
 """
 
 
-def state_query(input_ctes: str, include_file_type: bool = True) -> str:
-    """Full file_state fold over the given rendered input CTEs."""
+def state_query(
+    input_ctes: str,
+    include_file_type: bool = True,
+    trunc_rounds: int = 1,
+) -> str:
+    """Full file_state fold over the given rendered input CTEs.
+    ``trunc_rounds`` sizes the TRUNCATE clamp chain — pass
+    :func:`trunc_rounds` of the same log; surplus stages are no-ops."""
     ft_col = ", file_type" if include_file_type else ""
     ft_null = ", NULL" if include_file_type else ""
     return f"""
 WITH {input_ctes},
 {_FOLD_CTES},
+{_clamp_stage_ctes(trunc_rounds)},
 {_STATE_CTES}
 SELECT inode_id, path, state, CAST(data_size AS BIGINT) AS data_size,
        CAST(num_blocks AS BIGINT) AS num_blocks, last_tx_id{ft_col}
@@ -582,7 +641,8 @@ ORDER BY inode_id
 
 def errors_query(input_ctes: str) -> str:
     """T25 dead-letter rows = the complement of the fold's
-    effective-event set, error text reconstructed from the op."""
+    effective-event set, error text reconstructed from the op. (No
+    clamp chain: erroredness never depends on block sizes.)"""
     return f"""
 WITH {input_ctes},
 {_FOLD_CTES}
@@ -600,7 +660,11 @@ WHERE NOT ((op = 'ADD_FILE'
 
 def c01_oracle() -> str:
     """file_state re-derived relationally from the raw seed-42 log."""
-    return state_query(_input_ctes("seed42"), include_file_type=True)
+    return state_query(
+        _input_ctes("seed42"),
+        include_file_type=True,
+        trunc_rounds=trunc_rounds(demo_events()),
+    )
 
 
 def c02_oracle() -> str:
@@ -619,31 +683,34 @@ def c04_oracle() -> str:
     land on the same file_state the window-SQL fold computes — a 3-way
     agreement (streaming fold, batch fold parity in
     tests/test_streaming.py, relational SQL)."""
-    return state_query(_input_ctes("seed7"), include_file_type=False)
+    return state_query(
+        _input_ctes("seed7"),
+        include_file_type=False,
+        trunc_rounds=trunc_rounds(stream_demo_events()),
+    )
 
 
-def changeset_query(input_ctes: str) -> str:
+def changeset_query(input_ctes: str, trunc_rounds: int = 1) -> str:
     """Per-block covering byte intervals re-derived from the raw log:
     the statemachine's delta bookkeeping as a lag over the per-block
-    size trajectory (assertions + the TRUNCATE clamp), then min/max
-    per block — DFSBlockState.compressedChangeSet relationally."""
+    size trajectory (assertions + the chained TRUNCATE clamps), then
+    min/max per block — DFSBlockState.compressedChangeSet
+    relationally."""
     return f"""
 WITH {input_ctes},
 {_FOLD_CTES},
-traj AS MATERIALIZED (  -- statemachine size trajectory per block
+{_clamp_stage_ctes(trunc_rounds)},
+lagged AS MATERIALIZED (  -- statemachine size trajectory per block
   SELECT *, COALESCE(LAG(size) OVER (PARTITION BY inode_id, block_id
                                      ORDER BY tx_id), 0) AS prev
-  FROM (
-    SELECT inode_id, block_id, tx_id, size FROM asserts
-    UNION ALL SELECT inode_id, block_id, tx_id, size FROM clamped
-  )
+  FROM traj
 ),
 deltas AS MATERIALIZED (  -- every size change emits one [lo, hi] interval (T2/T16)
   SELECT inode_id, block_id, tx_id,
          CASE WHEN size > prev THEN prev ELSE size END AS start_offset,
          CASE WHEN size > prev THEN size - 1 ELSE prev - 1 END AS end_offset,
          size < prev AS deleted
-  FROM traj WHERE size <> prev
+  FROM lagged WHERE size <> prev
 )
 SELECT inode_id, block_id,
        MIN(start_offset) AS start_offset,
@@ -658,4 +725,6 @@ GROUP BY inode_id, block_id
 
 def c03_oracle() -> str:
     """Seed-42 change set via :func:`changeset_query`."""
-    return changeset_query(_input_ctes("seed42"))
+    return changeset_query(
+        _input_ctes("seed42"), trunc_rounds=trunc_rounds(demo_events())
+    )

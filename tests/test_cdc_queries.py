@@ -167,10 +167,13 @@ def test_relational_fold_parity_across_seeds(oracle):
                 continue
             tested += 1
             ctes = O.render_input_ctes(events)
+            k = O.trunc_rounds(events)
             want_state, want_errs, want_cs = _python_fold(events)
             got_state = sorted(
                 tuple(r) for r in
-                oracle.execute(O.state_query(ctes, True)).fetchall()
+                oracle.execute(
+                    O.state_query(ctes, True, trunc_rounds=k)
+                ).fetchall()
             )
             assert got_state == want_state, f"state diverged (seed {seed})"
             got_errs = sorted(
@@ -180,7 +183,9 @@ def test_relational_fold_parity_across_seeds(oracle):
             assert got_errs == want_errs, f"errors diverged (seed {seed})"
             got_cs = sorted(
                 tuple(r) for r in
-                oracle.execute(O.changeset_query(ctes)).fetchall()
+                oracle.execute(
+                    O.changeset_query(ctes, trunc_rounds=k)
+                ).fetchall()
             )
             assert got_cs == want_cs, f"change set diverged (seed {seed})"
     # Round 7 retired the re-creation and growth-after-TRUNCATE
