@@ -340,6 +340,63 @@ def generate_events(
                         )
                     )
 
+    if with_recreates:
+        # Exotic-op coverage (IGNORE / ERROR / CONCAT_DELETE) —
+        # deterministic, so it adds no rng draws: a live file receives
+        # the two stateless control ops then an ERROR (final state
+        # Error); an inode that only ever sees IGNORE must surface as
+        # an Unknown stub with NO error row; a deleted file routes
+        # CONCAT_DELETE and ERROR to the dead-letter channel.
+        blk_size = 1 << 20
+        bx = {
+            "block_id": (block_counter := block_counter + 1),
+            "size": 4096, "block_size": blk_size, "generation_stamp": 1,
+            "start_offset": None, "end_offset": None, "delta_size": None,
+            "deleted": False,
+        }
+        pa = "/data/xo/file_a.parquet"
+        t, ts = nxt()
+        events.append(empty_event(
+            tx_id=t, op="ADD_FILE", ts=ts, namespace=namespace, path=pa,
+            inode_id=777001, block_size=blk_size, overwrite=False,
+            modified_time=ts, blocks=[bx], mode="New",
+        ))
+        for op in ("IGNORE", "CONCAT_DELETE", "ERROR"):
+            t, ts = nxt()
+            events.append(empty_event(
+                tx_id=t, op=op, ts=ts, namespace=namespace, path=pa,
+                inode_id=777001, mode="New",
+            ))
+        t, ts = nxt()
+        events.append(empty_event(
+            tx_id=t, op="IGNORE", ts=ts, namespace=namespace,
+            path="/data/xo/ghost.parquet", inode_id=777002, mode="New",
+        ))
+        by = {
+            "block_id": (block_counter := block_counter + 1),
+            "size": 1024, "block_size": blk_size, "generation_stamp": 1,
+            "start_offset": None, "end_offset": None, "delta_size": None,
+            "deleted": False,
+        }
+        pc = "/data/xo/file_c.parquet"
+        t, ts = nxt()
+        events.append(empty_event(
+            tx_id=t, op="ADD_FILE", ts=ts, namespace=namespace, path=pc,
+            inode_id=777003, block_size=blk_size, overwrite=False,
+            modified_time=ts, blocks=[by], mode="New",
+        ))
+        t, ts = nxt()
+        events.append(empty_event(
+            tx_id=t, op="DELETE", ts=ts, namespace=namespace, path=pc,
+            inode_id=777003, mode="New",
+        ))
+        for op in ("CONCAT_DELETE", "ERROR"):
+            t, ts = nxt()
+            events.append(empty_event(
+                tx_id=t, op=op, ts=ts, namespace=namespace, path=pc,
+                inode_id=777003, mode="New",
+            ))
+
     if with_duplicates:
         # replay a slice verbatim — the T4 guard must make this a no-op
         events.extend(dict(e) for e in events[5:10])

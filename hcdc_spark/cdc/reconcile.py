@@ -41,8 +41,12 @@ _FOLD_OUTPUT_SCHEMA = T.StructType(
 
 # Ops that only ever target FILE inodes — seeing an inode under any of
 # these proves it is not a directory (dirs receive only DELETE/RENAME).
+# IGNORE/ERROR/CONCAT_DELETE are file-directed control ops in the
+# reference's op table (SourceTransactionProcessor routes them at the
+# file level), so they classify too.
 _FILE_ONLY_OPS = (
     "ADD_FILE", "ADD_BLOCK", "UPDATE_BLOCKS", "APPEND", "TRUNCATE", "CLOSE",
+    "IGNORE", "ERROR", "CONCAT_DELETE",
 )
 # Ops that (re)assert an inode's path: ADD_FILE creates it, CLOSE
 # re-asserts it — crucially including Snapshot/Backlog bootstrap CLOSEs,

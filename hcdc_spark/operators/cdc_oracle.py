@@ -13,20 +13,23 @@ as a lag-over-assertion-timeline — i.e. the c15 "two independent
 formulations, one answer" technique applied to the flagship CDC rows.
 
 The SQL is exact under invariants the generator logs satisfy by
-construction (single namespace, a known op vocabulary, disjoint
-directory-op subtrees, every CLOSE carrying an authoritative length
-and the full block list, no overwrite claims, no Snapshot/Backlog
-bootstrap CLOSEs, and — via a sequential-fold simulation — only
-existence-model errors, i.e. every error row the Python statemachine
-emits is either "file exists and overwrite=false" or "no live file
-state", the two shapes the SQL's complement-based error channel
-derives). Re-creation (file-level or cascade DELETE followed by an
-effective re-ADD), post-TRUNCATE growth without a CLOSE, and multiple
-TRUNCATEs per lifetime are all MODELED, not gated: the ``epoch`` CTE
-folds only the final lifetime, ``blk_final``/``blk_dead`` replay the
-full per-block size trajectory, and the clamp CHAIN
+construction (single namespace, ops drawn from the statemachine's full
+table, disjoint directory-op subtrees, every CLOSE carrying an
+authoritative length and the full block list, no overwrite claims, no
+Snapshot/Backlog bootstrap CLOSEs, and — via a sequential-fold
+simulation — only existence-model errors, i.e. every error row the
+Python statemachine emits is either "file exists and overwrite=false"
+or "no live file state", the two shapes the SQL's complement-based
+error channel derives). Re-creation (file-level or cascade DELETE
+followed by an effective re-ADD), post-TRUNCATE growth without a
+CLOSE, multiple TRUNCATEs per lifetime, and the control ops
+IGNORE/ERROR/CONCAT_DELETE are all MODELED, not gated: the ``epoch``
+CTE folds only the final lifetime, ``blk_final``/``blk_dead`` replay
+the full per-block size trajectory, the clamp CHAIN
 (:func:`_clamp_stage_ctes`, sized by :func:`trunc_rounds`) replays
-each truncate against the previous one's shrunken sizes. A lifetime
+each truncate against the previous one's shrunken sizes, IGNORE rows
+drop before the fold, live CONCAT_DELETEs pass the existence check
+without touching state, and ERROR forces the Error state. A lifetime
 with more than 8 TRUNCATEs is the one remaining (SQL-size) cap.
 ``check_invariants`` verifies every gated shape and is asserted by
 tests/test_cdc_queries.py — if the generator ever changes shape, the
@@ -44,6 +47,7 @@ from functools import lru_cache
 
 _FILE_ONLY_OPS = (
     "ADD_FILE", "ADD_BLOCK", "UPDATE_BLOCKS", "APPEND", "TRUNCATE", "CLOSE",
+    "IGNORE", "ERROR", "CONCAT_DELETE",
 )
 
 
@@ -62,13 +66,16 @@ def stream_demo_events() -> list[dict]:
     return generate_events(n_files=40, seed=7, with_dir_ops=False)
 
 
-#: The op vocabulary the fold SQL models. IGNORE/ERROR/CONCAT_DELETE
-#: have statemachine semantics the SQL does not reproduce (IGNORE skips
-#: the last_tx_id touch, ERROR forces the Error state), so a log using
-#: them is gated out rather than silently mis-folded.
+#: The op vocabulary the fold SQL models — the full statemachine table:
+#: IGNORE rows are dropped before the fold (apply_event returns early
+#: with no touch and no error, even on a missing file), CONCAT_DELETE
+#: participates in the existence check but never touches state (the
+#: reference parses it and routes it to IGNORE on live files; on a dead
+#: file it dead-letters like any other op), and ERROR forces the Error
+#: state while touching last_tx_id.
 _MODELED_OPS = frozenset(
     ("ADD_FILE", "ADD_BLOCK", "UPDATE_BLOCKS", "APPEND", "TRUNCATE",
-     "CLOSE", "DELETE", "RENAME")
+     "CLOSE", "DELETE", "RENAME", "IGNORE", "ERROR", "CONCAT_DELETE")
 )
 
 
@@ -101,7 +108,12 @@ def _simulate(events: list[dict]):
         st, errs = apply_event(states.get(ino), e)
         states[ino] = st
         errors.extend(errs)
-        if not errs:
+        # IGNORE / live-CONCAT_DELETE apply without error but touch
+        # NOTHING — keep them out of the effective stream so the
+        # per-lifetime shape checks (and the first-op-is-ADD_FILE
+        # gate) see only state-bearing events, mirroring the SQL's
+        # log/effe exclusions
+        if not errs and e["op"] not in ("IGNORE", "CONCAT_DELETE"):
             effective.setdefault(ino, []).append(e)
 
     for e in evs:
@@ -341,9 +353,12 @@ ev AS MATERIALIZED (  -- T4 idempotence: replayed txids are no-ops (dedup by tx)
 ),
 blk AS MATERIALIZED (SELECT DISTINCT tx_id, pos, block_id, size FROM blk_raw),
 file_inodes AS MATERIALIZED (  -- inodes seen under file-only ops are files
+                               -- (incl. the control ops IGNORE/ERROR/
+                               -- CONCAT_DELETE — dirs receive only
+                               -- DELETE/RENAME)
   SELECT DISTINCT inode_id FROM ev
   WHERE op IN ('ADD_FILE','ADD_BLOCK','UPDATE_BLOCKS','APPEND',
-               'TRUNCATE','CLOSE')
+               'TRUNCATE','CLOSE','IGNORE','ERROR','CONCAT_DELETE')
 ),
 dir_ops AS MATERIALIZED (  -- DELETE/RENAME on a non-file inode ⇒ directory op
   SELECT tx_id AS d_tx, op AS d_op, path AS d_path, dest_path AS d_dest
@@ -394,10 +409,14 @@ synth AS MATERIALIZED (  -- per-child synthetic events (single round: disjoint t
   WHERE d_op = 'RENAME'
         AND substr(cur_path, 1, length(d_path) + 1) = d_path || '/'
 ),
-log AS MATERIALIZED (  -- expanded log: dir rows dropped, synthetic children added
+log AS MATERIALIZED (  -- expanded log: dir rows dropped, synthetic children
+                       -- added. IGNORE rows drop too: apply_event
+                       -- returns early with no touch and no error,
+                       -- even on a missing file
   SELECT tx_id, op, path, dest_path, inode_id, overwrite, length,
          trunc_len, file_type
-  FROM ev WHERE tx_id NOT IN (SELECT d_tx FROM dir_ops)
+  FROM ev
+  WHERE tx_id NOT IN (SELECT d_tx FROM dir_ops) AND op <> 'IGNORE'
   UNION ALL SELECT * FROM synth
 ),
 lifec AS MATERIALIZED (  -- creation/deletion watermarks before each event
@@ -427,10 +446,13 @@ epoch AS MATERIALIZED (  -- lifetime boundary: an effective ADD_FILE RESETS per-
 effe AS MATERIALIZED (  -- effective events of each inode's FINAL lifetime; every
            -- inode with effective events has an effective ADD_FILE
            -- (bootstrap CLOSEs are invariant-gated out), so the LEFT
-           -- JOIN is belt-and-braces only
+           -- JOIN is belt-and-braces only. A live CONCAT_DELETE
+           -- passes the existence check but touches NOTHING (the
+           -- statemachine routes it to a no-op without _touch), so it
+           -- leaves the effective stream here
   SELECT e.* FROM eff e
   LEFT JOIN epoch p USING (inode_id)
-  WHERE e.tx_id >= COALESCE(p.e0, -1)
+  WHERE e.tx_id >= COALESCE(p.e0, -1) AND e.op <> 'CONCAT_DELETE'
 ),
 asserts AS MATERIALIZED (  -- absolute per-block size assertions in the event stream
   SELECT e.inode_id, e.tx_id, e.op, b.block_id, b.size
@@ -529,6 +551,7 @@ st AS MATERIALIZED (  -- T3 transitions: last state-changing op decides (RENAME 
          CASE op WHEN 'DELETE' THEN 'Deleted'
                  WHEN 'CLOSE' THEN 'Finalized'
                  WHEN 'ADD_FILE' THEN 'New'
+                 WHEN 'ERROR' THEN 'Error'
                  ELSE 'Updating' END AS state
   FROM (
     SELECT inode_id, op,
@@ -608,8 +631,10 @@ folded AS MATERIALIZED (
              GROUP BY inode_id) d USING (inode_id)
   LEFT JOIN sizing z USING (inode_id)
 ),
-unknown AS MATERIALIZED (  -- inodes whose every event errored: state-only stub row
-  SELECT inode_id FROM log WHERE inode_id IN (SELECT inode_id FROM file_inodes)
+unknown AS MATERIALIZED (  -- inodes with no state-creating history: every event
+           -- errored OR was a stateless control op (e.g. an
+           -- IGNORE-only inode) — state-only stub row
+  SELECT inode_id FROM file_inodes
   EXCEPT SELECT inode_id FROM eff
 )
 """

@@ -57,8 +57,8 @@ SPINE = {"q01_pricing_summary", "q05_star_join", "q39_avro_roundtrip",
 #: rows-only driver status is on record (r3) — keeping them in the
 #: prefix would burn slots that can never go green, so they sit PAST 50
 #: on purpose. Each non-iterative member has an md5-hash oracle twin
-#: carrying its greenness: q29↔q73, q36↔q89, q38↔q91; q52/q53 are
-#: genuinely xxhash64-band- or float-iteration-dependent.
+#: carrying its greenness: q29↔q73, q36↔q89, q38↔q91, q52↔q92; q53's
+#: float k-means iteration is the one genuinely twin-less member.
 ROWS_ONLY_BY_DESIGN = {
     "q29_minhash_lsh",
     "q36_ann_lsh",
