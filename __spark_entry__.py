@@ -57,6 +57,7 @@ _FIRST_50: tuple[str, ...] = (
     "q90_chunk_dedup",
     "q91_simhash_md5",
     "q92_embedding_neardup_md5",
+    "q93_ivf_ann_fixed",
     "c02_cdc_error_channel",
     "c03_cdc_change_set",
     "c04_stream_reconcile",
@@ -98,7 +99,6 @@ _FIRST_50: tuple[str, ...] = (
     "q54_hash_split",
     "q55_corpus_composition",
     "q56_repetition",
-    "q57_quality_funnel",
     # E: regression spine (one tripwire per family; c01 carries the
     # relational-fold oracle family)
     "q01_pricing_summary",

@@ -609,6 +609,102 @@ def q53_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q93_oracle() -> str:
+    sim_vc = (
+        "list_dot_product(e.v, c.c) / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.c, c.c)))"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 16
+    ), e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), scored AS (
+      SELECT e.vec_id, e.label, e.v, c.cid, {sim_vc} AS s
+      FROM e CROSS JOIN cents c
+    ), cells AS (
+      SELECT vec_id, label, v, cid AS cell
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY s DESC, cid) AS rn FROM scored)
+      WHERE rn = 1
+    ), qprobe AS (
+      SELECT cid FROM scored WHERE vec_id = 0 ORDER BY s DESC, cid LIMIT 4
+    ), q AS (SELECT v FROM e WHERE vec_id = 0)
+    SELECT t.vec_id, t.label,
+           list_dot_product(t.v, (SELECT v FROM q))
+             / (sqrt(list_dot_product(t.v, t.v))
+                * sqrt((SELECT list_dot_product(v, v) FROM q))) AS cos_sim
+    FROM cells t
+    WHERE t.vec_id <> 0 AND t.cell IN (SELECT cid FROM qprobe)
+    ORDER BY cos_sim DESC, t.vec_id
+    LIMIT 10
+    """
+
+
+@REG.add(
+    "q93_ivf_ann_fixed",
+    _q93_oracle(),
+    doc="IVF ANN with a FIXED deterministic coarse quantizer — the "
+    "oracle twin of q53's query path: centroids are 16 data rows "
+    "picked by a pure predicate (vec_id % 7 = 1, smallest first), "
+    "every vector joins its argmax-cosine cell (explicit (score desc, "
+    "cid) tiebreak), the query probes its 4 nearest cells, and exact "
+    "cosine re-ranks inside them (q34-proven bit-identical "
+    "arithmetic) — so cell assignment, probe selection AND re-rank "
+    "are all hash-checked in DuckDB. Only the k-means TRAINING "
+    "iteration stays untwinned (q53 keeps it, rows-only + recall "
+    "gates). Scale shape: the 16 (k x dim) centroids broadcast into a "
+    "cross join, assignment is one window over the short score table, "
+    "and the probe filter partition-prunes when the table is written "
+    "partitioned by cell.",
+    tags=("similarity", "ivf"),
+)
+def q93_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = (
+        emb.where(F.col("vec_id") % 7 == 1)
+        .orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), _emb().alias("c"))
+    )
+    e = emb.select("vec_id", "label", _emb().alias("v"))
+    s = _dot(F.col("v"), F.col("c")) / (
+        F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("c")))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "v", "cid", s.alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), "cid")
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "v", F.col("cid").alias("cell"))
+    )
+    qscores = scored.where(F.col("vec_id") == 0).select("cid", "s").collect()
+    probes = [
+        r["cid"] for r in sorted(qscores, key=lambda r: (-r["s"], r["cid"]))
+    ][:4]
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+    qn = math.sqrt(sum(float(x) * float(x) for x in qv))
+    return (
+        cells.where(F.col("cell").isin(probes) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot(F.col("v"), qlit) / (F.sqrt(_norm2(F.col("v"))) * F.lit(qn))
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @REG.add(
     "q37_centroid_by_label",
     """
