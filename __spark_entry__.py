@@ -27,19 +27,22 @@ from hcdc_spark.registry import Registry
 # on it), the NEW q89 (md5 sign-bit LSH ANN, the q73-style oracle
 # twin of q36), q90 (NEW: cross-corpus chunk dedup, the C4-style
 # repeated-span pass), q91 (NEW: the md5 simhash twin of q38), q92
-# (NEW: the md5 embedding-neardup twin of q52), and c01-c04 whose
-# relational-fold oracle SQL was reworked this round (trajectory-based
-# state synthesis so re-created lifetimes and post-TRUNCATE growth
-# are modeled); (b) ALL 14 queries whose latest driver green still
-# dates to round 3 (q02, q10, q24-q26, q35, q42, q45, q63, q64,
-# q69-q72 — the currency debt rounds 5 and 6 carried); (c) the oldest
-# r4-dated rows, 22 of 39 (the judge-named c06/c07/c08/c17 +
-# q03/q07/q08/q47/q48/q11/q44/q49/q16/q21/q22 first, then the
-# sources/text/dedup block q28/q41/q51/q54-q57); (e) the regression
-# spine, including c01 so the relational-fold oracle family keeps a
-# live tripwire. The 17 r4-dated queries left outside (q58, q61, q62,
-# q74-q85, q87, q88 — analytics_ext + six whose slots funded the
-# c02-c04/q90-q92 verification) keep their r4
+# (NEW: the md5 embedding-neardup twin of q52), q93 (NEW: the
+# fixed-centroid IVF twin of q53), c19 (NEW: streaming content-level
+# document dedup), and c01-c04 whose relational-fold oracle SQL was
+# reworked this round (trajectory-based state synthesis so re-created
+# lifetimes, post-TRUNCATE growth, chained truncates and the
+# IGNORE/ERROR/CONCAT_DELETE control ops are modeled); (b) ALL 14
+# queries whose latest driver green still dates to round 3 (q02, q10,
+# q24-q26, q35, q42, q45, q63, q64, q69-q72 — the currency debt
+# rounds 5 and 6 carried); (c) the oldest r4-dated rows, 20 of 39
+# (the judge-named c06/c07/c08/c17 +
+# q03/q07/q08/q47/q48/q11/q44/q49/q16/q21/q22 first, then
+# q28/q41/q51/q54/q55); (e) the regression spine, including c01 so
+# the relational-fold oracle family keeps a live tripwire. The 19
+# r4-dated queries left outside (q56-q58, q61, q62, q74-q85, q87,
+# q88 — analytics_ext + eight whose slots funded the new-query and
+# c02-c04 verification) keep their r4
 # rows, satisfying the round-7 bar of "no oracle-bearing query's
 # latest green older than r4"; all other round-6 greens stay
 # r6-dated. The five xxhash64-based LSH queries
@@ -58,6 +61,7 @@ _FIRST_50: tuple[str, ...] = (
     "q91_simhash_md5",
     "q92_embedding_neardup_md5",
     "q93_ivf_ann_fixed",
+    "c19_stream_doc_dedup",
     "c02_cdc_error_channel",
     "c03_cdc_change_set",
     "c04_stream_reconcile",
@@ -98,7 +102,6 @@ _FIRST_50: tuple[str, ...] = (
     "q51_approx_distinct",
     "q54_hash_split",
     "q55_corpus_composition",
-    "q56_repetition",
     # E: regression spine (one tripwire per family; c01 carries the
     # relational-fold oracle family)
     "q01_pricing_summary",

@@ -534,6 +534,64 @@ def c14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "c19_stream_doc_dedup",
+    """
+    SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Streaming content-level document dedup — the training-data "
+    "ingest gate as a stateful stream: documents arrive as a parquet "
+    "file stream, each keyed by md5 of its full text, and "
+    "dropDuplicates on (lang, content-hash) keeps first-arrival per "
+    "key; the batch tail counts survivors per lang, which whichever "
+    "arrival order the stream chose must equal the oracle's "
+    "COUNT(DISTINCT md5(text)). State here is the distinct-hash set — "
+    "inherently unbounded for exact content dedup; at 100 TB the "
+    "state store is RocksDB (disk-bounded, parity-tested in "
+    "tests/test_streaming.py) and the horizon is bounded with "
+    "dropDuplicatesWithinWatermark or a Bloom pre-filter exactly as "
+    "c14 demonstrates on the events stream.",
+    tags=("streaming", "dedup", "pipeline"),
+)
+def c19_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.catalog import table_path
+
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    # documents.parquet is a single file; the file streaming source
+    # needs a directory, so stream the sf dir filtered to that file
+    deduped = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+        .select("lang", F.md5("text").alias("h"))
+        .dropDuplicates(["lang", "h"])
+    )
+    name = "c19_doc_dedup"
+    ckpt = tempfile.mkdtemp(prefix="hcdc_c19_ckpt_")
+    try:
+        with _small_shuffle(spark):
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_drained(q, name)
+            out = (
+                spark.table(name)
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_unique_docs"))
+            )
+            return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@REG.add(
     "c17_watermark_late_drop",
     """
     SELECT * FROM (VALUES

@@ -28,6 +28,7 @@ CHANGED_THIS_ROUND = {
     "q91_simhash_md5",
     "q92_embedding_neardup_md5",
     "q93_ivf_ann_fixed",
+    "c19_stream_doc_dedup",
     # the relational-fold oracle SQL was reworked (trajectory-based
     # state synthesis + shared TRUNCATE-clamp CTE, re-creation epochs
     # exercised) — outputs pinned identical on the goldens, but changed
@@ -128,11 +129,11 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 114
+    assert len(qs) >= 115
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 7: q89 (md5 LSH ANN twin), q90 (chunk dedup), q91 (md5
-    # simhash twin), q92 (md5 embedding-neardup twin) and q93
-    # (fixed-centroid IVF twin) join the oracle-bearing set, q43's r6
-    # oracle counted — 109 of 114
-    assert len(oracles) >= 109
+    # simhash twin), q92 (md5 embedding-neardup twin), q93
+    # (fixed-centroid IVF twin) and c19 (streaming content dedup)
+    # join the oracle-bearing set, q43's r6 oracle counted — 110/115
+    assert len(oracles) >= 110
