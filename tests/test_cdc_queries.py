@@ -29,6 +29,22 @@ def test_cdc_query(spec, spark, oracle, sf_dir):
     assert_matches_oracle(df, oracle, spec.oracle, spec.name)
 
 
+def test_trunc_rounds_counts_max_per_inode():
+    """Clamp-chain depth = max TRUNCATE count on any single inode,
+    after tx-dedup, floored at 1 for truncate-free logs."""
+    from hcdc_spark.operators.cdc_oracle import trunc_rounds
+
+    evs = [
+        {"tx_id": 1, "op": "TRUNCATE", "inode_id": 1},
+        {"tx_id": 2, "op": "TRUNCATE", "inode_id": 1},
+        {"tx_id": 2, "op": "TRUNCATE", "inode_id": 1},  # replayed tx
+        {"tx_id": 3, "op": "TRUNCATE", "inode_id": 2},
+        {"tx_id": 4, "op": "CLOSE", "inode_id": 1},
+    ]
+    assert trunc_rounds(evs) == 2
+    assert trunc_rounds([{"tx_id": 1, "op": "CLOSE", "inode_id": 1}]) == 1
+
+
 def test_relational_oracle_invariants():
     """The c01-c04 relational folds are exact only under documented log
     shapes — fail here (not with a silent oracle divergence) if the

@@ -429,6 +429,21 @@ if _HYP:
         r = _Reader(_enc_pb_varint(v))
         assert r.pb_varint() == v and r.remaining() == 0
 
+    @given(st.text(alphabet=st.characters(codec="utf-8"), max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_mutf8_roundtrip_property(s):
+        """encode→decode identity over arbitrary code points (incl.
+        supplementary planes and NUL), the CESU-8 invariant (no 4-byte
+        lead ever emitted), and BMP byte-identity with standard
+        UTF-8."""
+        from hcdc_spark.sources.editlog import _mutf8_decode, _mutf8_encode
+
+        enc = _mutf8_encode(s)
+        assert _mutf8_decode(enc) == s
+        assert all(b < 0xF0 for b in enc)
+        if all(ord(c) < 0x10000 for c in s):
+            assert enc == s.encode("utf-8")
+
     _path = st.text(
         alphabet=st.characters(
             codec="utf-8", exclude_characters="\x00"
