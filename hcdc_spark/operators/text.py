@@ -900,6 +900,103 @@ def q90_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "q94_chunk_dedup_rewrite",
+    f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), idxed AS (
+      SELECT doc_id,
+             UNNEST(generate_series(
+               0, CAST((len(w) - 1) // {DEDUP_CHUNK_WORDS} AS INT))) AS idx,
+             w
+      FROM ws WHERE len(w) > 0
+    ), chunks AS (
+      SELECT doc_id, idx,
+             array_to_string(
+               w[idx * {DEDUP_CHUNK_WORDS} + 1 :
+                 idx * {DEDUP_CHUNK_WORDS} + {DEDUP_CHUNK_WORDS}], ' ')
+               AS txt,
+             doc_id * 1000000 + idx AS enc
+      FROM idxed
+    ), flagged AS (
+      SELECT doc_id, idx, txt,
+             enc = MIN(enc) OVER (PARTITION BY md5(txt)) AS keep
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           COALESCE(string_agg(txt, ' ' ORDER BY idx)
+                      FILTER (WHERE keep), '') AS clean_text
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    doc="The REWRITE half of the C4/RefinedWeb repeated-span pass: "
+    "where q90 ranks corpus-duplicated chunks, this pass actually "
+    "removes them and re-emits the cleaned documents. Keep-first "
+    "policy: every non-overlapping 10-word chunk is hash-keyed, the "
+    "globally-first occurrence (MIN over an encoded (doc_id, idx) "
+    "pair) keeps its copy, every later occurrence is dropped, and "
+    "each document is reassembled from its surviving chunks in "
+    "original order (collect_list ignores the NULLs the drop-branch "
+    "produces; array_sort on (idx, txt) structs restores order "
+    "deterministically — collect_list alone is not order-stable "
+    "across shuffles). Docs whose every chunk was seen earlier "
+    "survive with clean_text = ''. Plan shape: ONE window shuffle on "
+    "the 16-byte chunk hash decides keep/drop (no groupBy+self-join "
+    "round-trip), one groupBy on doc_id rebuilds the text; chunk "
+    "text crosses the wire once per chunk. At 100 TB a "
+    "billion-duplicated chunk skews its hash partition — AQE "
+    "skew-split handles the window stage because only (enc) is "
+    "aggregated there, not the text. Reference parity: the "
+    "reference has no corpus-rewrite pass; this extends its dedup "
+    "surface per the pipeline mandate.",
+    tags=("text", "dedup", "pipeline"),
+)
+def q94_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return chunk_dedup_rewrite(docs)
+
+
+def chunk_dedup_rewrite(
+    docs: DataFrame, k: int = DEDUP_CHUNK_WORDS
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_chunks, n_kept, clean_text) under the
+    keep-first corpus-dedup policy documented on q94."""
+    from pyspark.sql import Window
+
+    chunks = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .where(F.size("w") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(w)-1) div {k} AS "
+                    f"INT)), i -> concat_ws(' ', slice(w, i*{k}+1, {k})))"
+                )
+            ).alias("idx", "txt"),
+        )
+    )
+    enc = F.col("doc_id") * 1000000 + F.col("idx")
+    first = F.min(enc).over(Window.partitionBy(F.md5("txt")))
+    flagged = chunks.withColumn("keep", enc == first)
+    kept_struct = F.when(F.col("keep"), F.struct("idx", "txt"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["txt"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
 # -------------------------------------- deterministic weighted sample
 
 

@@ -24,6 +24,13 @@ QUERIES = (
     "q10_agg_distinct",
     "q05_star_join",
     "q16_set_ops",
+    # round-7 additions: the oracle-twin hash families and the corpus
+    # rewrite pass — each a distinct scale shape (banded bucket join,
+    # pigeonhole band join, cell-bounded verify, window + regroup)
+    "q91_simhash_md5",
+    "q92_embedding_neardup_md5",
+    "q94_chunk_dedup_rewrite",
+    "q68_semantic_dedup",
 )
 SF_DIRS = {"sf0.1": "/root/testdata/sf0.1",
            "sf1.0": str(ROOT / ".benchdata" / "sf1.0")}

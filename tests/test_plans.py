@@ -272,6 +272,55 @@ def test_q90_chunk_dedup_single_logical_shuffle(spark, sf_dir):
     assert I.count_exchanges(df) <= 2
 
 
+def test_q94_rewrite_two_shuffles_no_join(spark, sf_dir):
+    """The rewrite pass must decide keep/drop with ONE window exchange
+    on the chunk hash (not a groupBy+self-join round-trip, which would
+    ship every chunk's text twice) and rebuild documents with one
+    groupBy exchange on doc_id — two exchanges total, no join
+    operator, no Python UDF anywhere."""
+    from hcdc_spark.operators import text
+
+    df = text.q94_chunk_dedup_rewrite(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "pythonudf" not in p.lower()
+    assert "join" not in p.lower()
+    assert I.count_exchanges(df) == 2
+
+
+def test_q94_rewrite_drops_later_occurrences_only(spark, sf_dir):
+    """Keep-first semantics: total kept chunks across the corpus equals
+    the number of DISTINCT chunk hashes — every distinct chunk survives
+    exactly once, every later occurrence is dropped — and the pass
+    removed a nonzero number of chunks on this corpus."""
+    from hcdc_spark.operators import text
+
+    df = text.q94_chunk_dedup_rewrite(spark, sf_dir).cache()
+    try:
+        kept = df.agg(F.sum("n_kept")).collect()[0][0]
+        docs = text.load_tables(spark, sf_dir, ("documents",))["documents"]
+        k = text.DEDUP_CHUNK_WORDS
+        n_distinct = (
+            docs.select(F.split("text", " ").alias("w"))
+            .where(F.size("w") > 0)
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, CAST((size(w)-1) div {k} "
+                        f"AS INT)), i -> md5(concat_ws(' ', "
+                        f"slice(w, i*{k}+1, {k}))))"
+                    )
+                ).alias("h")
+            )
+            .agg(F.countDistinct("h"))
+            .collect()[0][0]
+        )
+        assert kept == n_distinct
+        total = df.agg(F.sum("n_chunks")).collect()[0][0]
+        assert kept < total  # the pass removed something real
+    finally:
+        df.unpersist()
+
+
 def test_q76_chunking_shuffle_free(spark, sf_dir):
     """Chunking is a scan-side explode: zero exchanges, no UDFs."""
     from hcdc_spark.operators import text

@@ -59,6 +59,38 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
         assert pair[0] < pair[1]
 
 
+def test_chunk_dedup_rewrite_keep_first_on_synthetic_corpus(spark):
+    """Handcrafted corpus, k=3: cross-doc repeats drop at the later
+    site, intra-doc repeats keep only the first copy, a doc made
+    entirely of already-seen chunks survives with clean_text='', and a
+    short tail chunk is its own unit."""
+    rows = [
+        # doc 0: chunks "a b c" | "d e f" | "g" (short tail)
+        (0, "a b c d e f g"),
+        # doc 1: repeats doc 0's first chunk, then a new one
+        (1, "a b c x y z"),
+        # doc 2: intra-doc repeat — "x y z" twice; first copy is a
+        # later sighting of doc 1's chunk, so BOTH drop
+        (2, "x y z x y z"),
+        # doc 3: nothing but seen chunks → clean_text = ''
+        (3, "a b c d e f"),
+        # doc 4: fresh text, keeps everything
+        (4, "p q r s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+        for r in text.chunk_dedup_rewrite(docs, k=3).collect()
+    }
+    assert got == {
+        0: (3, 3, "a b c d e f g"),
+        1: (2, 1, "x y z"),
+        2: (2, 0, ""),
+        3: (2, 0, ""),
+        4: (2, 2, "p q r s"),
+    }
+
+
 def test_simhash_close_on_identical_text(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta"),
