@@ -38,13 +38,15 @@ from hcdc_spark.registry import Registry
 # rounds 5 and 6 carried); (c) the oldest r4-dated rows, 20 of 39
 # (the judge-named c06/c07/c08/c17 +
 # q03/q07/q08/q47/q48/q11/q44/q49/q16/q21/q22 first, then
-# q28/q41/q51/q54); (d) q94 (NEW: the C4-style duplicate-chunk
+# q28/q41/q51); (d) q94 (NEW: the C4-style duplicate-chunk
 # REWRITE pass — q90 ranks repeated spans, q94 removes them and
-# reassembles the documents), whose slot came from q55; (e) the
+# reassembles the documents) and q95 (NEW: corpus-learned
+# vocabulary + per-doc OOV scoring, the learn-then-broadcast
+# pattern), whose slots came from q55 and q54; (e) the
 # regression spine, including c01 so
-# the relational-fold oracle family keeps a live tripwire. The 20
-# r4-dated queries left outside (q55-q58, q61, q62, q74-q85, q87,
-# q88 — analytics_ext + nine whose slots funded the new-query and
+# the relational-fold oracle family keeps a live tripwire. The 21
+# r4-dated queries left outside (q54-q58, q61, q62, q74-q85, q87,
+# q88 — analytics_ext + ten whose slots funded the new-query and
 # c02-c04 verification) keep their r4
 # rows, satisfying the round-7 bar of "no oracle-bearing query's
 # latest green older than r4"; all other round-6 greens stay
@@ -103,8 +105,8 @@ _FIRST_50: tuple[str, ...] = (
     "q28_jaccard_pairs",
     "q41_binary_listing",
     "q51_approx_distinct",
-    "q54_hash_split",
     "q94_chunk_dedup_rewrite",
+    "q95_vocab_oov",
     # E: regression spine (one tripwire per family; c01 carries the
     # relational-fold oracle family)
     "q01_pricing_summary",

@@ -997,6 +997,73 @@ def chunk_dedup_rewrite(
     )
 
 
+#: Learned-vocabulary size for q95 — deliberately SMALLER than this
+#: corpus's 31-word vocabulary so OOV is a real, varying signal.
+VOCAB_TOP_V = 16
+
+
+@REG.add(
+    "q95_vocab_oov",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_W}) AS w FROM documents
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM tok
+        GROUP BY w ORDER BY c DESC, w LIMIT {VOCAB_TOP_V}
+      )
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (w)
+    GROUP BY doc_id
+    """,
+    doc=f"Corpus-learned vocabulary + per-document OOV scoring — the "
+    "learn-then-broadcast pattern no other registry entry exercises: "
+    "pass 1 derives a model artifact from the whole corpus (the top-"
+    f"{VOCAB_TOP_V} words by frequency, ties broken on the word so "
+    "the learned vocab is deterministic across engines and cluster "
+    "sizes), pass 2 applies it back to every token to score each "
+    "document's out-of-vocabulary rate — the standard cheap proxy "
+    "for 'will my tokenizer shred this document'. Plan shape: one "
+    "token-count shuffle learns the vocab, TakeOrdered pulls the "
+    f"{VOCAB_TOP_V}-row artifact, and the apply side is a BROADCAST "
+    "left join (the artifact is O(V), never the corpus) feeding one "
+    "groupBy on doc_id. At 100 TB the token groupBy is the classic "
+    "wordcount shuffle and the artifact stays driver-size; the only "
+    "float is one int/int IEEE division, bit-identical in DuckDB. "
+    "Extends the reference's analytic surface per the pipeline "
+    "mandate (no vocab op exists there).",
+    tags=("text", "pipeline"),
+)
+def q95_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = docs.select("doc_id", F.explode(words("text")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(VOCAB_TOP_V)
+        .select("w", F.lit(1).alias("_iv"))
+    )
+    oov = F.when(F.col("_iv").isNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            (
+                F.sum(oov).cast("double") / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )
+
+
 # -------------------------------------- deterministic weighted sample
 
 

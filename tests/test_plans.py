@@ -321,6 +321,33 @@ def test_q94_rewrite_drops_later_occurrences_only(spark, sf_dir):
         df.unpersist()
 
 
+def test_q95_vocab_applies_as_broadcast_join(spark, sf_dir):
+    """The learned vocabulary is an O(V) artifact — applying it back to
+    the token stream must be a BroadcastHashJoin (a shuffle join here
+    would re-shuffle the whole corpus against a 16-row table); the
+    vocab build itself is one wordcount exchange + TakeOrdered, and
+    the scoring one groupBy exchange."""
+    from hcdc_spark.operators import text
+
+    df = text.q95_vocab_oov(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "broadcasthashjoin" in p.lower().replace(" ", "")
+    assert "sortmergejoin" not in p.lower().replace(" ", "")
+    assert "pythonudf" not in p.lower()
+
+
+def test_q95_oov_counts_rare_words(spark, sf_dir):
+    """The top-16 vocab excludes this corpus's rare tail, so some doc
+    must report a nonzero OOV rate, and every rate is n_oov/n_tokens."""
+    from hcdc_spark.operators import text
+
+    rows = text.q95_vocab_oov(spark, sf_dir).collect()
+    assert any(r["n_oov"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-15
+
+
 def test_q76_chunking_shuffle_free(spark, sf_dir):
     """Chunking is a scan-side explode: zero exchanges, no UDFs."""
     from hcdc_spark.operators import text

@@ -29,6 +29,7 @@ CHANGED_THIS_ROUND = {
     "q92_embedding_neardup_md5",
     "q93_ivf_ann_fixed",
     "q94_chunk_dedup_rewrite",
+    "q95_vocab_oov",
     "c19_stream_doc_dedup",
     # the relational-fold oracle SQL was reworked (trajectory-based
     # state synthesis + shared TRUNCATE-clamp CTE, re-creation epochs
@@ -130,12 +131,12 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 116
+    assert len(qs) >= 117
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 7: q89 (md5 LSH ANN twin), q90 (chunk dedup), q91 (md5
     # simhash twin), q92 (md5 embedding-neardup twin), q93
-    # (fixed-centroid IVF twin), q94 (chunk-dedup rewrite pass) and
-    # c19 (streaming content dedup) join the oracle-bearing set,
-    # q43's r6 oracle counted — 111/116
-    assert len(oracles) >= 111
+    # (fixed-centroid IVF twin), q94 (chunk-dedup rewrite pass),
+    # q95 (learned vocab + OOV) and c19 (streaming content dedup)
+    # join the oracle-bearing set, q43's r6 oracle counted — 112/117
+    assert len(oracles) >= 112
