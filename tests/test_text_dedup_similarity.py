@@ -91,6 +91,46 @@ def test_chunk_dedup_rewrite_keep_first_on_synthetic_corpus(spark):
     }
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_chunk_dedup_rewrite_matches_python_fold(spark, seed):
+    """Generated corpora over a 5-word alphabet (collisions everywhere)
+    vs an independent pure-Python keep-first fold — pins global
+    first-site selection, per-doc reassembly order, and counts."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 13))))
+        for i in range(40)
+    ]
+    k = 2
+
+    first: dict[str, tuple[int, int]] = {}
+    for doc_id, txt in rows:  # rows are doc_id-ordered: global scan
+        w = txt.split(" ")
+        for idx in range(0, (len(w) - 1) // k + 1):
+            chunk = " ".join(w[idx * k:idx * k + k])
+            first.setdefault(chunk, (doc_id, idx))
+    want = {}
+    for doc_id, txt in rows:
+        w = txt.split(" ")
+        kept = []
+        n = (len(w) - 1) // k + 1
+        for idx in range(n):
+            chunk = " ".join(w[idx * k:idx * k + k])
+            if first[chunk] == (doc_id, idx):
+                kept.append(chunk)
+        want[doc_id] = (n, len(kept), " ".join(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+        for r in text.chunk_dedup_rewrite(docs, k=k).collect()
+    }
+    assert got == want
+
+
 def test_simhash_close_on_identical_text(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta"),
