@@ -30,6 +30,7 @@ QUERIES = (
     "q91_simhash_md5",
     "q92_embedding_neardup_md5",
     "q94_chunk_dedup_rewrite",
+    "q95_vocab_oov",
     "q68_semantic_dedup",
 )
 SF_DIRS = {"sf0.1": "/root/testdata/sf0.1",
