@@ -412,24 +412,29 @@ def simhash(docs: DataFrame, n_bits: int = N_SIMHASH_BITS) -> DataFrame:
     return agg.select("doc_id", packed.alias("simhash"))
 
 
-@REG.add(
-    "q38_simhash_neardup",
-    None,
-    doc="SimHash(32-bit) near-dup pairs, multi-band probing: 4×8-bit "
-    "band keys, a pair is a candidate when ANY band matches "
-    "(pigeonhole: hamming ≤ 3 ⇒ guaranteed candidate; ≤ 6 covered "
-    "with high probability — a single top-16 bucket probe misses any "
-    "near-dup differing in one high bit), then hamming ≤ 6 verify "
-    "(bit_count of xor). Candidate pairs dedup on ids BEFORE the "
-    "verify so no band multiplicity survives the shuffle — the same "
-    "bucket-join shape as q29/q52. Rows-only; recall and band gates "
-    "in tests/test_text_dedup_similarity.py.",
-    tags=("dedup", "simhash"),
-)
-def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sh = simhash(docs)
-    bands = sh.select(
+def _simhash_neardup_pairs(sh: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """(doc_id, simhash) → (doc_a, doc_b, hamming) near-dup pairs via
+    4×8-bit pigeonhole banding (any band matches ⇒ candidate; hamming
+    ≤ 3 guaranteed, ≤ 6 with high probability), hamming verified with
+    bit_count(xor).
+
+    Collapse-first, exactly like :func:`_collapse_verify_expand` but
+    applied to the SKETCH: identical simhashes group to one
+    representative BEFORE banding, so the band join runs over DISTINCT
+    simhash values only — on a near-dup-saturated corpus that is the
+    difference between joining O(docs) and O(distinct sketches) rows.
+    Same-sketch doc pairs re-emit directly as hamming-0 (an identical
+    simhash shares every band by construction, so this reproduces the
+    doc-level join's output bit-for-bit); verified cross-sketch rep
+    pairs expand back through two membership joins. Candidate rep
+    pairs dedup on bare ids BEFORE the verify so no band multiplicity
+    survives the shuffle — the q29/q52 bucket-join shape."""
+    grp = sh.groupBy("simhash").agg(
+        F.min("doc_id").alias("rep"),
+        F.collect_list("doc_id").alias("members"),
+    ).localCheckpoint(eager=True)
+    reps = grp.select(F.col("rep").alias("doc_id"), "simhash")
+    bands = reps.select(
         "doc_id",
         "simhash",
         F.posexplode(
@@ -442,31 +447,69 @@ def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_idx", "band_val"),
     )
     a = bands.select(
-        F.col("doc_id").alias("doc_a"),
+        F.col("doc_id").alias("rep_a"),
         F.col("simhash").alias("sh_a"),
         "band_idx",
         "band_val",
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"),
+        F.col("doc_id").alias("rep_b"),
         F.col("simhash").alias("sh_b"),
         "band_idx",
         "band_val",
     )
     cand = (
         a.join(b, ["band_idx", "band_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", "sh_a", "sh_b")
         .distinct()  # any-band match counted once
     )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+    ver = cand.withColumn(
+        "hamming",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+    ).where(F.col("hamming") <= max_hamming)
+    mem = grp.select("rep", F.explode("members").alias("doc"))
+    intra = (
+        mem.alias("x")
+        .join(mem.alias("y"), "rep")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
         )
-        .where(F.col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
     )
+    ma = mem.select(F.col("rep").alias("rep_a"), F.col("doc").alias("da"))
+    mb = mem.select(F.col("rep").alias("rep_b"), F.col("doc").alias("db"))
+    cross = (
+        ver.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(cross)
+
+
+@REG.add(
+    "q38_simhash_neardup",
+    None,
+    doc="SimHash(32-bit) near-dup pairs, multi-band probing: 4×8-bit "
+    "band keys, a pair is a candidate when ANY band matches "
+    "(pigeonhole: hamming ≤ 3 ⇒ guaranteed candidate; ≤ 6 covered "
+    "with high probability — a single top-16 bucket probe misses any "
+    "near-dup differing in one high bit), then hamming ≤ 6 verify "
+    "(bit_count of xor). Collapse-first: identical sketches group to "
+    "a representative before banding (_simhash_neardup_pairs), so "
+    "the band join sees distinct simhash values only. Rows-only; "
+    "recall and band gates in tests/test_text_dedup_similarity.py.",
+    tags=("dedup", "simhash"),
+)
+def q38_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return _simhash_neardup_pairs(simhash(docs))
 
 
 # ------------------------------------------- SimHash, oracle-checkable
@@ -522,8 +565,11 @@ def _q91_oracle() -> str:
     "hamming<=6 verify via bit_count(xor) — re-derives in DuckDB SQL "
     "and the banding itself is hash-checked. Same scale shape as q38: "
     "one explode+groupBy for signatures (32 conditional sums, all "
-    "JVM-side), candidates shuffle on the (band, value) key and dedup "
-    "on bare ids before the verify. xxhash64 stays the production "
+    "JVM-side), then the shared collapse-first tail "
+    "(_simhash_neardup_pairs): identical sketches collapse to a "
+    "representative, the band join runs over distinct simhash values "
+    "and dedups on bare ids before the verify, members expand back at "
+    "the end. xxhash64 stays the production "
     "default (no string materialization per token).",
     tags=("dedup", "simhash"),
 )
@@ -551,46 +597,7 @@ def q91_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         packed = term if packed is None else packed + term
     sh = agg.select("doc_id", packed.alias("simhash"))
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255))
-                    for i in range(4)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    ).withColumn("band_idx", F.col("band_idx").cast("long"))
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sh_a"),
-        "band_idx",
-        "band_val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sh_b"),
-        "band_idx",
-        "band_val",
-    )
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast(
-                "long"
-            ),
-        )
-        .where(F.col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return _simhash_neardup_pairs(sh)
 
 
 @REG.add(
