@@ -59,7 +59,19 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     generated only for documents that SHARE a token (explode tokens,
     self-join on token, count shared), linear in corpus + shared-token
     pairs, never the cross product. One implementation, two callers:
-    q28 (top pairs) and q58 (cluster edges) previously duplicated it."""
+    q28 (top pairs) and q58 (cluster edges) previously duplicated it.
+
+    The token-join output is size-ratio-prefiltered BEFORE the
+    per-pair aggregate: J >= t implies min(n)/max(n) >= t, so join
+    rows whose set sizes already rule the pair out never enter the
+    groupBy shuffle — pure-win, the emitted pair set is unchanged.
+    (A collapse-first variant — route one representative per distinct
+    (lang, word-set) through the join and expand members after, like
+    the minhash/simhash families — was measured and REJECTED: the
+    sketch families collapse a cheap fixed-width hash, but here the
+    group key is the full word-set ARRAY, and shuffling those arrays
+    cost more at sf1.0 than the duplicate token-join rows they
+    remove.)"""
     t = docs.select(
         "doc_id", "lang", distinct_words("text").alias("ws")
     ).withColumn("n_words", F.size("ws").cast("long"))
@@ -83,6 +95,10 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .where(
             (F.col("lang_a") == F.col("lang_b"))
             & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("n_a", "n_b").cast("double")
+                >= F.lit(threshold) * F.greatest("n_a", "n_b")
+            )
         )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))

@@ -272,6 +272,28 @@ def test_q90_chunk_dedup_single_logical_shuffle(spark, sf_dir):
     assert I.count_exchanges(df) <= 2
 
 
+def test_q28_jaccard_size_ratio_prefilter_before_pair_agg(spark, sf_dir):
+    """The inverted-index token join must apply the size-ratio bound
+    (J >= t implies min(n)/max(n) >= t, spelled least/greatest) as part
+    of the join stage — BEFORE the per-pair groupBy — so ruled-out
+    pairs never enter the pair-count shuffle. And the pair generation
+    must stay an equi-join on the token, never a cartesian."""
+    from hcdc_spark.operators import dedup
+
+    df = dedup.q28_jaccard_pairs(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert not I.has_cartesian(df)
+    assert "pythonudf" not in p.lower()
+    join_lines = [
+        ln for ln in p.splitlines() if "Join [" in ln or "Join (" in ln
+    ]
+    assert join_lines, "token equi-join missing from the plan"
+    assert any("least(" in ln and "greatest(" in ln for ln in join_lines), (
+        "size-ratio bound is not part of the join condition — ruled-out "
+        "pairs would enter the pair-count shuffle"
+    )
+
+
 def test_q94_rewrite_two_shuffles_no_join(spark, sf_dir):
     """The rewrite pass must decide keep/drop with ONE window exchange
     on the chunk hash (not a groupBy+self-join round-trip, which would

@@ -30,6 +30,11 @@ CHANGED_THIS_ROUND = {
     "q93_ivf_ann_fixed",
     "q94_chunk_dedup_rewrite",
     "q95_vocab_oov",
+    # q28's token join gained the size-ratio prefilter inside the join
+    # condition (output-identical by construction, but changed code
+    # re-verifies; q58 shares the exact_jaccard_pairs helper and is
+    # r4-green on the unchanged semantics)
+    "q28_jaccard_pairs",
     "c19_stream_doc_dedup",
     # the relational-fold oracle SQL was reworked (trajectory-based
     # state synthesis + shared TRUNCATE-clamp CTE, re-creation epochs
