@@ -38,16 +38,18 @@ from hcdc_spark.registry import Registry
 # rounds 5 and 6 carried); (c) the oldest r4-dated rows, 20 of 39
 # (the judge-named c06/c07/c08/c17 +
 # q03/q07/q08/q47/q48/q11/q44/q49/q16/q21/q22 first, then
-# q28/q41/q51); (d) q94 (NEW: the C4-style duplicate-chunk
+# q28/q51); (d) q94 (NEW: the C4-style duplicate-chunk
 # REWRITE pass — q90 ranks repeated spans, q94 removes them and
-# reassembles the documents) and q95 (NEW: corpus-learned
+# reassembles the documents), q95 (NEW: corpus-learned
 # vocabulary + per-doc OOV scoring, the learn-then-broadcast
-# pattern), whose slots came from q55 and q54; (e) the
+# pattern) and q96 (NEW: corpus-duplicated bigram fraction, the
+# Gopher-style sliding-n-gram dedup signal), whose slots came
+# from q55, q54 and q41; (e) the
 # regression spine, including c01 so
-# the relational-fold oracle family keeps a live tripwire. The 21
-# r4-dated queries left outside (q54-q58, q61, q62, q74-q85, q87,
-# q88 — analytics_ext + ten whose slots funded the new-query and
-# c02-c04 verification) keep their r4
+# the relational-fold oracle family keeps a live tripwire. The 22
+# r4-dated queries left outside (q41, q54-q58, q61, q62, q74-q85,
+# q87, q88 — analytics_ext + eleven whose slots funded the new-query
+# and c02-c04 verification) keep their r4
 # rows, satisfying the round-7 bar of "no oracle-bearing query's
 # latest green older than r4"; all other round-6 greens stay
 # r6-dated. The five xxhash64-based LSH queries
@@ -103,8 +105,8 @@ _FIRST_50: tuple[str, ...] = (
     "q21_hash_functions",
     "q22_explode_wordcount",
     "q28_jaccard_pairs",
-    "q41_binary_listing",
     "q51_approx_distinct",
+    "q96_bigram_dup_rate",
     "q94_chunk_dedup_rewrite",
     "q95_vocab_oov",
     # E: regression spine (one tripwire per family; c01 carries the

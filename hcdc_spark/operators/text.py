@@ -1064,6 +1064,96 @@ def q95_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "q96_bigram_dup_rate",
+    f"""
+    WITH ws AS (
+      SELECT doc_id, {_W} AS w FROM documents
+    ), big AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM ws, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ), cd AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS cd
+      FROM big GROUP BY doc_id, w1, w2
+    ), flagged AS (
+      SELECT doc_id, cd,
+             SUM(cd) OVER (PARTITION BY w1, w2) AS c
+      FROM cd
+    )
+    SELECT doc_id,
+           CAST(SUM(cd) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c > cd THEN cd ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN c > cd THEN cd ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cd) AS BIGINT) AS dup_rate
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="Per-document corpus-duplicated BIGRAM fraction — the "
+    "Gopher-style sliding-n-gram dedup quality signal, complementary "
+    "to the chunk passes: q90/q94 key on NON-OVERLAPPING 10-word "
+    "chunks (miss duplication at any offset shift), q56 measures "
+    "repetition WITHIN one document; this scores each document by "
+    "how much of its sliding bigram stream also occurs ELSEWHERE in "
+    "the corpus (a bigram occurrence counts as duplicated when the "
+    "corpus-wide count of that bigram exceeds the document's own "
+    "count — boilerplate- and template-heavy documents score near "
+    "1.0, fresh text near the language's background rate). "
+    "Determinism: integer counts end-to-end with ONE final int/int "
+    "IEEE division, bit-identical in DuckDB. Plan shape, three "
+    "exchanges: the per-(doc, bigram) count groupBy partially "
+    "aggregates map-side (doc_id in the key spreads hot bigrams "
+    "across reducers), one window shuffle on the bigram key computes "
+    "corpus totals over the already-collapsed (doc, bigram) rows — "
+    "each row is a pair of small ints, and a groupBy+join "
+    "formulation that could skew-split would pay a FOURTH exchange "
+    "to co-locate — then one groupBy on doc_id. Docs with fewer "
+    "than two tokens have no bigram stream and are excluded in both "
+    "engines. Extends the reference's analytic surface per the "
+    "pipeline mandate (no n-gram operator exists there).",
+    tags=("text", "dedup", "pipeline"),
+)
+def q96_bigram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return bigram_dup_rate(docs)
+
+
+def bigram_dup_rate(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_bigrams, n_dup, dup_rate) under the
+    corpus-duplicated-bigram policy documented on q96."""
+    from pyspark.sql import Window
+
+    big = (
+        docs.select("doc_id", words("text").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS w1, "
+                    "element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    cd = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cd")
+    )
+    flagged = cd.withColumn(
+        "c", F.sum("cd").over(Window.partitionBy("w1", "w2"))
+    )
+    dup = F.when(F.col("c") > F.col("cd"), F.col("cd")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("cd").cast("long").alias("n_bigrams"),
+        F.sum(dup).cast("long").alias("n_dup"),
+        (F.sum(dup).cast("double") / F.sum("cd")).alias("dup_rate"),
+    )
+
+
 # -------------------------------------- deterministic weighted sample
 
 

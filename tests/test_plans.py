@@ -272,6 +272,21 @@ def test_q90_chunk_dedup_single_logical_shuffle(spark, sf_dir):
     assert I.count_exchanges(df) <= 2
 
 
+def test_q96_bigram_dup_rate_three_shuffles_no_join(spark, sf_dir):
+    """Corpus-duplicated bigram fraction: per-(doc, bigram) counts
+    partially aggregate map-side [exchange 1], corpus totals come from
+    ONE window on the bigram key over the already-collapsed rows
+    [exchange 2] — never a groupBy+self-join round-trip — and the
+    per-doc regroup is exchange 3. No join operator, no Python UDF."""
+    from hcdc_spark.operators import text
+
+    df = text.q96_bigram_dup_rate(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "pythonudf" not in p.lower()
+    assert "join" not in p.lower()
+    assert I.count_exchanges(df) == 3
+
+
 def test_q28_jaccard_size_ratio_prefilter_before_pair_agg(spark, sf_dir):
     """The inverted-index token join must apply the size-ratio bound
     (J >= t implies min(n)/max(n) >= t, spelled least/greatest) as part

@@ -30,6 +30,7 @@ CHANGED_THIS_ROUND = {
     "q93_ivf_ann_fixed",
     "q94_chunk_dedup_rewrite",
     "q95_vocab_oov",
+    "q96_bigram_dup_rate",
     # q28's token join gained the size-ratio prefilter inside the join
     # condition (output-identical by construction, but changed code
     # re-verifies; q58 shares the exact_jaccard_pairs helper and is
@@ -136,12 +137,13 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 117
+    assert len(qs) >= 118
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 7: q89 (md5 LSH ANN twin), q90 (chunk dedup), q91 (md5
     # simhash twin), q92 (md5 embedding-neardup twin), q93
     # (fixed-centroid IVF twin), q94 (chunk-dedup rewrite pass),
-    # q95 (learned vocab + OOV) and c19 (streaming content dedup)
-    # join the oracle-bearing set, q43's r6 oracle counted — 112/117
-    assert len(oracles) >= 112
+    # q95 (learned vocab + OOV), q96 (corpus-duplicated bigram
+    # fraction) and c19 (streaming content dedup) join the
+    # oracle-bearing set, q43's r6 oracle counted — 113/118
+    assert len(oracles) >= 113

@@ -59,6 +59,38 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
         assert pair[0] < pair[1]
 
 
+def test_bigram_dup_rate_on_synthetic_corpus(spark):
+    """Handcrafted corpus: a bigram occurrence is 'duplicated' iff the
+    corpus count of that bigram exceeds the document's own count —
+    repeats confined to ONE doc don't flag it, any cross-doc sharing
+    flags every copy in every doc, and sub-2-token docs are excluded."""
+    rows = [
+        # doc 0: bigrams (a,b) (b,c) — (a,b) also in doc 1
+        (0, "a b c"),
+        # doc 1: (a,b) (b,d) — shares (a,b) with doc 0
+        (1, "a b d"),
+        # doc 2: (x,y) (y,x) (x,y) — intra-doc repeat only, c == cd
+        (2, "x y x y"),
+        # doc 3: one token → no bigrams → excluded
+        (3, "solo"),
+        # doc 4: fully fresh
+        (4, "p q r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from hcdc_spark.operators.text import bigram_dup_rate
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_dup"], r["dup_rate"])
+        for r in bigram_dup_rate(docs).collect()
+    }
+    assert got == {
+        0: (2, 1, 0.5),
+        1: (2, 1, 0.5),
+        2: (3, 0, 0.0),
+        4: (2, 0, 0.0),
+    }
+
+
 def test_chunk_dedup_rewrite_keep_first_on_synthetic_corpus(spark):
     """Handcrafted corpus, k=3: cross-doc repeats drop at the later
     site, intra-doc repeats keep only the first copy, a doc made
