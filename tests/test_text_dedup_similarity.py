@@ -163,6 +163,48 @@ def test_chunk_dedup_rewrite_matches_python_fold(spark, seed):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_bigram_dup_rate_matches_python_fold(spark, seed):
+    """Generated corpora over a 4-word alphabet (cross-doc bigram
+    collisions everywhere) vs an independent pure-Python fold of the
+    'corpus count exceeds own count' rule — pins the per-doc counts,
+    the exclusion of sub-2-token docs, and the rate division."""
+    import collections
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9))))
+        for i in range(30)
+    ]
+
+    corpus: collections.Counter = collections.Counter()
+    per_doc: dict[int, collections.Counter] = {}
+    for doc_id, txt in rows:
+        w = txt.split(" ")
+        cnt = collections.Counter(zip(w, w[1:]))
+        per_doc[doc_id] = cnt
+        corpus.update(cnt)
+    want = {}
+    for doc_id, txt in rows:
+        cnt = per_doc[doc_id]
+        n = sum(cnt.values())
+        if n == 0:
+            continue  # sub-2-token doc: excluded
+        dup = sum(c for b, c in cnt.items() if corpus[b] > c)
+        want[doc_id] = (n, dup, dup / n)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from hcdc_spark.operators.text import bigram_dup_rate
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_dup"], r["dup_rate"])
+        for r in bigram_dup_rate(docs).collect()
+    }
+    assert got == want
+
+
 def test_simhash_close_on_identical_text(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta"),
