@@ -42,14 +42,15 @@ from hcdc_spark.registry import Registry
 # REWRITE pass — q90 ranks repeated spans, q94 removes them and
 # reassembles the documents), q95 (NEW: corpus-learned
 # vocabulary + per-doc OOV scoring, the learn-then-broadcast
-# pattern) and q96 (NEW: corpus-duplicated bigram fraction, the
-# Gopher-style sliding-n-gram dedup signal), whose slots came
-# from q55, q54 and q41; (e) the
+# pattern), q96 (NEW: corpus-duplicated bigram fraction, the
+# Gopher-style sliding-n-gram dedup signal) and q97 (NEW:
+# product-quantization ANN with ADC ranking), whose slots came
+# from q55, q54, q41 and q51; (e) the
 # regression spine, including c01 so
-# the relational-fold oracle family keeps a live tripwire. The 22
-# r4-dated queries left outside (q41, q54-q58, q61, q62, q74-q85,
-# q87, q88 — analytics_ext + eleven whose slots funded the new-query
-# and c02-c04 verification) keep their r4
+# the relational-fold oracle family keeps a live tripwire. The 23
+# r4-dated queries left outside (q41, q51, q54-q58, q61, q62,
+# q74-q85, q87, q88 — analytics_ext + twelve whose slots funded the
+# new-query and c02-c04 verification) keep their r4
 # rows, satisfying the round-7 bar of "no oracle-bearing query's
 # latest green older than r4"; all other round-6 greens stay
 # r6-dated. The five xxhash64-based LSH queries
@@ -105,8 +106,8 @@ _FIRST_50: tuple[str, ...] = (
     "q21_hash_functions",
     "q22_explode_wordcount",
     "q28_jaccard_pairs",
-    "q51_approx_distinct",
     "q96_bigram_dup_rate",
+    "q97_pq_ann_adc",
     "q94_chunk_dedup_rewrite",
     "q95_vocab_oov",
     # E: regression spine (one tripwire per family; c01 carries the

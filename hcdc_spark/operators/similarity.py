@@ -951,3 +951,141 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(dropped, a["vec_id"] == dropped["hi"], "left").select(
         "vec_id", "cell", F.col("hi").isNull().alias("kept")
     )
+
+
+# ------------------------------------------------- product quantization
+
+PQ_M = 8        # subvectors per embedding
+PQ_SUBDIM = 8   # dims per subvector (PQ_M * PQ_SUBDIM == EMB_DIM)
+PQ_K = 16       # codewords per subvector
+
+
+def _pq_subvectors(df: DataFrame, vcol: str = "v") -> DataFrame:
+    """Explode a (…, v: array<double>) frame into one row per
+    (…, j, sv) subvector — a pure map-side array slice."""
+    return df.select(
+        *[c for c in df.columns if c != vcol],
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"j -> slice({vcol}, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM}))"
+            )
+        ).alias("j", "sv"),
+    )
+
+
+def _q97_oracle() -> str:
+    dsum = " + ".join(f"d{j}" for j in range(PQ_M))
+    pivs = ",\n             ".join(
+        f"MAX(CASE WHEN w.j = {j} THEN l.ld END) AS d{j}"
+        for j in range(PQ_M)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), js AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS j),
+    sub AS (
+      SELECT vec_id, label, j,
+             v[j * {PQ_SUBDIM} + 1 : j * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+      FROM e CROSS JOIN js
+    ), cb AS (
+      SELECT vec_id AS cid, v FROM e
+      WHERE vec_id % 5 = 2 ORDER BY vec_id LIMIT {PQ_K}
+    ), cbsub AS (
+      SELECT cid, j,
+             v[j * {PQ_SUBDIM} + 1 : j * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cv
+      FROM cb CROSS JOIN js
+    ), scored AS (
+      SELECT t.vec_id, t.label, t.j, c.cid,
+             list_dot_product(t.sv, c.cv) AS s
+      FROM sub t JOIN cbsub c USING (j)
+    ), codes AS (
+      SELECT vec_id, label, j, cid
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                        ORDER BY s DESC, cid) AS rn FROM scored)
+      WHERE rn = 1
+    ), lut AS (
+      SELECT j, cid, s AS ld FROM scored WHERE vec_id = 0
+    ), piv AS (
+      SELECT w.vec_id, w.label,
+             {pivs}
+      FROM codes w JOIN lut l USING (j, cid)
+      GROUP BY w.vec_id, w.label
+    )
+    SELECT vec_id, label, {dsum} AS adc_sim
+    FROM piv WHERE vec_id <> 0
+    ORDER BY adc_sim DESC, vec_id LIMIT 10
+    """
+
+
+@REG.add(
+    "q97_pq_ann_adc",
+    _q97_oracle(),
+    doc="Product-quantization ANN with asymmetric distance computation "
+    "(PQ/ADC, the FAISS-style scale path; inner-product variant so "
+    "every float op is the q34-proven bit-identical dot product). "
+    f"Encode: each 64-dim vector splits into {PQ_M} subvectors of "
+    f"{PQ_SUBDIM} dims; a FIXED deterministic codebook ({PQ_K} data "
+    "rows picked by vec_id % 5 = 2, smallest first, sliced the same "
+    "way) assigns each subvector its argmax-dot codeword with an "
+    "explicit (s DESC, cid) tiebreak — one narrow window shuffle on "
+    "(vec_id, j), the one-time index-build cost. Query: the ADC "
+    f"lookup table ({PQ_M}x{PQ_K} query-to-codeword dots) joins the "
+    "CODES only — the scan that matters at 100 TB touches M one-byte "
+    "codes per vector plus a broadcast 128-row LUT, never the 64 "
+    "floats — and the approximate similarity is the fixed-order sum "
+    "d0+..+d7 of pivoted per-subvector columns (deterministic across "
+    "engines where a float SUM over rows is not). Top-10 by adc_sim "
+    "with vec_id tiebreak via TakeOrdered. Assignment, LUT and ADC "
+    "ranking all hash-check against DuckDB. Extends the reference's "
+    "analytic surface per the pipeline mandate (no quantized-ANN op "
+    "exists there); complements q93 (IVF cells) and q64 (int8 "
+    "scalar quantization).",
+    tags=("similarity", "pq"),
+)
+def q97_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = emb.select("vec_id", "label", _emb().alias("v"))
+    sub = _pq_subvectors(e)
+    cb = (
+        e.where(F.col("vec_id") % 5 == 2)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cid"), "v")
+    )
+    cbsub = _pq_subvectors(cb).select("cid", "j", F.col("sv").alias("cv"))
+    scored = sub.join(F.broadcast(cbsub), "j").select(
+        "vec_id",
+        "label",
+        "j",
+        "cid",
+        _dot(F.col("sv"), F.col("cv")).alias("s"),
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy(F.col("s").desc(), "cid")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "j", "cid")
+    )
+    lut = scored.where(F.col("vec_id") == 0).select(
+        "j", "cid", F.col("s").alias("ld")
+    )
+    wd = codes.join(F.broadcast(lut), ["j", "cid"])
+    piv = wd.groupBy("vec_id", "label").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("ld"))).alias(f"d{j}")
+            for j in range(PQ_M)
+        ]
+    )
+    adc = F.col("d0")
+    for j in range(1, PQ_M):
+        adc = adc + F.col(f"d{j}")
+    return (
+        piv.where(F.col("vec_id") != 0)
+        .select("vec_id", "label", adc.alias("adc_sim"))
+        .orderBy(F.col("adc_sim").desc(), "vec_id")
+        .limit(10)
+    )

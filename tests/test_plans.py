@@ -272,6 +272,23 @@ def test_q90_chunk_dedup_single_logical_shuffle(spark, sf_dir):
     assert I.count_exchanges(df) <= 2
 
 
+def test_q97_pq_adc_broadcasts_codebook_and_lut(spark, sf_dir):
+    """PQ/ADC: the codebook (128 subvector rows) and the query LUT
+    (128 entries) must both BROADCAST into the scan side — a
+    sort-merge join on either would shuffle the full vector table for
+    an artifact that is O(M*K). Top-10 must be TakeOrdered, never a
+    global sort; no cartesian, no Python UDF."""
+    from hcdc_spark.operators import similarity
+
+    df = similarity.q97_pq_ann_adc(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert I.broadcast_join_count(df) >= 2
+    assert I.sortmerge_join_count(df) == 0
+    assert not I.has_cartesian(df)
+    assert "TakeOrdered" in p
+    assert "pythonudf" not in p.lower()
+
+
 def test_q96_bigram_dup_rate_three_shuffles_no_join(spark, sf_dir):
     """Corpus-duplicated bigram fraction: per-(doc, bigram) counts
     partially aggregate map-side [exchange 1], corpus totals come from

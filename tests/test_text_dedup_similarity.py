@@ -220,6 +220,27 @@ def test_simhash_close_on_identical_text(spark):
     assert ham13 < ham14, "near-dup should be closer than unrelated"
 
 
+def test_pq_adc_ranks_near_exact_knn(spark, sf_dir):
+    """PQ is lossy, but with 16 codewords per subvector on this corpus
+    the ADC ranking must still be a meaningful ANN: the ADC top-10
+    shares members with the exact cosine top-10 (recall floor 2/10 —
+    deliberately loose; exactness is the oracle's job), and every ADC
+    similarity is finite."""
+    import math as _m
+
+    from hcdc_spark.operators import similarity
+
+    adc = similarity.q97_pq_ann_adc(spark, sf_dir).collect()
+    assert len(adc) == 10
+    assert all(_m.isfinite(r["adc_sim"]) for r in adc)
+    exact = {
+        r["vec_id"]
+        for r in similarity.q34_knn_brute_force(spark, sf_dir).collect()
+    }
+    overlap = len(exact & {r["vec_id"] for r in adc})
+    assert overlap >= 2, f"ADC top-10 shares only {overlap} with exact"
+
+
 def test_ann_lsh_finds_true_neighbors(spark, sf_dir):
     """LSH bucket must contain a decent share of the brute-force top-10."""
     brute = {
