@@ -43,13 +43,15 @@ from hcdc_spark.registry import Registry
 # reassembles the documents), q95 (NEW: corpus-learned
 # vocabulary + per-doc OOV scoring, the learn-then-broadcast
 # pattern), q96 (NEW: corpus-duplicated bigram fraction, the
-# Gopher-style sliding-n-gram dedup signal) and q97 (NEW:
-# product-quantization ANN with ADC ranking), whose slots came
-# from q55, q54, q41 and q51; (e) the
+# Gopher-style sliding-n-gram dedup signal), q97 (NEW:
+# product-quantization ANN with ADC ranking) and q98 (NEW: the
+# composed ingest pipeline — gate, exact dedup, chunk rewrite,
+# per-lang rollup in ONE plan), whose slots came from q55, q54,
+# q41, q51 and q21; (e) the
 # regression spine, including c01 so
-# the relational-fold oracle family keeps a live tripwire. The 23
-# r4-dated queries left outside (q41, q51, q54-q58, q61, q62,
-# q74-q85, q87, q88 — analytics_ext + twelve whose slots funded the
+# the relational-fold oracle family keeps a live tripwire. The 24
+# r4-dated queries left outside (q21, q41, q51, q54-q58, q61, q62,
+# q74-q85, q87, q88 — analytics_ext + thirteen whose slots funded the
 # new-query and c02-c04 verification) keep their r4
 # rows, satisfying the round-7 bar of "no oracle-bearing query's
 # latest green older than r4"; all other round-6 greens stay
@@ -103,8 +105,8 @@ _FIRST_50: tuple[str, ...] = (
     "q44_grouping_sets",
     "q49_percentiles",
     "q16_set_ops",
-    "q21_hash_functions",
     "q22_explode_wordcount",
+    "q98_ingest_pipeline",
     "q28_jaccard_pairs",
     "q96_bigram_dup_rate",
     "q97_pq_ann_adc",

@@ -961,17 +961,25 @@ def q94_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunk_dedup_rewrite(
-    docs: DataFrame, k: int = DEDUP_CHUNK_WORDS
+    docs: DataFrame,
+    k: int = DEDUP_CHUNK_WORDS,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, text) → (doc_id, n_chunks, n_kept, clean_text) under the
-    keep-first corpus-dedup policy documented on q94."""
+    keep-first corpus-dedup policy documented on q94. ``carry`` names
+    extra per-document columns (e.g. lang) to thread through to the
+    output — doc_id is unique, so adding them to the regroup key
+    changes no group."""
     from pyspark.sql import Window
 
     chunks = (
-        docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        docs.select(
+            "doc_id", *carry, F.split(F.col("text"), " ").alias("w")
+        )
         .where(F.size("w") > 0)
         .select(
             "doc_id",
+            *carry,
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, CAST((size(w)-1) div {k} AS "
@@ -984,7 +992,7 @@ def chunk_dedup_rewrite(
     first = F.min(enc).over(Window.partitionBy(F.md5("txt")))
     flagged = chunks.withColumn("keep", enc == first)
     kept_struct = F.when(F.col("keep"), F.struct("idx", "txt"))
-    return flagged.groupBy("doc_id").agg(
+    return flagged.groupBy("doc_id", *carry).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
         F.concat_ws(
@@ -1151,6 +1159,107 @@ def bigram_dup_rate(docs: DataFrame) -> DataFrame:
         F.sum("cd").cast("long").alias("n_bigrams"),
         F.sum(dup).cast("long").alias("n_dup"),
         (F.sum(dup).cast("double") / F.sum("cd")).alias("dup_rate"),
+    )
+
+
+@REG.add(
+    "q98_ingest_pipeline",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE len({_W}) >= 5 AND {duck_in_set(STOPWORDS, _W)} >= 1
+    ), surv AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM gated)
+      WHERE keep
+    ), ws AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM surv
+    ), idxed AS (
+      SELECT doc_id, lang,
+             UNNEST(generate_series(
+               0, CAST((len(w) - 1) // {DEDUP_CHUNK_WORDS} AS INT))) AS idx,
+             w
+      FROM ws WHERE len(w) > 0
+    ), chunks AS (
+      SELECT doc_id, lang, idx,
+             array_to_string(
+               w[idx * {DEDUP_CHUNK_WORDS} + 1 :
+                 idx * {DEDUP_CHUNK_WORDS} + {DEDUP_CHUNK_WORDS}], ' ')
+               AS txt,
+             doc_id * 1000000 + idx AS enc
+      FROM idxed
+    ), flagged AS (
+      SELECT doc_id, lang, idx, txt,
+             enc = MIN(enc) OVER (PARTITION BY md5(txt)) AS keep
+      FROM chunks
+    ), rewritten AS (
+      SELECT doc_id, lang,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             COALESCE(string_agg(txt, ' ' ORDER BY idx)
+                        FILTER (WHERE keep), '') AS clean_text
+      FROM flagged
+      GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_kept) AS BIGINT) AS n_kept,
+           CAST(SUM(n_kept) AS DOUBLE) / CAST(SUM(n_chunks) AS BIGINT)
+             AS kept_rate,
+           CAST(SUM(LENGTH(clean_text)) AS BIGINT) AS clean_chars
+    FROM rewritten
+    GROUP BY lang
+    """,
+    doc="End-to-end training-ingest pipeline as ONE composed logical "
+    "plan — the user story the individual operators exist for: "
+    "(1) quality gate (integer predicates: >= 5 words and at least "
+    "one stopword, the q30 signals), (2) exact dedup (keep the "
+    "min-doc_id copy per md5(text) via one window — the q27 policy "
+    "as a row filter), (3) corpus chunk-dedup REWRITE (the q94 pass, "
+    "lang threaded through its regroup), (4) per-language rollup of "
+    "docs, chunks, kept chunks, kept_rate and surviving characters. "
+    "Catalyst fuses the gate into the scan and pipelines the two "
+    "windows and two groupBys into four exchanges total — no "
+    "materialization boundaries between stages, which is the point: "
+    "at 100 TB the intermediate 'cleaned corpus' never lands on "
+    "disk. Integer counts + one final int/int division keep the "
+    "DuckDB oracle exact. Extends the reference's surface per the "
+    "pipeline mandate (composition demo; stages individually "
+    "oracle-checked by q27/q30/q94).",
+    tags=("text", "dedup", "pipeline"),
+)
+def q98_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    nw = word_count("text")
+    stop = count_in_set("text", STOPWORDS)
+    gated = docs.where((nw >= 5) & (stop >= 1)).select(
+        "doc_id", "lang", "text"
+    )
+    keep = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5("text"))
+    )
+    surv = (
+        gated.withColumn("keep", keep)
+        .where("keep")
+        .select("doc_id", "lang", "text")
+    )
+    rew = chunk_dedup_rewrite(surv, carry=("lang",))
+    return rew.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").cast("long").alias("n_chunks"),
+        F.sum("n_kept").cast("long").alias("n_kept"),
+        (
+            F.sum("n_kept").cast("double") / F.sum("n_chunks")
+        ).alias("kept_rate"),
+        F.sum(F.length("clean_text").cast("long"))
+        .cast("long")
+        .alias("clean_chars"),
     )
 
 

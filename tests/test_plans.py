@@ -272,6 +272,21 @@ def test_q90_chunk_dedup_single_logical_shuffle(spark, sf_dir):
     assert I.count_exchanges(df) <= 2
 
 
+def test_q98_pipeline_fuses_to_four_exchanges(spark, sf_dir):
+    """The composed ingest pipeline (gate → exact-dedup window →
+    chunk-dedup window → doc regroup → lang rollup) must stay ONE
+    fused plan: exactly four exchanges, no join operator, no Python
+    UDF, and the quality gate's predicates evaluated at the scan
+    stage (no separate filter pass after a materialization)."""
+    from hcdc_spark.operators import text
+
+    df = text.q98_ingest_pipeline(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "pythonudf" not in p.lower()
+    assert "join" not in p.lower()
+    assert I.count_exchanges(df) == 4
+
+
 def test_q97_pq_adc_broadcasts_codebook_and_lut(spark, sf_dir):
     """PQ/ADC: the codebook (128 subvector rows) and the query LUT
     (128 entries) must both BROADCAST into the scan side — a

@@ -32,6 +32,7 @@ CHANGED_THIS_ROUND = {
     "q95_vocab_oov",
     "q96_bigram_dup_rate",
     "q97_pq_ann_adc",
+    "q98_ingest_pipeline",
     # q28's token join gained the size-ratio prefilter inside the join
     # condition (output-identical by construction, but changed code
     # re-verifies; q58 shares the exact_jaccard_pairs helper and is
@@ -138,14 +139,14 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 119
+    assert len(qs) >= 120
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 7: q89 (md5 LSH ANN twin), q90 (chunk dedup), q91 (md5
     # simhash twin), q92 (md5 embedding-neardup twin), q93
     # (fixed-centroid IVF twin), q94 (chunk-dedup rewrite pass),
     # q95 (learned vocab + OOV), q96 (corpus-duplicated bigram
-    # fraction), q97 (PQ ANN with ADC ranking) and c19 (streaming
-    # content dedup) join the oracle-bearing set, q43's r6 oracle
-    # counted — 114/119
-    assert len(oracles) >= 114
+    # fraction), q97 (PQ ANN with ADC ranking), q98 (composed
+    # ingest pipeline) and c19 (streaming content dedup) join the
+    # oracle-bearing set, q43's r6 oracle counted — 115/120
+    assert len(oracles) >= 115

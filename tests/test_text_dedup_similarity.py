@@ -123,6 +123,20 @@ def test_chunk_dedup_rewrite_keep_first_on_synthetic_corpus(spark):
     }
 
 
+def test_chunk_dedup_rewrite_carry_threads_columns(spark):
+    """The carry columns ride through the regroup unchanged (doc_id is
+    unique, so the group set is identical with or without them)."""
+    rows = [(0, "en", "a b c d"), (1, "fr", "a b c d"), (2, "en", "x y")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["lang"], r["n_chunks"], r["n_kept"])
+        for r in text.chunk_dedup_rewrite(
+            docs, k=2, carry=("lang",)
+        ).collect()
+    }
+    assert got == {0: ("en", 2, 2), 1: ("fr", 2, 0), 2: ("en", 1, 1)}
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_chunk_dedup_rewrite_matches_python_fold(spark, seed):
     """Generated corpora over a 5-word alphabet (collisions everywhere)
