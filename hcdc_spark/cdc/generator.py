@@ -23,6 +23,7 @@ def generate_events(
     with_duplicates: bool = True,
     with_anomalies: bool = False,
     with_recreates: bool = False,
+    with_subtree_recreates: bool = False,
 ) -> list[dict]:
     """``with_recreates`` adds DELETE→re-ADD lifetimes (file-level AND
     cascade-deleted inodes re-created after the directory ops) drawn
@@ -160,6 +161,7 @@ def generate_events(
 
     cascade_deleted: list[int] = []
     anomaly_inode: int | None = None
+    recreated: set[int] = set()
     if with_dir_ops and live_paths:
         # delete one whole directory (inode 900000+ = directory inodes)
         victim_dir = dirs[0]
@@ -222,6 +224,7 @@ def generate_events(
         for inode in sorted(pool):
             if rng2.random() >= 0.7:
                 continue
+            recreated.add(inode)
             path = f"/data/re/file_{inode}.parquet"
             blk_size = 1 << 20
             t, ts = nxt()
@@ -396,6 +399,87 @@ def generate_events(
                 tx_id=t, op=op, ts=ts, namespace=namespace, path=pc,
                 inode_id=777003, mode="New",
             ))
+
+    if with_subtree_recreates and with_dir_ops and cascade_deleted:
+        # OVERLAPPING directory-op subtrees: re-create cascade-deleted
+        # inodes back UNDER the deleted directory's path, DELETE that
+        # directory a SECOND time (the cascade lands on the epoch-2
+        # lifetimes), open a THIRD lifetime after it, and finally
+        # RENAME the same subtree away — the shapes the relational
+        # fold's cascade CHAIN exists for. Independent rng stream so
+        # every existing seed's log is untouched with the flag off.
+        rng3 = random.Random(seed * 104729 + 31)
+        victim_dir = dirs[0]
+        blk_size = 1 << 20
+        back = [
+            i for i in cascade_deleted
+            if i not in recreated and i != anomaly_inode
+            and rng3.random() < 0.6
+        ][:4]
+        for inode in back:
+            path = f"{victim_dir}/file_{inode}.parquet"
+            bsz = rng3.randint(1, blk_size)
+            b0 = {
+                "block_id": (block_counter := block_counter + 1),
+                "size": bsz, "block_size": blk_size,
+                "generation_stamp": 1, "start_offset": None,
+                "end_offset": None, "delta_size": None, "deleted": False,
+            }
+            t, ts = nxt()
+            events.append(empty_event(
+                tx_id=t, op="ADD_FILE", ts=ts, namespace=namespace,
+                path=path, inode_id=inode, block_size=blk_size,
+                overwrite=False, modified_time=ts, blocks=[b0],
+                mode="New",
+            ))
+            if rng3.random() < 0.5:
+                t, ts = nxt()
+                events.append(empty_event(
+                    tx_id=t, op="CLOSE", ts=ts, namespace=namespace,
+                    path=path, inode_id=inode, length=bsz,
+                    modified_time=ts, file_type="PARQUET",
+                    blocks=[dict(b0)], mode="New",
+                ))
+        # the SECOND cascade, same directory inode, same subtree
+        t, ts = nxt()
+        events.append(empty_event(
+            tx_id=t, op="DELETE", ts=ts, namespace=namespace,
+            path=victim_dir, inode_id=900001, mode="New",
+        ))
+        if back:
+            # epoch 3 for one inode, surviving the second cascade
+            inode = back[0]
+            path = f"{victim_dir}/file_{inode}.parquet"
+            bsz = rng3.randint(1, blk_size)
+            b1 = {
+                "block_id": (block_counter := block_counter + 1),
+                "size": bsz, "block_size": blk_size,
+                "generation_stamp": 1, "start_offset": None,
+                "end_offset": None, "delta_size": None, "deleted": False,
+            }
+            t, ts = nxt()
+            events.append(empty_event(
+                tx_id=t, op="ADD_FILE", ts=ts, namespace=namespace,
+                path=path, inode_id=inode, block_size=blk_size,
+                overwrite=False, modified_time=ts, blocks=[b1],
+                mode="New",
+            ))
+            t, ts = nxt()
+            events.append(empty_event(
+                tx_id=t, op="CLOSE", ts=ts, namespace=namespace,
+                path=path, inode_id=inode, length=bsz,
+                modified_time=ts, file_type="PARQUET",
+                blocks=[dict(b1)], mode="New",
+            ))
+        # rename CHAIN onto the twice-deleted subtree: the epoch-3
+        # survivor (if any) must move with it
+        t, ts = nxt()
+        events.append(empty_event(
+            tx_id=t, op="RENAME", ts=ts, namespace=namespace,
+            path=victim_dir, inode_id=900001,
+            dest_path=f"{victim_dir}_v2", rename_opts="NONE",
+            mode="New",
+        ))
 
     if with_duplicates:
         # replay a slice verbatim — the T4 guard must make this a no-op

@@ -14,7 +14,7 @@ formulations, one answer" technique applied to the flagship CDC rows.
 
 The SQL is exact under invariants the generator logs satisfy by
 construction (single namespace, ops drawn from the statemachine's full
-table, disjoint directory-op subtrees, every CLOSE carrying an
+table, every CLOSE carrying an
 authoritative length and the full block list, no overwrite claims, no
 Snapshot/Backlog bootstrap CLOSEs, and — via a sequential-fold
 simulation — only existence-model errors, i.e. every error row the
@@ -22,15 +22,22 @@ Python statemachine emits is either "file exists and overwrite=false"
 or "no live file state", the two shapes the SQL's complement-based
 error channel derives). Re-creation (file-level or cascade DELETE
 followed by an effective re-ADD), post-TRUNCATE growth without a
-CLOSE, multiple TRUNCATEs per lifetime, and the control ops
+CLOSE, multiple TRUNCATEs per lifetime, OVERLAPPING directory-op
+subtrees (the same dir deleted twice, rename chains, a second cascade
+landing on re-created lifetimes), and the control ops
 IGNORE/ERROR/CONCAT_DELETE are all MODELED, not gated: the ``epoch``
 CTE folds only the final lifetime, ``blk_final``/``blk_dead`` replay
 the full per-block size trajectory, the clamp CHAIN
 (:func:`_clamp_stage_ctes`, sized by :func:`trunc_rounds`) replays
-each truncate against the previous one's shrunken sizes, IGNORE rows
+each truncate against the previous one's shrunken sizes, the cascade
+CHAIN (:func:`_cascade_stage_ctes`, sized by :func:`cascade_rounds`)
+re-locates every dir op's children against the history that includes
+earlier rounds' synthetic effects — the relational mirror of the
+Spark fixpoint — IGNORE rows
 drop before the fold, live CONCAT_DELETEs pass the existence check
 without touching state, and ERROR forces the Error state. A lifetime
-with more than 8 TRUNCATEs is the one remaining (SQL-size) cap.
+with more than 8 TRUNCATEs, or a log with more than 8 directory ops,
+are the two remaining (SQL-size) caps.
 ``check_invariants`` verifies every gated shape and is asserted by
 tests/test_cdc_queries.py — if the generator ever changes shape, the
 gate fails before the oracle can silently diverge.
@@ -84,7 +91,7 @@ def _simulate(events: list[dict]):
     log order, apply the statemachine. Returns (per-inode effective
     event lists, error rows, final per-inode statemachine states).
     Path tracking follows the raw-assertion
-    convention shared by the SQL's ``hist0``, the Spark pre-pass's
+    convention shared by the SQL's ``hist_0``, the Spark pre-pass's
     ``_PATH_SETTING_OPS`` and the parity test's sequential expander:
     ADD_FILE/CLOSE (re-)assert, RENAME moves, DELETE ends — WITHOUT
     error-filtering, so every formulation cascades from the same
@@ -183,25 +190,26 @@ def check_invariants(events: list[dict]) -> None:
     file_inodes = {
         e["inode_id"] for e in events if e["op"] in _FILE_ONLY_OPS
     }
-    # directory ops: disjoint subtrees → single-round cascade is exact
-    # (a cascade RENAME can never move a file into another dir op's
-    # subtree, so the raw path history suffices for every dir op)
+    # directory ops: OVERLAPPING subtrees (same dir deleted twice,
+    # rename chains, cascades landing on re-created lifetimes) are
+    # MODELED by the cascade chain (:func:`_cascade_stage_ctes`, sized
+    # by :func:`cascade_rounds`); the cap below only bounds the
+    # generated SQL, exactly like the TRUNCATE clamp-chain cap
     dir_ops = [
         e for e in events
         if e["op"] in ("DELETE", "RENAME")
         and e["inode_id"] not in file_inodes
     ]
-    areas: list[str] = []
-    for d in dir_ops:
-        mine = [d["path"]] + (
-            [d["dest_path"]] if d["op"] == "RENAME" else []
-        )
-        for a in areas:
-            for m in mine:
-                assert not (
-                    a == m or a.startswith(m + "/") or m.startswith(a + "/")
-                ), f"overlapping directory-op subtrees: {a} vs {m}"
-        areas.extend(mine)
+    assert len(dir_ops) <= 8, (
+        f"{len(dir_ops)} directory ops exceed the cascade-chain cap"
+    )
+    areas = [
+        m
+        for d in dir_ops
+        for m in [d["path"]]
+        + ([d.get("dest_path")] if d["op"] == "RENAME" else [])
+        if m
+    ]
     # LIKE-pattern hygiene: the SQL matches cascade children with
     # literal prefix compares, but keep dir names metacharacter-free so
     # any future LIKE-based formulation can't silently wildcard
@@ -342,9 +350,12 @@ def render_input_ctes(events: list[dict]) -> str:
     )
 
 
-#: Shared fold CTEs: raw log → T4 dedup → directory cascade → error
-#: exclusion → effective event stream (+ per-block size assertions).
-_FOLD_CTES = """
+#: Shared fold CTEs, head: raw log → T4 dedup → dir-op classification →
+#: real-event path history. The directory-cascade chain
+#: (:func:`_cascade_stage_ctes`) and the tail (error exclusion →
+#: effective event stream → per-block size assertions) are composed by
+#: :func:`_fold_ctes`.
+_FOLD_CTES_HEAD = """
 ev AS MATERIALIZED (  -- T4 idempotence: replayed txids are no-ops (dedup by tx)
   SELECT tx_id, op, path, dest_path, inode_id, overwrite, length,
          trunc_len, file_type
@@ -366,7 +377,7 @@ dir_ops AS MATERIALIZED (  -- DELETE/RENAME on a non-file inode ⇒ directory op
   WHERE op IN ('DELETE','RENAME')
     AND inode_id NOT IN (SELECT inode_id FROM file_inodes)
 ),
-hist0 AS MATERIALIZED (  -- path history of every file inode (NULL path = deleted);
+hist_0 AS MATERIALIZED (  -- path history of every file inode (NULL path = deleted);
             -- mirrors the Spark pre-pass _PATH_SETTING_OPS exactly:
             -- ADD_FILE and CLOSE (re-)assert, RENAME moves, DELETE ends
   SELECT inode_id, tx_id, path FROM ev
@@ -378,37 +389,10 @@ hist0 AS MATERIALIZED (  -- path history of every file inode (NULL path = delete
   UNION ALL
   SELECT inode_id, tx_id, NULL FROM ev
   WHERE op = 'DELETE' AND inode_id IN (SELECT inode_id FROM file_inodes)
-),
-cur_at AS MATERIALIZED (  -- current path of each live file just before each dir op
-  SELECT d_tx, d_op, d_path, d_dest, inode_id, cur_path
-  FROM (
-    SELECT d.*, h.inode_id, h.path AS cur_path,
-           ROW_NUMBER() OVER (PARTITION BY d.d_tx, h.inode_id
-                              ORDER BY h.tx_id DESC) AS rn
-    FROM dir_ops d JOIN hist0 h ON h.tx_id < d.d_tx
-  )
-  WHERE rn = 1 AND cur_path IS NOT NULL
-),
-synth AS MATERIALIZED (  -- per-child synthetic events (single round: disjoint trees)
-            -- literal prefix compares (substr), NOT LIKE — a '_' or
-            -- '%' in a directory name must not act as a wildcard
-            -- (the Spark fold uses literal startswith)
-  SELECT d_tx AS tx_id, 'DELETE' AS op, cur_path AS path,
-         CAST(NULL AS VARCHAR) AS dest_path, inode_id,
-         FALSE AS overwrite, CAST(NULL AS BIGINT) AS length,
-         CAST(NULL AS BIGINT) AS trunc_len, CAST(NULL AS VARCHAR) AS file_type
-  FROM cur_at
-  WHERE d_op = 'DELETE'
-        AND substr(cur_path, 1, length(d_path) + 1) = d_path || '/'
-        AND substr(cur_path, 1, 5) <> '/tmp/'
-  UNION ALL
-  SELECT d_tx, 'RENAME', cur_path,
-         d_dest || substr(cur_path, length(d_path) + 1), inode_id,
-         FALSE, NULL, NULL, NULL
-  FROM cur_at
-  WHERE d_op = 'RENAME'
-        AND substr(cur_path, 1, length(d_path) + 1) = d_path || '/'
-),
+)
+"""
+
+_FOLD_CTES_TAIL = """
 log AS MATERIALIZED (  -- expanded log: dir rows dropped, synthetic children
                        -- added. IGNORE rows drop too: apply_event
                        -- returns early with no touch and no error,
@@ -477,6 +461,113 @@ traj_0 AS (  -- trajectory before any clamp: the event assertions
   SELECT inode_id, block_id, tx_id, size FROM asserts
 )
 """
+
+
+def _cascade_stage_ctes(cascade_rounds: int) -> str:
+    """The directory-cascade expansion, chained — the relational mirror
+    of the Spark fixpoint (reconcile._safe_dir_ops defers an op while an
+    earlier op's subtree overlaps; each round's synthetic children join
+    the history the next round reads). Round *i* locates every dir op's
+    children against hist_{i-1} = the REAL path events plus round
+    i-1's synthetic effects, and fully recomputes the synthetic set:
+    the first *i* dir ops in tx order are exact after round *i* (an
+    op's children depend only on effects of strictly-earlier-tx ops),
+    so ``cascade_rounds`` = the log's dir-op count is always
+    sufficient and surplus rounds are fixpoint no-ops. Round-1 output
+    on disjoint-subtree logs is byte-identical to the historical
+    single-round formulation. Literal prefix compares (substr), NOT
+    LIKE — a '_' or '%' in a directory name must not act as a
+    wildcard (the Spark fold uses literal startswith)."""
+    parts = []
+    for i in range(1, cascade_rounds + 1):
+        parts.append(f"""
+cur_at_{i} AS MATERIALIZED (  -- current path of each live file before each dir op
+  SELECT d_tx, d_op, d_path, d_dest, inode_id, cur_path
+  FROM (
+    SELECT d.*, h.inode_id, h.path AS cur_path,
+           ROW_NUMBER() OVER (PARTITION BY d.d_tx, h.inode_id
+                              ORDER BY h.tx_id DESC) AS rn
+    FROM dir_ops d JOIN hist_{i - 1} h ON h.tx_id < d.d_tx
+  )
+  WHERE rn = 1 AND cur_path IS NOT NULL
+),
+synth_{i} AS MATERIALIZED (  -- per-child synthetic events, round {i}
+  SELECT d_tx AS tx_id, 'DELETE' AS op, cur_path AS path,
+         CAST(NULL AS VARCHAR) AS dest_path, inode_id,
+         FALSE AS overwrite, CAST(NULL AS BIGINT) AS length,
+         CAST(NULL AS BIGINT) AS trunc_len, CAST(NULL AS VARCHAR) AS file_type
+  FROM cur_at_{i}
+  WHERE d_op = 'DELETE'
+        AND substr(cur_path, 1, length(d_path) + 1) = d_path || '/'
+        AND substr(cur_path, 1, 5) <> '/tmp/'
+  UNION ALL
+  SELECT d_tx, 'RENAME', cur_path,
+         d_dest || substr(cur_path, length(d_path) + 1), inode_id,
+         FALSE, NULL, NULL, NULL
+  FROM cur_at_{i}
+  WHERE d_op = 'RENAME'
+        AND substr(cur_path, 1, length(d_path) + 1) = d_path || '/'
+)""")
+        if i < cascade_rounds:
+            parts.append(f"""
+hist_{i} AS MATERIALIZED (  -- real path events + round-{i} synthetic effects
+  SELECT * FROM hist_0
+  UNION ALL
+  SELECT inode_id, tx_id,
+         CASE WHEN op = 'RENAME' THEN dest_path END AS path
+  FROM synth_{i}
+)""")
+    parts.append(f"""
+synth AS MATERIALIZED (SELECT * FROM synth_{cascade_rounds})""")
+    return ",".join(parts)
+
+
+def _fold_ctes(cascade_rounds: int = 1) -> str:
+    """Shared fold CTEs: raw log → T4 dedup → directory-cascade chain
+    (sized by :func:`cascade_rounds`) → error exclusion → effective
+    event stream (+ per-block size assertions)."""
+    return (
+        _FOLD_CTES_HEAD
+        + ","
+        + _cascade_stage_ctes(cascade_rounds)
+        + ","
+        + _FOLD_CTES_TAIL
+    )
+
+
+def cascade_rounds(events: list[dict]) -> int:
+    """Cascade-chain depth for a log: 1 when every directory-op subtree
+    (source and rename-dest) is pairwise disjoint — the historical
+    single-round case — else the dir-op count, since round *i* is exact
+    for the first *i* ops in tx order. Tx-deduped, file/dir
+    classification shared with the fold."""
+    by_tx: dict[int, dict] = {}
+    for e in events:
+        by_tx.setdefault(e["tx_id"], e)
+    evs = sorted(by_tx.values(), key=lambda e: e["tx_id"])
+    file_inodes = {e["inode_id"] for e in evs if e["op"] in _FILE_ONLY_OPS}
+    dir_ops = [
+        e for e in evs
+        if e["op"] in ("DELETE", "RENAME")
+        and e["inode_id"] not in file_inodes
+    ]
+    areas: list[str] = []
+    overlap = False
+    for d in dir_ops:
+        mine = [
+            m
+            for m in (
+                [d["path"]]
+                + ([d.get("dest_path")] if d["op"] == "RENAME" else [])
+            )
+            if m
+        ]
+        for a in areas:
+            for m in mine:
+                if a == m or a.startswith(m + "/") or m.startswith(a + "/"):
+                    overlap = True
+        areas.extend(mine)
+    return max(1, len(dir_ops)) if overlap else 1
 
 
 def _clamp_stage_ctes(trunc_rounds: int) -> str:
@@ -644,15 +735,18 @@ def state_query(
     input_ctes: str,
     include_file_type: bool = True,
     trunc_rounds: int = 1,
+    cascade_rounds: int = 1,
 ) -> str:
     """Full file_state fold over the given rendered input CTEs.
-    ``trunc_rounds`` sizes the TRUNCATE clamp chain — pass
-    :func:`trunc_rounds` of the same log; surplus stages are no-ops."""
+    ``trunc_rounds`` sizes the TRUNCATE clamp chain and
+    ``cascade_rounds`` the directory-cascade chain — pass
+    :func:`trunc_rounds` / :func:`cascade_rounds` of the same log;
+    surplus stages are no-ops."""
     ft_col = ", file_type" if include_file_type else ""
     ft_null = ", NULL" if include_file_type else ""
     return f"""
 WITH {input_ctes},
-{_FOLD_CTES},
+{_fold_ctes(cascade_rounds)},
 {_clamp_stage_ctes(trunc_rounds)},
 {_STATE_CTES}
 SELECT inode_id, path, state, CAST(data_size AS BIGINT) AS data_size,
@@ -664,13 +758,13 @@ ORDER BY inode_id
 """
 
 
-def errors_query(input_ctes: str) -> str:
+def errors_query(input_ctes: str, cascade_rounds: int = 1) -> str:
     """T25 dead-letter rows = the complement of the fold's
     effective-event set, error text reconstructed from the op. (No
     clamp chain: erroredness never depends on block sizes.)"""
     return f"""
 WITH {input_ctes},
-{_FOLD_CTES}
+{_fold_ctes(cascade_rounds)}
 SELECT tx_id, inode_id, path, op,
        CASE WHEN op = 'ADD_FILE' THEN 'file exists and overwrite=false'
             ELSE 'no live file state for op ' || op END AS error
@@ -689,6 +783,7 @@ def c01_oracle() -> str:
         _input_ctes("seed42"),
         include_file_type=True,
         trunc_rounds=trunc_rounds(demo_events()),
+        cascade_rounds=cascade_rounds(demo_events()),
     )
 
 
@@ -699,7 +794,10 @@ def c02_oracle() -> str:
     state — with the statemachine's error text reconstructed from the
     op. Relies on the same invariants as c01 (no overwrite claims, no
     bootstrap CLOSEs), asserted by check_invariants."""
-    return errors_query(_input_ctes("seed42"))
+    return errors_query(
+        _input_ctes("seed42"),
+        cascade_rounds=cascade_rounds(demo_events()),
+    )
 
 
 def c04_oracle() -> str:
@@ -712,10 +810,13 @@ def c04_oracle() -> str:
         _input_ctes("seed7"),
         include_file_type=False,
         trunc_rounds=trunc_rounds(stream_demo_events()),
+        cascade_rounds=cascade_rounds(stream_demo_events()),
     )
 
 
-def changeset_query(input_ctes: str, trunc_rounds: int = 1) -> str:
+def changeset_query(
+    input_ctes: str, trunc_rounds: int = 1, cascade_rounds: int = 1
+) -> str:
     """Per-block covering byte intervals re-derived from the raw log:
     the statemachine's delta bookkeeping as a lag over the per-block
     size trajectory (assertions + the chained TRUNCATE clamps), then
@@ -723,7 +824,7 @@ def changeset_query(input_ctes: str, trunc_rounds: int = 1) -> str:
     relationally."""
     return f"""
 WITH {input_ctes},
-{_FOLD_CTES},
+{_fold_ctes(cascade_rounds)},
 {_clamp_stage_ctes(trunc_rounds)},
 lagged AS MATERIALIZED (  -- statemachine size trajectory per block
   SELECT *, COALESCE(LAG(size) OVER (PARTITION BY inode_id, block_id
@@ -751,5 +852,7 @@ GROUP BY inode_id, block_id
 def c03_oracle() -> str:
     """Seed-42 change set via :func:`changeset_query`."""
     return changeset_query(
-        _input_ctes("seed42"), trunc_rounds=trunc_rounds(demo_events())
+        _input_ctes("seed42"),
+        trunc_rounds=trunc_rounds(demo_events()),
+        cascade_rounds=cascade_rounds(demo_events()),
     )

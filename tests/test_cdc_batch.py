@@ -210,13 +210,18 @@ def test_spark_matches_sequential_python_recreates(spark):
     identically through the distributed reconciler (fixpoint cascade
     expansion + applyInPandas statemachine) and the sequential
     pure-Python replay — the Spark face of the epoch coverage the
-    DuckDB relational-fold sweep gained this round."""
+    DuckDB relational-fold sweep gained this round. The subtree=True
+    seeds add OVERLAPPING dir-op subtrees (same dir deleted twice with
+    re-ADDs under it, a rename chain on the survivor) — the shapes
+    _safe_dir_ops defers across fixpoint rounds."""
     from hcdc_spark.operators.cdc_oracle import _simulate
 
-    for seed in (3, 9, 15):
+    for seed, subtree in ((3, False), (9, False), (15, False),
+                          (5, True), (21, True)):
         events = generate_events(
             n_files=15, seed=seed, with_dir_ops=True,
             with_anomalies=True, with_recreates=True,
+            with_subtree_recreates=subtree,
         )
         got = {
             r["inode_id"]: r.asDict(recursive=True)

@@ -174,6 +174,14 @@ def test_relational_fold_parity_across_seeds(oracle):
             # inside the new lifetime) — the epoch CTE's real coverage
             {"n_files": 15, "with_dir_ops": True, "with_anomalies": True,
              "with_recreates": True},
+            # round 7 (continued): OVERLAPPING dir-op subtrees — the
+            # same directory deleted twice with re-ADDs under it in
+            # between (a cascade landing on epoch-2 lifetimes), a
+            # third lifetime after the second cascade, and a rename
+            # chain moving the survivor — the cascade CHAIN's real
+            # coverage (cascade_rounds > 1 on every one of these logs)
+            {"n_files": 15, "with_dir_ops": True, "with_anomalies": True,
+             "with_recreates": True, "with_subtree_recreates": True},
         ):
             events = generate_events(seed=seed, **kwargs)
             try:
@@ -184,28 +192,35 @@ def test_relational_fold_parity_across_seeds(oracle):
             tested += 1
             ctes = O.render_input_ctes(events)
             k = O.trunc_rounds(events)
+            cr = O.cascade_rounds(events)
             want_state, want_errs, want_cs = _python_fold(events)
             got_state = sorted(
                 tuple(r) for r in
                 oracle.execute(
-                    O.state_query(ctes, True, trunc_rounds=k)
+                    O.state_query(
+                        ctes, True, trunc_rounds=k, cascade_rounds=cr
+                    )
                 ).fetchall()
             )
             assert got_state == want_state, f"state diverged (seed {seed})"
             got_errs = sorted(
                 tuple(r) for r in
-                oracle.execute(O.errors_query(ctes)).fetchall()
+                oracle.execute(
+                    O.errors_query(ctes, cascade_rounds=cr)
+                ).fetchall()
             )
             assert got_errs == want_errs, f"errors diverged (seed {seed})"
             got_cs = sorted(
                 tuple(r) for r in
                 oracle.execute(
-                    O.changeset_query(ctes, trunc_rounds=k)
+                    O.changeset_query(
+                        ctes, trunc_rounds=k, cascade_rounds=cr
+                    )
                 ).fetchall()
             )
             assert got_cs == want_cs, f"change set diverged (seed {seed})"
-    # Round 7 retired the re-creation and growth-after-TRUNCATE
-    # invariants (the fold now models both), so ALL 104 candidate logs
-    # satisfy the gate — require a floor close to that so silent
-    # mass-skipping can't hollow the test out
-    assert tested >= 95, (tested, skipped)
+    # Round 7 retired the re-creation, growth-after-TRUNCATE and
+    # disjoint-subtree invariants (the fold now models all three), so
+    # ALL 130 candidate logs satisfy the gate — require a floor close
+    # to that so silent mass-skipping can't hollow the test out
+    assert tested >= 120, (tested, skipped)

@@ -41,8 +41,11 @@ CHANGED_THIS_ROUND = {
     "c19_stream_doc_dedup",
     # the relational-fold oracle SQL was reworked (trajectory-based
     # state synthesis + shared TRUNCATE-clamp CTE, re-creation epochs
-    # exercised) — outputs pinned identical on the goldens, but changed
-    # oracle text re-verifies under the driver hash
+    # exercised, and — late in the round — the directory-cascade
+    # expansion generalized to a builder-generated multi-round CHAIN
+    # so overlapping dir-op subtrees are modeled) — outputs pinned
+    # identical on the goldens, but changed oracle text re-verifies
+    # under the driver hash
     "c01_cdc_file_state",
     "c02_cdc_error_channel",
     "c03_cdc_change_set",
