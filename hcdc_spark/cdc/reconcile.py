@@ -39,15 +39,9 @@ _FOLD_OUTPUT_SCHEMA = T.StructType(
     + [T.StructField("errors", T.ArrayType(ERROR_SCHEMA))]
 )
 
-# Ops that only ever target FILE inodes — seeing an inode under any of
-# these proves it is not a directory (dirs receive only DELETE/RENAME).
-# IGNORE/ERROR/CONCAT_DELETE are file-directed control ops in the
-# reference's op table (SourceTransactionProcessor routes them at the
-# file level), so they classify too.
-_FILE_ONLY_OPS = (
-    "ADD_FILE", "ADD_BLOCK", "UPDATE_BLOCKS", "APPEND", "TRUNCATE", "CLOSE",
-    "IGNORE", "ERROR", "CONCAT_DELETE",
-)
+# File-vs-directory op classification — canonical copy lives in
+# statemachine.py, shared with the DuckDB fold and the parity tests.
+from hcdc_spark.cdc.statemachine import FILE_ONLY_OPS as _FILE_ONLY_OPS
 # Ops that (re)assert an inode's path: ADD_FILE creates it, CLOSE
 # re-asserts it — crucially including Snapshot/Backlog bootstrap CLOSEs,
 # which create files with no ADD_FILE at all (cdc/snapshot.py).

@@ -30,6 +30,19 @@ Event = dict[str, Any]
 State = dict[str, Any]
 Error = dict[str, Any]
 
+#: Ops that only ever target FILE inodes — seeing an inode under any of
+#: these proves it is not a directory (dirs receive only DELETE/RENAME).
+#: IGNORE/ERROR/CONCAT_DELETE are file-directed control ops in the
+#: reference's op table (SourceTransactionProcessor routes them at the
+#: file level), so they classify too. THE canonical copy: the Spark
+#: reconciler (cdc/reconcile.py), the DuckDB relational fold
+#: (operators/cdc_oracle.py — including its generated SQL literal) and
+#: the parity test's sequential expander all import it from here.
+FILE_ONLY_OPS = (
+    "ADD_FILE", "ADD_BLOCK", "UPDATE_BLOCKS", "APPEND", "TRUNCATE", "CLOSE",
+    "IGNORE", "ERROR", "CONCAT_DELETE",
+)
+
 
 def _err(ev: Event, msg: str) -> Error:
     return {

@@ -52,10 +52,12 @@ from __future__ import annotations
 
 from functools import lru_cache
 
-_FILE_ONLY_OPS = (
-    "ADD_FILE", "ADD_BLOCK", "UPDATE_BLOCKS", "APPEND", "TRUNCATE", "CLOSE",
-    "IGNORE", "ERROR", "CONCAT_DELETE",
-)
+# File-vs-directory op classification — ONE canonical copy
+# (cdc/statemachine.py), shared with the Spark reconciler and the
+# parity test's sequential expander; the SQL literal in the
+# file_inodes CTE below is GENERATED from it so the three formulations
+# can never drift apart.
+from hcdc_spark.cdc.statemachine import FILE_ONLY_OPS as _FILE_ONLY_OPS
 
 
 def demo_events() -> list[dict]:
@@ -366,10 +368,10 @@ blk AS MATERIALIZED (SELECT DISTINCT tx_id, pos, block_id, size FROM blk_raw),
 file_inodes AS MATERIALIZED (  -- inodes seen under file-only ops are files
                                -- (incl. the control ops IGNORE/ERROR/
                                -- CONCAT_DELETE — dirs receive only
-                               -- DELETE/RENAME)
+                               -- DELETE/RENAME); op list generated
+                               -- from statemachine.FILE_ONLY_OPS
   SELECT DISTINCT inode_id FROM ev
-  WHERE op IN ('ADD_FILE','ADD_BLOCK','UPDATE_BLOCKS','APPEND',
-               'TRUNCATE','CLOSE','IGNORE','ERROR','CONCAT_DELETE')
+  WHERE op IN (__FILE_ONLY_OPS__)
 ),
 dir_ops AS MATERIALIZED (  -- DELETE/RENAME on a non-file inode ⇒ directory op
   SELECT tx_id AS d_tx, op AS d_op, path AS d_path, dest_path AS d_dest
@@ -526,8 +528,12 @@ def _fold_ctes(cascade_rounds: int = 1) -> str:
     """Shared fold CTEs: raw log → T4 dedup → directory-cascade chain
     (sized by :func:`cascade_rounds`) → error exclusion → effective
     event stream (+ per-block size assertions)."""
+    head = _FOLD_CTES_HEAD.replace(
+        "__FILE_ONLY_OPS__",
+        ",".join(f"'{op}'" for op in _FILE_ONLY_OPS),
+    )
     return (
-        _FOLD_CTES_HEAD
+        head
         + ","
         + _cascade_stage_ctes(cascade_rounds)
         + ","

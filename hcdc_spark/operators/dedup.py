@@ -402,15 +402,22 @@ def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SIMHASH_BITS = 32
 
 
-def simhash(docs: DataFrame, n_bits: int = N_SIMHASH_BITS) -> DataFrame:
+def simhash(
+    docs: DataFrame, n_bits: int = N_SIMHASH_BITS, hash_fn=None
+) -> DataFrame:
     """(doc_id, simhash long): sign-aggregate of token hash bits.
 
     One explode + groupBy with n_bits conditional-sum aggregates; the
-    final bit-pack is a plain expression. All JVM-side.
-    """
+    final bit-pack is a plain expression. All JVM-side. ``hash_fn``
+    maps the token column to a long hash — xxhash64 by default (the
+    production path); q91's md5 oracle twin passes its conv-from-md5
+    variant so BOTH twins share this one vote/pack implementation and
+    can never drift apart."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     tokens = docs.select(
         "doc_id", F.explode(distinct_words("text")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", hash_fn("w"))
     aggs = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -591,28 +598,12 @@ def _q91_oracle() -> str:
 )
 def q91_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    tokens = docs.select(
-        "doc_id", F.explode(distinct_words("text")).alias("w")
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    sh = simhash(
+        docs,
+        hash_fn=lambda w: F.conv(
+            F.substring(F.md5(w), 1, 8), 16, 10
+        ).cast("long"),
     )
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(N_SIMHASH_BITS)
-    ]
-    agg = tokens.groupBy("doc_id").agg(*aggs)
-    packed = None
-    for i in range(N_SIMHASH_BITS):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        packed = term if packed is None else packed + term
-    sh = agg.select("doc_id", packed.alias("simhash"))
     return _simhash_neardup_pairs(sh)
 
 

@@ -816,6 +816,15 @@ def q76_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CHUNK_WORDS = 10
 
+#: Keep-first site encoding: enc = doc_id * CHUNK_ENC + idx, shared by
+#: q90's first-site decode and q94/q98's keep-first window. Order-
+#: preserving (and decode-exact) only while idx < CHUNK_ENC — 2^31
+#: chunks is a ~20-billion-word document — and doc_id < 2^32 (no int64
+#: overflow). Both engines use the same expression, so a violation
+#: would corrupt BOTH sides identically and the oracle could not catch
+#: it: at ingest scale, gate doc ids/lengths upstream.
+CHUNK_ENC = 2_147_483_648
+
 
 @REG.add(
     "q90_chunk_dedup",
@@ -832,9 +841,9 @@ DEDUP_CHUNK_WORDS = 10
     SELECT chunk_hash,
            COUNT(*) AS n_occ,
            COUNT(DISTINCT doc_id) AS n_docs,
-           CAST(MIN(doc_id * 1000000 + idx) // 1000000 AS BIGINT)
+           CAST(MIN(doc_id * {CHUNK_ENC} + idx) // {CHUNK_ENC} AS BIGINT)
              AS first_doc,
-           CAST(MIN(doc_id * 1000000 + idx) % 1000000 AS BIGINT)
+           CAST(MIN(doc_id * {CHUNK_ENC} + idx) % {CHUNK_ENC} AS BIGINT)
              AS first_idx
     FROM (
       SELECT doc_id, idx,
@@ -879,7 +888,7 @@ def q90_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idx", "chunk_hash"),
         )
     )
-    pair = F.col("doc_id") * 1000000 + F.col("idx")
+    pair = F.col("doc_id") * CHUNK_ENC + F.col("idx")
     return (
         chunks.groupBy("chunk_hash")
         .agg(
@@ -892,8 +901,8 @@ def q90_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_hash",
             "n_occ",
             "n_docs",
-            F.expr("mp div 1000000").alias("first_doc"),
-            (F.col("mp") % 1000000).alias("first_idx"),
+            F.expr(f"mp div {CHUNK_ENC}").alias("first_doc"),
+            (F.col("mp") % CHUNK_ENC).alias("first_idx"),
         )
         .orderBy(F.col("n_occ").desc(), "chunk_hash")
         .limit(100)
@@ -917,7 +926,7 @@ def q90_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                w[idx * {DEDUP_CHUNK_WORDS} + 1 :
                  idx * {DEDUP_CHUNK_WORDS} + {DEDUP_CHUNK_WORDS}], ' ')
                AS txt,
-             doc_id * 1000000 + idx AS enc
+             doc_id * {CHUNK_ENC} + idx AS enc
       FROM idxed
     ), flagged AS (
       SELECT doc_id, idx, txt,
@@ -988,7 +997,7 @@ def chunk_dedup_rewrite(
             ).alias("idx", "txt"),
         )
     )
-    enc = F.col("doc_id") * 1000000 + F.col("idx")
+    enc = F.col("doc_id") * CHUNK_ENC + F.col("idx")
     first = F.min(enc).over(Window.partitionBy(F.md5("txt")))
     flagged = chunks.withColumn("keep", enc == first)
     kept_struct = F.when(F.col("keep"), F.struct("idx", "txt"))
@@ -1188,7 +1197,7 @@ def bigram_dup_rate(docs: DataFrame) -> DataFrame:
                w[idx * {DEDUP_CHUNK_WORDS} + 1 :
                  idx * {DEDUP_CHUNK_WORDS} + {DEDUP_CHUNK_WORDS}], ' ')
                AS txt,
-             doc_id * 1000000 + idx AS enc
+             doc_id * {CHUNK_ENC} + idx AS enc
       FROM idxed
     ), flagged AS (
       SELECT doc_id, lang, idx, txt,

@@ -50,6 +50,7 @@ def main() -> None:
     for name in QUERIES:
         fn = qs[name]
         row: dict[str, float] = {}
+        raw: dict[str, float] = {}
         for sf, d in SF_DIRS.items():
             fn(spark, d).count()  # warmup (codegen/JIT/Arrow workers)
             best = min(
@@ -58,10 +59,13 @@ def main() -> None:
                 )
                 for _ in range(passes)
             )
+            raw[sf] = best
             row[sf] = round(best, 2)
-        # ratio from the unrounded floor-guarded base: a sub-10ms sf0.1
-        # best must not divide by a rounded-to-0.00 denominator
-        row["ratio"] = round(row["sf1.0"] / max(row["sf0.1"], 0.01), 1)
+        # ratio from the UNROUNDED floor-guarded base: a sub-10ms sf0.1
+        # best must divide neither by zero nor by a rounded-down
+        # denominator (0.014s rounding to 0.01 would inflate the ratio
+        # 40% before the guard even triggers)
+        row["ratio"] = round(raw["sf1.0"] / max(raw["sf0.1"], 0.01), 1)
         out[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
     print(json.dumps(out))

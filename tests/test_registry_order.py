@@ -5,7 +5,8 @@ entries per round (flat count — observed in rounds 1-6). These tests pin
 the round-7 contract: every query whose implementation or oracle is new
 or stranded sits inside that prefix (a green row that predates the code
 is not evidence), plus the currency-rotation blocks (all 14 r3-dated
-greens and the 28 oldest r4-dated greens) and the spine.
+greens and the 15 oldest r4-dated greens that kept their slots after
+the new-query block grew to q89-q98/c19) and the spine.
 """
 
 from __future__ import annotations
