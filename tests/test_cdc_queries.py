@@ -151,6 +151,71 @@ def _python_fold(events: list[dict]):
     return sorted(states), sorted(errors), sorted(changes)
 
 
+def test_cascade_chain_transitive_dependency_pinned(oracle):
+    """The cascade chain's worst case, pinned by hand: rename /a → /b
+    moves a file (round 1), delete /a must NOT cascade onto the moved
+    file (needs round 2's history to retract the raw-path claim), and
+    delete /b must find the file at its POST-RENAME path (correct only
+    in round 3, after the bogus intermediate delete disappears from
+    the history). A single-round formulation gets the final state
+    wrong in two different ways; cascade_rounds(log) must be 3 here
+    and the fold must match the sequential Python statemachine."""
+    from hcdc_spark.cdc.generator import empty_event
+    from hcdc_spark.operators import cdc_oracle as O
+
+    ns = "ns1"
+    b = {"block_id": 500, "size": 1024, "block_size": 1 << 20,
+         "generation_stamp": 1, "start_offset": None, "end_offset": None,
+         "delta_size": None, "deleted": False}
+    ev = [
+        empty_event(tx_id=1, ts=1000, op="ADD_FILE", namespace=ns,
+                    path="/a/f.parquet", inode_id=1, block_size=1 << 20,
+                    overwrite=False, modified_time=1000, blocks=[b],
+                    mode="New"),
+        empty_event(tx_id=2, ts=2000, op="CLOSE", namespace=ns,
+                    path="/a/f.parquet", inode_id=1, length=1024,
+                    modified_time=2000, file_type="PARQUET",
+                    blocks=[dict(b)], mode="New"),
+        # O: rename /a -> /b (dir inode)
+        empty_event(tx_id=3, ts=3000, op="RENAME", namespace=ns,
+                    path="/a", inode_id=900001, dest_path="/b",
+                    rename_opts="NONE", mode="New"),
+        # D: delete /a — now EMPTY; must cascade onto nothing
+        empty_event(tx_id=4, ts=4000, op="DELETE", namespace=ns,
+                    path="/a", inode_id=900002, mode="New"),
+        # E: delete /b — must find the renamed file
+        empty_event(tx_id=5, ts=5000, op="DELETE", namespace=ns,
+                    path="/b", inode_id=900003, mode="New"),
+    ]
+    O.check_invariants(ev)
+    assert O.cascade_rounds(ev) == 3
+    ctes = O.render_input_ctes(ev)
+    want_state, want_errs, want_cs = _python_fold(ev)
+    got_state = sorted(
+        tuple(r) for r in oracle.execute(
+            O.state_query(ctes, True, cascade_rounds=3)
+        ).fetchall()
+    )
+    assert got_state == want_state
+    # the file must end Deleted (E found it), not live at /b/f.parquet
+    assert got_state[0][2] == "Deleted"
+    got_errs = sorted(
+        tuple(r) for r in oracle.execute(
+            O.errors_query(ctes, cascade_rounds=3)
+        ).fetchall()
+    )
+    assert got_errs == want_errs == []
+    # regression guard for the single-round formulation: with ONE
+    # round it diverges (D bogusly deletes the moved file and/or E
+    # misses it) — proving the chain is load-bearing on this shape
+    single = sorted(
+        tuple(r) for r in oracle.execute(
+            O.state_query(ctes, True, cascade_rounds=1)
+        ).fetchall()
+    )
+    assert single != want_state
+
+
 def test_relational_fold_parity_across_seeds(oracle):
     """Generalization gate: for EVERY generator log that satisfies
     check_invariants — not just the two registry demos — the DuckDB
