@@ -4,8 +4,10 @@ passes after a warmup pass. Near-linear growth (~10x time for 10x
 rows) validates the single-shuffle plan shapes; super-linear growth
 exposes a hidden quadratic.
 
-Usage: python scripts/bench_scale.py [passes=2]
-Prints one JSON line: {query: {"sf0.1": s, "sf1.0": s, "ratio": r}}.
+Usage: python scripts/bench_scale.py [passes=2] [sf_label=sf1.0]
+``sf_label`` picks the synthesized big point under .benchdata/ (sf1.0 =
+10x rows, sf4 = 40x — see scripts/gen_sf_scale.py). Prints one JSON
+line: {query: {"sf0.1": s, "<sf_label>": s, "ratio": r}}.
 """
 
 from __future__ import annotations
@@ -33,15 +35,18 @@ QUERIES = (
     "q95_vocab_oov",
     "q68_semantic_dedup",
 )
-SF_DIRS = {"sf0.1": "/root/testdata/sf0.1",
-           "sf1.0": str(ROOT / ".benchdata" / "sf1.0")}
-
-
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    big = sys.argv[2] if len(sys.argv) > 2 else "sf1.0"
+    sf_dirs = {"sf0.1": "/root/testdata/sf0.1",
+               big: str(ROOT / ".benchdata" / big)}
     from hcdc_spark.session import get_spark
 
-    spark = get_spark("hcdc-bench-scale")
+    # driver memory must be set before the JVM starts (fresh process);
+    # the 40x point unions enough rows that the 8g default spills hard
+    spark = get_spark(
+        "hcdc-bench-scale", extra_conf={"spark.driver.memory": "24g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as E
 
@@ -51,7 +56,7 @@ def main() -> None:
         fn = qs[name]
         row: dict[str, float] = {}
         raw: dict[str, float] = {}
-        for sf, d in SF_DIRS.items():
+        for sf, d in sf_dirs.items():
             fn(spark, d).count()  # warmup (codegen/JIT/Arrow workers)
             best = min(
                 (lambda t0: (fn(spark, d).count(), time.time() - t0)[1])(
@@ -65,7 +70,7 @@ def main() -> None:
         # best must divide neither by zero nor by a rounded-down
         # denominator (0.014s rounding to 0.01 would inflate the ratio
         # 40% before the guard even triggers)
-        row["ratio"] = round(raw["sf1.0"] / max(raw["sf0.1"], 0.01), 1)
+        row["ratio"] = round(raw[big] / max(raw["sf0.1"], 0.01), 1)
         out[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
     print(json.dumps(out))

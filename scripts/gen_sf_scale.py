@@ -25,7 +25,16 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 SRC = "/root/testdata/sf0.1"
-OUT = str(pathlib.Path(__file__).resolve().parents[1] / ".benchdata" / "sf1.0")
+
+
+def _out_dir(k: int) -> str:
+    """K copies of sf0.1 ⇒ sf{K/10}: K=10 → sf1.0 (the historical
+    default), K=40 → sf4.0."""
+    return str(
+        pathlib.Path(__file__).resolve().parents[1]
+        / ".benchdata"
+        / f"sf{k / 10:g}"
+    )
 
 # table -> columns shifted by that table's own key stride
 _SHIFTS = {
@@ -47,11 +56,16 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = _out_dir(k)
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local mode: executors live in the driver JVM — K=40's
+        # 40-way union + repartition needs real heap (set before the
+        # JVM starts, so it must come from this builder, fresh process)
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,19 +88,19 @@ def main() -> None:
                     F.regexp_replace("text", r"(\S+)", rf"$1_c{i}"),
                 )
             copies.append(c)
-        out = copies[0]
+        union = copies[0]
         for c in copies[1:]:
-            out = out.unionByName(c)
-        out.repartition(32).write.mode("overwrite").parquet(
-            f"{OUT}/{t}.parquet"
+            union = union.unionByName(c)
+        union.repartition(32).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
         )
         print(f"{t}: {k}x written")
     for t in _COPY_ASIS:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
             "overwrite"
-        ).parquet(f"{OUT}/{t}.parquet")
+        ).parquet(f"{out}/{t}.parquet")
         print(f"{t}: copied 1x")
-    print("done ->", OUT)
+    print("done ->", out)
 
 
 if __name__ == "__main__":
