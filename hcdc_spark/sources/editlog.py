@@ -713,6 +713,16 @@ def resolve_inodes(events, max_rounds: int = 10):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # Materialize the input once (lazily, on first action): every
+    # fixpoint round runs its own count job, and the final consumer a
+    # third — without this each of those jobs re-executes the whole
+    # upstream lineage, which for read_editlog_binary means re-decoding
+    # every segment in Python 3+ times (measured 3x the decode cost on
+    # the cdc scale bench). Executor-local checkpoint is the standard
+    # iterative-algorithm pattern; at 100 TB one materialized pass
+    # beats three re-decodes and the blocks drop with the reference.
+    events = events.localCheckpoint(eager=False)
+
     w = (
         Window.partitionBy("path")
         .orderBy("tx_id", "_alias")
@@ -723,32 +733,29 @@ def resolve_inodes(events, max_rounds: int = 10):
     )
     prev_unresolved = None
     for _ in range(max_rounds):
-        ev_rows = cur.select(
-            "path", "tx_id",
-            F.col("inode_id").alias("_src_inode"),
-            F.lit(0).alias("_alias"),
-        )
-        alias_rows = cur.where(
-            (F.col("op") == "RENAME")
-            & F.col("inode_id").isNotNull()
-            & F.col("dest_path").isNotNull()
-        ).select(
-            F.col("dest_path").alias("path"), "tx_id",
-            F.col("inode_id").alias("_src_inode"),
-            F.lit(1).alias("_alias"),
-        )
-        filled = (
-            ev_rows.unionByName(alias_rows)
-            .withColumn(
-                "_fill", F.last("_src_inode", ignorenulls=True).over(w)
+        # Fill directly on the full-width frame: union the (rare) alias
+        # rows, window-fill, drop the aliases. An earlier formulation
+        # computed the fill on a slim (path, tx_id) projection and
+        # joined it back by tx_id — an extra full-log shuffle per round,
+        # and a row-multiplier if a log ever carries duplicate tx ids
+        # (the T4 shape). One wide shuffle by path replaces three.
+        alias_rows = (
+            cur.where(
+                (F.col("op") == "RENAME")
+                & F.col("inode_id").isNotNull()
+                & F.col("dest_path").isNotNull()
             )
-            .where(F.col("_alias") == 0)
-            .select("tx_id", "_fill")
+            .withColumn("path", F.col("dest_path"))
+            .withColumn("_alias", F.lit(1))
         )
         cur = (
-            cur.drop("inode_id")
-            .join(filled, "tx_id", "left")
-            .withColumnRenamed("_fill", "inode_id")
+            cur.withColumn("_alias", F.lit(0))
+            .unionByName(alias_rows)
+            .withColumn(
+                "inode_id", F.last("inode_id", ignorenulls=True).over(w)
+            )
+            .where(F.col("_alias") == 0)
+            .drop("_alias")
         )
         unresolved = cur.where(
             F.col("inode_id").isNull() & F.col("path").isNotNull()
