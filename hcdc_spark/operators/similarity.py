@@ -1089,3 +1089,144 @@ def q97_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ------------------------------------------------- k-means training step
+
+KM_K = 8          # clusters for the bit-exact Lloyd-step oracle
+KM_SCALE = "1e12"  # fixed-point quantum for exact cross-engine sums
+
+
+def _q99_oracle() -> str:
+    q = f"CAST(floor(v[dim + 1] * {KM_SCALE} + 0.5) AS BIGINT)"
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id % 11 = 3 ORDER BY vec_id LIMIT {KM_K}
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             list_dot_product(e.v, c.c)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.c, c.c))) AS s
+      FROM e CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, v, cid AS cell, s
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY s DESC, cid) AS rn FROM scored)
+      WHERE rn = 1
+    ), js AS (SELECT UNNEST(generate_series(0, {EMB_DIM - 1})) AS dim),
+    dimsum AS (
+      SELECT cell, dim, SUM({q}) AS sq
+      FROM assign CROSS JOIN js GROUP BY cell, dim
+    ), percell AS (
+      SELECT cell, SUM(sq) AS total,
+             MAX(CASE WHEN dim = 0 THEN sq END) AS s0,
+             MAX(CASE WHEN dim = 32 THEN sq END) AS s32
+      FROM dimsum GROUP BY cell
+    ), counts AS (
+      SELECT cell, COUNT(*) AS n_members,
+             SUM(CAST(floor(s * {KM_SCALE} + 0.5) AS BIGINT)) AS iq
+      FROM assign GROUP BY cell
+    )
+    SELECT p.cell, ct.n_members,
+           CAST(p.s0 AS DOUBLE) / {KM_SCALE} / ct.n_members AS new_d0,
+           CAST(p.s32 AS DOUBLE) / {KM_SCALE} / ct.n_members AS new_d32,
+           CAST(p.total AS DOUBLE) / {KM_SCALE} / ct.n_members
+             AS centroid_checksum,
+           CAST(ct.iq AS DOUBLE) / {KM_SCALE} AS inertia,
+           CAST(p.s0 AS DOUBLE) / {KM_SCALE} / ct.n_members - cents.c[1]
+             AS shift_d0
+    FROM percell p
+    JOIN counts ct USING (cell)
+    JOIN cents ON cents.cid = p.cell
+    ORDER BY cell
+    """
+
+
+@REG.add(
+    "q99_kmeans_step",
+    _q99_oracle(),
+    doc="One bit-exact Lloyd (k-means) TRAINING iteration — the oracle "
+    "twin of the piece q53 left rows-only: q93 hash-checks assignment "
+    "and re-ranking; this hash-checks the UPDATE. Seeds are "
+    f"{KM_K} data rows picked by a pure predicate (vec_id % 11 = 3, "
+    "smallest first, q93 style); every vector joins its argmax-cosine "
+    "cell with an explicit (s DESC, cid) tiebreak; the centroid update "
+    "is made order-independent by quantizing each coordinate (and each "
+    "member's cosine, for the inertia objective) to fixed-point via "
+    "floor(x*1e12 + 0.5) — pure double ops that are bit-identical "
+    "across engines (the q64 trick; a DECIMAL cast is NOT safe here, "
+    "its half-way ties round differently) — then summing exact "
+    "integers, so the per-cell member count, the updated coordinates "
+    "(dims 0/32), the full-vector checksum sum(mean_j), the inertia "
+    "and the dim-0 centroid shift all agree with DuckDB bit-for-bit; "
+    "every double division happens AFTER the exact sum is cast, on "
+    "identical operands. Scale shape: the canonical distributed "
+    "k-means update — centroids broadcast into the scoring cross "
+    "join, assignment is one narrow window on vec_id, and the update "
+    "is posexplode to (cell, dim) followed by a partial-aggregating "
+    "groupBy with k*dim groups; per-cell counts ride a second tiny "
+    "agg and the three per-cell frames join broadcast. No vector "
+    "ever moves twice.",
+    tags=("similarity", "kmeans"),
+)
+def q99_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cents = (
+        emb.where(F.col("vec_id") % 11 == 3)
+        .orderBy("vec_id")
+        .limit(KM_K)
+        .select(F.col("vec_id").alias("cid"), _emb().alias("c"))
+    )
+    e = emb.select("vec_id", _emb().alias("v"))
+    s = _dot(F.col("v"), F.col("c")) / (
+        F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("c")))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", s.alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), "cid")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"), "s")
+    )
+    scale = F.lit(float(KM_SCALE))
+    quant = lambda c: F.floor(c * scale + F.lit(0.5)).cast("bigint")  # noqa: E731
+    dimsum = (
+        assign.select("cell", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.sum(quant(F.col("x"))).alias("sq"))
+    )
+    percell = dimsum.groupBy("cell").agg(
+        F.sum("sq").alias("total"),
+        F.max(F.when(F.col("dim") == 0, F.col("sq"))).alias("s0"),
+        F.max(F.when(F.col("dim") == 32, F.col("sq"))).alias("s32"),
+    )
+    counts = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(quant(F.col("s"))).alias("iq"),
+    )
+    old = cents.select(
+        F.col("cid").alias("cell"), F.col("c")[0].alias("old_d0")
+    )
+    n = F.col("n_members")
+    unq = lambda c: c.cast("double") / scale  # noqa: E731
+    return (
+        percell.join(F.broadcast(counts), "cell")
+        .join(F.broadcast(old), "cell")
+        .select(
+            "cell",
+            "n_members",
+            (unq(F.col("s0")) / n).alias("new_d0"),
+            (unq(F.col("s32")) / n).alias("new_d32"),
+            (unq(F.col("total")) / n).alias("centroid_checksum"),
+            unq(F.col("iq")).alias("inertia"),
+            (unq(F.col("s0")) / n - F.col("old_d0")).alias("shift_d0"),
+        )
+        .orderBy("cell")
+    )

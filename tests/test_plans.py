@@ -511,3 +511,36 @@ def test_q88_mad_broadcasts_medians(spark, sf_dir):
     df = analytics_ext.q88_robust_stats(spark, sf_dir)
     assert I.has_broadcast_join(df)
     assert not I.has_cartesian(df)
+
+
+def test_q99_kmeans_step_broadcast_update_no_udf(spark, sf_dir):
+    """The Lloyd-step update must be the canonical distributed shape:
+    the k seed centroids BROADCAST into the scoring cross join (a
+    sort-merge or shuffled cartesian on the full vector table would
+    move every vector k times), the per-(cell, dim) update partially
+    aggregates map-side, and the three tiny per-cell frames join
+    broadcast. No Python UDF anywhere; the only sort is the final
+    8-row orderBy."""
+    from hcdc_spark.operators import similarity
+
+    df = similarity.q99_kmeans_step(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "pythonudf" not in p.lower()
+    assert I.broadcast_join_count(df) >= 3
+    assert I.sortmerge_join_count(df) == 0
+
+
+def test_q99_kmeans_step_partition_invariants(spark, sf_dir):
+    """One Lloyd step is a partition of the data: member counts sum to
+    the vector count, every seed cell survives (the seeds themselves
+    are members, so no cell is empty), and the inertia is bounded by
+    the member count (each cosine <= 1)."""
+    from hcdc_spark.operators import similarity
+
+    rows = similarity.q99_kmeans_step(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert len(rows) == similarity.KM_K
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    for r in rows:
+        assert r["inertia"] <= r["n_members"] + 1e-9
+        assert r["n_members"] > 0

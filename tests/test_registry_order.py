@@ -1,12 +1,11 @@
 """Gate the driver-budget registry ordering.
 
 The external correctness harness checks exactly the first 50 registry
-entries per round (flat count — observed in rounds 1-6). These tests pin
-the round-7 contract: every query whose implementation or oracle is new
+entries per round (flat count — observed in rounds 1-7). These tests pin
+the round-8 contract: every query whose implementation or oracle is new
 or stranded sits inside that prefix (a green row that predates the code
-is not evidence), plus the currency-rotation blocks (all 14 r3-dated
-greens and the 15 oldest r4-dated greens that kept their slots after
-the new-query block grew to q89-q98/c19) and the spine.
+is not evidence), plus the currency-rotation blocks (all 24 r4-dated
+greens and the 19 oldest r6-dated greens) and the spine.
 """
 
 from __future__ import annotations
@@ -16,52 +15,45 @@ import pathlib
 
 import __spark_entry__ as E
 
-#: Round-7 must-verify set: q43's md5-embedding oracle landed in round
-#: 6 but was left stranded outside the window (both registry gates
-#: fired on it — the round-6 verdict's #1 item); q89 is NEW (the
-#: q73-style md5 oracle twin of q36's hyperplane-LSH ANN). A changed
-#: or row-less query needs a FRESH driver row regardless of pytest
-#: greenness.
+#: Round-8 must-verify set: q99 is NEW (the bit-exact one-iteration
+#: Lloyd k-means step — the oracle twin of the TRAINING update q53
+#: left rows-only; q93 already twins assignment + re-ranking). A
+#: changed or row-less query needs a FRESH driver row regardless of
+#: pytest greenness. The c01-c04 relational-fold oracle SQL is
+#: UNCHANGED this round (the at-cap boundary seeds are new pytest
+#: parity shapes, not oracle-text changes), so only the spine's c01
+#: tripwire re-verifies that family.
 CHANGED_THIS_ROUND = {
-    "q43_media_embed_knn",
-    "q89_ann_lsh_md5",
-    "q90_chunk_dedup",
-    "q91_simhash_md5",
-    "q92_embedding_neardup_md5",
-    "q93_ivf_ann_fixed",
-    "q94_chunk_dedup_rewrite",
-    "q95_vocab_oov",
-    "q96_bigram_dup_rate",
-    "q97_pq_ann_adc",
-    "q98_ingest_pipeline",
-    # q28's token join gained the size-ratio prefilter inside the join
-    # condition (output-identical by construction, but changed code
-    # re-verifies; q58 shares the exact_jaccard_pairs helper and is
-    # r4-green on the unchanged semantics)
-    "q28_jaccard_pairs",
-    "c19_stream_doc_dedup",
-    # the relational-fold oracle SQL was reworked (trajectory-based
-    # state synthesis + shared TRUNCATE-clamp CTE, re-creation epochs
-    # exercised, and — late in the round — the directory-cascade
-    # expansion generalized to a builder-generated multi-round CHAIN
-    # so overlapping dir-op subtrees are modeled) — outputs pinned
-    # identical on the goldens, but changed oracle text re-verifies
-    # under the driver hash
-    "c01_cdc_file_state",
-    "c02_cdc_error_channel",
-    "c03_cdc_change_set",
-    "c04_stream_reconcile",
+    "q99_kmeans_step",
 }
 
-#: The 14 queries whose latest driver green still dates to round 3 —
-#: the currency debt rounds 5 and 6 carried, and the round-6 verdict's
-#: rotation block (b).
-R3_DATED = {
-    "q02_filter_project", "q10_agg_distinct", "q24_latest_per_key",
-    "q25_sessionization", "q26_interval_merge", "q35_embedding_neardup",
-    "q42_media_analyze", "q45_collect_sets", "q63_sequence_packing",
-    "q64_embedding_quantization", "q69_ngram_topk", "q70_salted_join_agg",
-    "q71_media_resize", "q72_skew_safe_distinct",
+#: The 24 queries whose latest driver green still dates to round 4 —
+#: the full list the round-7 ADVICE corrected (the verdict body named
+#: only 20), and the round-7 verdict's rotation mandate #1.
+R4_DATED = {
+    "q21_hash_functions", "q41_binary_listing", "q51_approx_distinct",
+    "q54_hash_split", "q55_corpus_composition", "q56_repetition",
+    "q57_quality_funnel", "q58_dedup_clusters", "q61_block_range_read",
+    "q62_pii_redaction", "q74_bucketed_join", "q75_scd2_history",
+    "q76_doc_chunking", "q77_approx_percentile", "q78_weighted_sample",
+    "q79_zorder_cluster", "q80_histogram", "q81_corr_stats",
+    "q82_fuzzy_search", "q83_date_rollup_gapfill", "q84_retention_cohorts",
+    "q85_event_funnel", "q87_array_lambdas", "q88_robust_stats",
+}
+
+#: The oldest r6-dated rows that take the 19 leftover slots — the
+#: whole streaming/CDC block plus the join/window/scalar head — so
+#: after round 8 no oracle-bearing query's latest green is older
+#: than two rounds.
+R6_ROTATION = {
+    "c05_stream_window_agg", "c09_stream_static_join",
+    "c10_stream_stream_join", "c11_protobuf_roundtrip",
+    "c12_fsimage_bootstrap", "c13_stream_session_window",
+    "c14_stream_dedup", "c15_tx_gaps", "c16_editlog_decode",
+    "c18_editlog_layout64", "q04_left_outer_join", "q06_semi_join",
+    "q09_cross_join", "q13_window_rank", "q14_window_analytic",
+    "q15_sort_limit", "q17_string_functions", "q18_datetime_functions",
+    "q19_conditional",
 }
 
 #: Long-green canaries that must stay in the prefix as regression
@@ -72,9 +64,10 @@ SPINE = {"q01_pricing_summary", "q05_star_join", "q39_avro_roundtrip",
 #: Rows-only by design (xxhash64 has no DuckDB equivalent). Their
 #: rows-only driver status is on record (r3) — keeping them in the
 #: prefix would burn slots that can never go green, so they sit PAST 50
-#: on purpose. Each non-iterative member has an md5-hash oracle twin
-#: carrying its greenness: q29↔q73, q36↔q89, q38↔q91, q52↔q92; q53's
-#: float k-means iteration is the one genuinely twin-less member.
+#: on purpose. Every member's SHAPE has an md5-/fixed-arithmetic
+#: oracle twin carrying its greenness: q29↔q73, q36↔q89, q38↔q91,
+#: q52↔q92, and q53's cell assignment↔q93 plus its k-means TRAINING
+#: update↔q99 (round 8 closed the last twin-less shape).
 ROWS_ONLY_BY_DESIGN = {
     "q29_minhash_lsh",
     "q36_ann_lsh",
@@ -98,7 +91,9 @@ def _union_green() -> set[str]:
 def test_changed_and_spine_inside_first_50():
     names = list(E.queries().keys())
     first = set(names[:50])
-    missing = (CHANGED_THIS_ROUND | R3_DATED | SPINE) - first
+    missing = (
+        CHANGED_THIS_ROUND | R4_DATED | R6_ROTATION | SPINE
+    ) - first
     assert not missing, f"starved of driver signal: {sorted(missing)}"
 
 
@@ -128,6 +123,25 @@ def test_new_queries_land_inside_first_50():
     assert not outside, f"new queries past the driver budget: {outside}"
 
 
+def test_no_green_older_than_two_rounds_after_this_window():
+    """The round-8 currency bar: assuming the window goes green, every
+    oracle-bearing query's latest green must be r6 or newer — i.e. the
+    set of queries whose latest green predates r6 must be a subset of
+    the verified prefix."""
+    latest: dict[str, int] = {}
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(p.stem.split("_r")[1])
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("hash_match") and row.get("rows_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    stale = {n for n, r in latest.items() if r < 6}
+    names = list(E.queries().keys())
+    first = set(names[:50])
+    left_out = stale - first
+    assert not left_out, f"stale greens not scheduled: {sorted(left_out)}"
+
+
 def test_rows_only_by_design_have_no_oracle():
     oracles = set(E.oracle_sql())
     leaked = ROWS_ONLY_BY_DESIGN & oracles
@@ -143,14 +157,9 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 120
+    assert len(qs) >= 121
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 7: q89 (md5 LSH ANN twin), q90 (chunk dedup), q91 (md5
-    # simhash twin), q92 (md5 embedding-neardup twin), q93
-    # (fixed-centroid IVF twin), q94 (chunk-dedup rewrite pass),
-    # q95 (learned vocab + OOV), q96 (corpus-duplicated bigram
-    # fraction), q97 (PQ ANN with ADC ranking), q98 (composed
-    # ingest pipeline) and c19 (streaming content dedup) join the
-    # oracle-bearing set, q43's r6 oracle counted — 115/120
-    assert len(oracles) >= 115
+    # round 8: q99 (bit-exact Lloyd k-means training step) joins the
+    # oracle-bearing set — 116/121
+    assert len(oracles) >= 116
