@@ -84,13 +84,19 @@ def main() -> None:
             except Exception as exc:  # warmup must never fail the bench
                 print(f"WARNING: warmup {name}: {exc}", file=sys.stderr)
 
-    # Two timed passes, report per-query MIN: the warmup pass above
-    # removes one-time JIT/codegen cost, and min-of-2 removes transient
+    # THREE timed passes, report per-query MIN: the warmup pass above
+    # removes one-time JIT/codegen cost, and min-of-3 removes transient
     # machine noise (co-tenant load measured inflating identical plans
-    # up to 2x run-to-run) — steady-state engine throughput is the
-    # metric, not the noise floor of a shared box.
+    # up to 2x run-to-run; round 7's single-number artifact recorded a
+    # phantom +17% that three same-tree reruns disproved) —
+    # steady-state engine throughput is the metric, not the noise
+    # floor of a shared box. The per-pass totals ship in "runs" so a
+    # cross-round comparison can see the spread instead of chasing one
+    # sample.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    runs: list[float] = []
+    for _pass in range(3):
+        pass_total = 0.0
         for name in headline:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
@@ -98,8 +104,10 @@ def main() -> None:
             # let Catalyst prune the projection and under-measure).
             df.write.format("noop").mode("overwrite").save()
             el = round(time.perf_counter() - t0, 4)
+            pass_total += el
             if name not in timings or el < timings[name]:
                 timings[name] = el
+        runs.append(round(pass_total, 4))
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -111,6 +119,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

@@ -87,6 +87,15 @@ _MODELED_OPS = frozenset(
      "CLOSE", "DELETE", "RENAME", "IGNORE", "ERROR", "CONCAT_DELETE")
 )
 
+#: SQL-size caps — the ONLY remaining bounds on the fold oracle's
+#: shape vocabulary (everything else is modeled). Each cap bounds the
+#: length of a generated CTE chain, not the semantics: the clamp chain
+#: gets one stage per TRUNCATE round, the cascade chain one stage per
+#: directory-op round. tests/test_cdc_queries.py parity-tests logs AT
+#: both caps and pins the refusal message one past them.
+MAX_TRUNCS_PER_LIFETIME = 8
+MAX_DIR_OPS = 8
+
 
 def _simulate(events: list[dict]):
     """Sequential gating simulator: tx-dedup, cascade directory ops in
@@ -202,8 +211,9 @@ def check_invariants(events: list[dict]) -> None:
         if e["op"] in ("DELETE", "RENAME")
         and e["inode_id"] not in file_inodes
     ]
-    assert len(dir_ops) <= 8, (
-        f"{len(dir_ops)} directory ops exceed the cascade-chain cap"
+    assert len(dir_ops) <= MAX_DIR_OPS, (
+        f"{len(dir_ops)} directory ops exceed the cascade-chain cap "
+        f"(MAX_DIR_OPS = {MAX_DIR_OPS})"
     )
     areas = [
         m
@@ -251,9 +261,10 @@ def check_invariants(events: list[dict]) -> None:
             # chain, sized by trunc_rounds()); the cap only bounds the
             # generated SQL
             truncs = [e for e in life if e["op"] == "TRUNCATE"]
-            assert len(truncs) <= 8, (
+            assert len(truncs) <= MAX_TRUNCS_PER_LIFETIME, (
                 f"inode {inode}: {len(truncs)} TRUNCATEs in one "
-                "lifetime exceeds the clamp-chain cap"
+                "lifetime exceed the clamp-chain cap "
+                f"(MAX_TRUNCS_PER_LIFETIME = {MAX_TRUNCS_PER_LIFETIME})"
             )
             # the fold SQL assumes chain order == block-id order
             # (blocks are allocated with a monotonically increasing

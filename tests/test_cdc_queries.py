@@ -289,3 +289,218 @@ def test_relational_fold_parity_across_seeds(oracle):
     # ALL 130 candidate logs satisfy the gate — require a floor close
     # to that so silent mass-skipping can't hollow the test out
     assert tested >= 120, (tested, skipped)
+
+
+def _assert_fold_parity(oracle, ev):
+    """Full three-query parity (state / errors / change set) between
+    the DuckDB window-SQL fold and the sequential Python statemachine
+    on a hand-authored log."""
+    from hcdc_spark.operators import cdc_oracle as O
+
+    O.check_invariants(ev)
+    ctes = O.render_input_ctes(ev)
+    k, cr = O.trunc_rounds(ev), O.cascade_rounds(ev)
+    want_state, want_errs, want_cs = _python_fold(ev)
+    got_state = sorted(
+        tuple(r) for r in oracle.execute(
+            O.state_query(ctes, True, trunc_rounds=k, cascade_rounds=cr)
+        ).fetchall()
+    )
+    assert got_state == want_state, "state diverged"
+    got_errs = sorted(
+        tuple(r) for r in oracle.execute(
+            O.errors_query(ctes, cascade_rounds=cr)
+        ).fetchall()
+    )
+    assert got_errs == want_errs, "errors diverged"
+    got_cs = sorted(
+        tuple(r) for r in oracle.execute(
+            O.changeset_query(ctes, trunc_rounds=k, cascade_rounds=cr)
+        ).fetchall()
+    )
+    assert got_cs == want_cs, "change set diverged"
+    return want_state
+
+
+def _trunc_cap_log(n_truncs: int) -> list[dict]:
+    """One inode whose single lifetime carries exactly ``n_truncs``
+    TRUNCATEs, each separated by growth (so every clamp stage clamps
+    against the PREVIOUS stage's shrunken sizes, not the original
+    assertion), with a second block added mid-chain and post-truncate
+    growth before the final CLOSE — the deepest shape the clamp chain
+    generates SQL for when n_truncs == MAX_TRUNCS_PER_LIFETIME."""
+    from hcdc_spark.cdc.generator import empty_event
+
+    ns, blk_size = "ns1", 1 << 20
+    tx = 0
+
+    def nxt():
+        nonlocal tx
+        tx += 1
+        return tx, 1_700_000_000_000 + tx * 1000
+
+    def blk(bid, size):
+        return {"block_id": bid, "size": size, "block_size": blk_size,
+                "generation_stamp": 1, "start_offset": None,
+                "end_offset": None, "delta_size": None, "deleted": False}
+
+    path = "/data/cap/f.parquet"
+    ev: list[dict] = []
+    t, ts = nxt()
+    ev.append(empty_event(tx_id=t, ts=ts, op="ADD_FILE", namespace=ns,
+                          path=path, inode_id=1, block_size=blk_size,
+                          overwrite=False, modified_time=ts,
+                          blocks=[blk(700, 0)], mode="New"))
+    size = 0
+    bsizes = {700: 0}          # generator convention: block sizes are
+    cur = 700                  # NOT shrunk by TRUNCATE, only regrown
+    for i in range(n_truncs):
+        if i == n_truncs // 2:  # second block joins mid-chain
+            t, ts = nxt()
+            ev.append(empty_event(
+                tx_id=t, ts=ts, op="ADD_BLOCK", namespace=ns, path=path,
+                inode_id=1, mode="New",
+                blocks=[blk(cur, bsizes[cur]), blk(701, 0)],
+            ))
+            bsizes[701] = 0
+            cur = 701
+        grow = 5000 + 1000 * i
+        bsizes[cur] += grow
+        size += grow
+        t, ts = nxt()
+        ev.append(empty_event(tx_id=t, ts=ts, op="UPDATE_BLOCKS",
+                              namespace=ns, path=path, inode_id=1,
+                              mode="New", blocks=[blk(cur, bsizes[cur])]))
+        t, ts = nxt()
+        size -= 1500 + 100 * i
+        ev.append(empty_event(tx_id=t, ts=ts, op="TRUNCATE",
+                              namespace=ns, path=path, inode_id=1,
+                              truncate_new_length=size, mode="New"))
+    bsizes[cur] += 2048  # post-truncate growth without an intervening
+    size += 2048         # CLOSE — the modeled anomaly shape
+    t, ts = nxt()
+    ev.append(empty_event(tx_id=t, ts=ts, op="UPDATE_BLOCKS",
+                          namespace=ns, path=path, inode_id=1,
+                          mode="New", blocks=[blk(cur, bsizes[cur])]))
+    t, ts = nxt()
+    ev.append(empty_event(tx_id=t, ts=ts, op="CLOSE", namespace=ns,
+                          path=path, inode_id=1, length=size,
+                          modified_time=ts, file_type="PARQUET",
+                          mode="New",
+                          blocks=[blk(b, s) for b, s in
+                                  sorted(bsizes.items())]))
+    return ev
+
+
+def _dir_cap_log(n_dir_ops: int) -> list[dict]:
+    """A log carrying exactly ``n_dir_ops`` directory ops whose
+    subtrees OVERLAP (rename chains, a cascade landing on a re-created
+    lifetime, double deletes through renames) — so cascade_rounds ==
+    n_dir_ops and the cascade chain is generated at full depth when
+    n_dir_ops == MAX_DIR_OPS."""
+    from hcdc_spark.cdc.generator import empty_event
+
+    ns, blk_size = "ns1", 1 << 20
+    tx = 0
+
+    def nxt():
+        nonlocal tx
+        tx += 1
+        return tx, 1_700_000_000_000 + tx * 1000
+
+    def blk(bid, size):
+        return {"block_id": bid, "size": size, "block_size": blk_size,
+                "generation_stamp": 1, "start_offset": None,
+                "end_offset": None, "delta_size": None, "deleted": False}
+
+    ev: list[dict] = []
+
+    def add_file(inode, path, bid):
+        t, ts = nxt()
+        ev.append(empty_event(tx_id=t, ts=ts, op="ADD_FILE",
+                              namespace=ns, path=path, inode_id=inode,
+                              block_size=blk_size, overwrite=False,
+                              modified_time=ts, blocks=[blk(bid, 0)],
+                              mode="New"))
+        t, ts = nxt()
+        ev.append(empty_event(tx_id=t, ts=ts, op="CLOSE", namespace=ns,
+                              path=path, inode_id=inode, length=4096,
+                              modified_time=ts, file_type="PARQUET",
+                              mode="New", blocks=[blk(bid, 4096)]))
+
+    def dir_op(op, dinode, path, dest=None):
+        t, ts = nxt()
+        ev.append(empty_event(tx_id=t, ts=ts, op=op, namespace=ns,
+                              path=path, inode_id=dinode,
+                              dest_path=dest,
+                              rename_opts="NONE" if dest else None,
+                              mode="New"))
+
+    add_file(1, "/data/a/f1.parquet", 710)
+    add_file(2, "/data/a/f2.parquet", 711)
+    add_file(3, "/data/b/f3.parquet", 712)
+    add_file(4, "/data/c/f4.parquet", 713)
+    ops = [
+        ("RENAME", "/data/a", "/data/a2"),    # moves f1, f2
+        ("DELETE", "/data/a", None),          # now empty: cascades 0
+        ("RENAME", "/data/a2", "/data/a3"),   # chain hop
+        ("DELETE", "/data/a3", None),         # kills f1, f2
+        ("RENAME", "/data/b", "/data/bb"),    # moves f3 + re-created f1
+        ("DELETE", "/data/bb", None),         # kills them again
+        ("RENAME", "/data/c", "/data/cc"),
+        ("DELETE", "/data/cc", None),
+    ]
+    assert n_dir_ops <= len(ops) + 1
+    for i, (op, path, dest) in enumerate(ops[:n_dir_ops]):
+        if i == 4:  # re-create a cascade-deleted inode mid-sequence,
+            add_file(1, "/data/b/f1b.parquet", 714)  # under a dir a
+        dir_op(op, 900_001 + i, path, dest)          # later op hits
+    if n_dir_ops > len(ops):  # over-cap probe: one extra disjoint op
+        dir_op("DELETE", 900_100, "/data/zzz")
+    return ev
+
+
+def test_fold_parity_at_truncate_clamp_cap(oracle):
+    """Exactly MAX_TRUNCS_PER_LIFETIME TRUNCATEs in one lifetime — the
+    deepest clamp chain the oracle will ever generate — must pass the
+    invariant gate, size the chain to the cap, and match the Python
+    fold on all three queries."""
+    from hcdc_spark.operators import cdc_oracle as O
+
+    ev = _trunc_cap_log(O.MAX_TRUNCS_PER_LIFETIME)
+    assert O.trunc_rounds(ev) == O.MAX_TRUNCS_PER_LIFETIME
+    state = _assert_fold_parity(oracle, ev)
+    # the fold actually digested the chain: the file survives with the
+    # post-truncate-growth size, not the first or last assertion
+    (row,) = state
+    assert row[2] == "Finalized"
+    assert row[3] == ev[-1]["length"]
+
+
+def test_fold_parity_at_dir_op_cascade_cap(oracle):
+    """Exactly MAX_DIR_OPS overlapping directory ops — the deepest
+    cascade chain the oracle will ever generate — must pass the gate,
+    size the chain to the cap, and match the Python fold."""
+    from hcdc_spark.operators import cdc_oracle as O
+
+    ev = _dir_cap_log(O.MAX_DIR_OPS)
+    assert O.cascade_rounds(ev) == O.MAX_DIR_OPS
+    state = _assert_fold_parity(oracle, ev)
+    by_inode = {r[0]: r for r in state}
+    # f1 was cascade-deleted, re-created under /data/b, renamed to
+    # /data/bb, and cascade-deleted again — the chain's worst case
+    assert by_inode[1][2] == "Deleted"
+    assert by_inode[4][2] == "Deleted"  # via the rename->delete chain
+
+
+def test_fold_refuses_one_past_the_caps():
+    """One past either cap must refuse LOUDLY, naming the cap constant
+    and its value — never silently truncate the chain."""
+    import pytest as _pytest
+
+    from hcdc_spark.operators import cdc_oracle as O
+
+    with _pytest.raises(AssertionError, match=r"MAX_TRUNCS_PER_LIFETIME = 8"):
+        O.check_invariants(_trunc_cap_log(O.MAX_TRUNCS_PER_LIFETIME + 1))
+    with _pytest.raises(AssertionError, match=r"MAX_DIR_OPS = 8"):
+        O.check_invariants(_dir_cap_log(O.MAX_DIR_OPS + 1))
