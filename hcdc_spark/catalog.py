@@ -10,6 +10,7 @@ query.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -55,8 +56,17 @@ def load_tables(
         # under an externally-created session (the driver's).
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+        except Exception as exc:
+            # A session that can't take the conf (e.g. the flag was
+            # removed or the context is mid-shutdown) isn't fatal HERE:
+            # the read below either succeeds (non-nanos file) or fails
+            # with Spark's own TIMESTAMP(NANOS) error, which names the
+            # real problem. Surface the suppressed set for diagnosis.
+            warnings.warn(
+                f"could not set nanosAsLong ({exc!r}); events.ts may "
+                "fail to read if the file carries TIMESTAMP(NANOS)",
+                stacklevel=2,
+            )
     app = spark.sparkContext.applicationId
     base = os.path.abspath(sf_dir)
     out: dict[str, DataFrame] = {}

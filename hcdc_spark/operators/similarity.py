@@ -1230,3 +1230,116 @@ def q99_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ------------------------------------------- scale-regime near-dup LSH
+
+NEARDUP_SCALED_BANDS = 16
+NEARDUP_SCALED_THRESHOLD = 0.9
+
+
+def neardup_scaled_bits(n_rows: int, target_bucket_rows: int = 16) -> int:
+    """Bits per LSH band sized to the corpus: 2^bits buckets per band
+    keeps the EXPECTED bucket size ~target_bucket_rows, so random-pair
+    candidates stay ~bands * n * target/2 — LINEAR in n — instead of
+    the quadratic n^2 / 2^bits a FIXED bit width degrades to. The
+    100 TB prescription: bits is a function of corpus size, exactly
+    like shuffle partitions."""
+    import math as _math
+
+    return max(4, _math.ceil(_math.log2(max(n_rows, 1) / target_bucket_rows)))
+
+
+@REG.add(
+    "q100_neardup_scaled",
+    None,
+    doc="Embedding near-dup in the SCALE regime — the production "
+    "configuration of the q52/q92 shape, added after round 8's "
+    "honest scaling point (embeddings finally scaled in the synth "
+    "corpus) exposed the fixed 4-bit banding as quadratic: 16 buckets "
+    "per band means bucket size grows with the corpus and candidates "
+    "grow as n^2/2^bits (q92 measured 23.9x wall at 10x rows). Here "
+    "bits per band is sized from the corpus (ceil(log2(n/16)) — one "
+    "count job, then a literal in the plan), which pins expected "
+    "bucket size and makes random-pair candidates LINEAR in n; 16 "
+    "bands at the production threshold 0.9 give ~93% per-pair recall "
+    "((1-(1-0.857^bits-ish)^16); the 0.45 threshold q52/q92 serve is "
+    "NOT scalable by any banding — hyperplane collision at theta=63 "
+    "deg is 0.65/bit, so low-threshold all-pairs is a clustering "
+    "problem (q68) or a capped exact join (q35), and q52/q92 remain "
+    "the small-SF oracle shapes. Rows-only BY STRUCTURE: bits depends "
+    "on a runtime count, so no static SQL mirrors it — its shape twin "
+    "is q92 (hash-exact: same banding -> candidate equi-join -> "
+    "distinct pair -> exact-cosine filter pipeline with fixed "
+    "parameters); recall vs exact pairs on a planted near-dup corpus "
+    "is gated in tests/test_text_dedup_similarity.py. Scale shape: "
+    "banding is a scan-side projection (no UDF), candidates shuffle "
+    "on the (band, key) pair, pairs dedup as bare (long, long) rows "
+    "before vectors join back by id. The registry entry surfaces the "
+    "TOP-20 colliding pairs by exact cosine (TakeOrdered, explicit id "
+    "tiebreak) so the driver's rows-only record is non-empty on the "
+    "random small-SF corpora, where zero pairs clear the 0.9 "
+    "threshold; neardup_pairs_scaled(threshold=0.9) is the production "
+    "thresholded form the planted-pair recall test drives.",
+    tags=("similarity", "dedup", "lsh"),
+)
+def q100_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return (
+        neardup_pairs_scaled(emb, threshold=None)
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+def neardup_pairs_scaled(
+    emb: DataFrame,
+    threshold: float | None = NEARDUP_SCALED_THRESHOLD,
+    n_bands: int = NEARDUP_SCALED_BANDS,
+    target_bucket_rows: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All (a, b, cos_sim) pairs above ``threshold`` (None = every
+    candidate, for rank-k consumers) that collide in at least one
+    corpus-sized LSH band (see q100 doc for the regime)."""
+    bits = neardup_scaled_bits(emb.count(), target_bucket_rows)
+    banded = hyperplane_bands(
+        emb, vec_col=vec_col, n_bands=n_bands, bits_per_band=bits
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key"))
+            for b in range(n_bands)
+        ]
+    )
+    exploded = banded.select(
+        id_col, F.explode(pairs).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    a = exploded.select("band", "key", F.col(id_col).alias("vec_a"))
+    b = exploded.select("band", "key", F.col(id_col).alias("vec_b"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).cast("array<double>").alias("ea"),
+    )
+    eb = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).cast("array<double>").alias("eb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
+    )
+    out = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+    )
+    if threshold is not None:
+        out = out.where(F.col("cos_sim") > threshold)
+    return out

@@ -30,10 +30,21 @@ QUERIES = (
     # rewrite pass — each a distinct scale shape (banded bucket join,
     # pigeonhole band join, cell-bounded verify, window + regroup)
     "q91_simhash_md5",
-    "q92_embedding_neardup_md5",
+    # q92 was REPLACED by q100 in the probe set in round 8: with the
+    # embeddings table finally scaling, q92's fixed 4-bit banding
+    # measured 23.9x at 10x rows (quadratic candidates by
+    # construction — 16 buckets/band can't grow with the corpus).
+    # q100 is the scale-regime configuration: band width sized from
+    # the corpus count, so candidates stay linear. q92 remains the
+    # hash-exact oracle twin at driver SFs (COVERAGE.md round 8).
+    "q100_neardup_scaled",
     "q94_chunk_dedup_rewrite",
     "q95_vocab_oov",
     "q68_semantic_dedup",
+    # round-8 addition: the k-means training step (broadcast score →
+    # argmax window → posexplode update agg), measured against the
+    # now-actually-scaled embeddings table (gen_sf_scale round-8 note)
+    "q99_kmeans_step",
 )
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2

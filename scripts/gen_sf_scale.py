@@ -44,11 +44,20 @@ _SHIFTS = {
     "part": {"p_partkey": "p"},
     "supplier": {"s_suppkey": "s"},
     "documents": {"doc_id": "d"},
+    # embeddings scale too (round 8 — they were copied 1x before, so
+    # every embedding-family slope was measured on an UNSCALED input):
+    # vec_ids shift, and each copy's vectors are dimension-ROTATED (see
+    # below) so cross-copy cosine is low — the angular analogue of the
+    # documents token salt: near-dup pairs and LSH cells scale K x, not
+    # K^2, and copy 0 stays byte-identical (fixed centroid/codebook
+    # picks by smallest vec_id keep selecting the original rows).
+    "embeddings": {"vec_id": "v"},
 }
 _STRIDE_KEY = {"c": ("customer", "c_custkey"), "o": ("orders", "o_orderkey"),
                "p": ("part", "p_partkey"), "s": ("supplier", "s_suppkey"),
-               "d": ("documents", "doc_id")}
-_COPY_ASIS = ("nation", "region", "events", "embeddings")
+               "d": ("documents", "doc_id"),
+               "v": ("embeddings", "vec_id")}
+_COPY_ASIS = ("nation", "region", "events")
 
 
 def main() -> None:
@@ -86,6 +95,20 @@ def main() -> None:
                 c = c.withColumn(
                     "text",
                     F.regexp_replace("text", r"(\S+)", rf"$1_c{i}"),
+                )
+            if t == "embeddings" and i > 0:
+                # circular dim-shift by 7*i mod 64 (nonzero for every
+                # 0 < i < 64): norm-preserving, distribution-preserving,
+                # and angularly far from copy 0 for real embeddings —
+                # rotated copies land in different LSH cells instead of
+                # multiplying near-dup group sizes
+                r = (7 * i) % 64
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {r + 1}, {64 - r}),"
+                        f" slice(embedding, 1, {r}))"
+                    ),
                 )
             copies.append(c)
         union = copies[0]

@@ -544,3 +544,18 @@ def test_q99_kmeans_step_partition_invariants(spark, sf_dir):
     for r in rows:
         assert r["inertia"] <= r["n_members"] + 1e-9
         assert r["n_members"] > 0
+
+
+def test_q100_neardup_scaled_equi_join_no_cartesian(spark, sf_dir):
+    """The scale-regime near-dup must keep the q52/q92 plan shape with
+    corpus-sized bands: candidates come from an equi-join on the
+    (band, key) pair — never a cartesian — the banding itself is a
+    scan-side projection (no Python UDF), and the registry entry's
+    top-20 is TakeOrdered, not a global sort."""
+    from hcdc_spark.operators import similarity
+
+    df = similarity.q100_neardup_scaled(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert not I.has_cartesian(df)
+    assert "pythonudf" not in p.lower()
+    assert "TakeOrdered" in p

@@ -580,3 +580,54 @@ def test_fuzzy_search_ascii_projection_cross_engine(spark):
         ).fetchone()[0]
         assert got[s] == want, s
     con.close()
+
+
+def test_neardup_scaled_recall_on_planted_pairs(spark):
+    """The scale-regime near-dup (corpus-sized band bits, threshold
+    0.9) must recover planted near-duplicate pairs with high recall
+    and perfect precision (exact re-rank), on a corpus big enough
+    that the adaptive bits kick in above the floor."""
+    import math
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    planted = set()
+    vid = 0
+    for base in range(300):
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        rows.append((vid, "base", v))
+        anchor = vid
+        vid += 1
+        if base % 5 == 0:  # plant a near-dup: tiny angular perturbation
+            w = [x + rng.gauss(0.0, 0.05) for x in v]
+            rows.append((vid, "dup", w))
+            nv = math.sqrt(sum(x * x for x in v))
+            nw = math.sqrt(sum(x * x for x in w))
+            cs = sum(a * b for a, b in zip(v, w)) / (nv * nw)
+            if cs > 0.9:
+                planted.add((anchor, vid))
+            vid += 1
+    emb = spark.createDataFrame(
+        [(i, lbl, [float(x) for x in v]) for i, lbl, v in rows],
+        "vec_id long, label string, embedding array<float>",
+    )
+    bits = similarity.neardup_scaled_bits(len(rows))
+    assert bits > 4  # the corpus is big enough to leave the floor
+    got_rows = similarity.neardup_pairs_scaled(emb).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in got_rows}
+    for r in got_rows:  # precision 1.0 by construction
+        assert r["cos_sim"] > 0.9
+    assert planted, "test corpus failed to plant any >0.9 pair"
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, f"scaled near-dup recall {recall} < 0.8"
+
+
+def test_neardup_scaled_bits_track_corpus_size(spark):
+    """The adaptive width is the operator's scale contract: expected
+    bucket size stays ~target, so candidates stay linear in n."""
+    assert similarity.neardup_scaled_bits(2_000) == 7
+    assert similarity.neardup_scaled_bits(20_000) == 11
+    assert similarity.neardup_scaled_bits(80_000) == 13
+    assert similarity.neardup_scaled_bits(100) == 4  # floor
+    assert similarity.neardup_scaled_bits(0) == 4    # degenerate corpus
