@@ -27,21 +27,24 @@ from hcdc_spark.registry import Registry
 # q54-q58, q61, q62, q74-q85, q87, q88), not the verdict body's
 # 20-name subset; (b) q99 (NEW: the bit-exact one-iteration Lloyd
 # k-means step -- the oracle twin of the TRAINING update q53 left
-# rows-only; q93 already twins assignment + re-ranking) and q100
-# (NEW: the scale-regime near-dup whose band width adapts to the
-# corpus size -- rows-only by structure, recording its rows-only
-# status the way the r3 LSH family did; shape twin q92); (c) the
+# rows-only; q93 already twins assignment + re-ranking), q100 (NEW:
+# the scale-regime near-dup whose band width adapts to the corpus
+# size -- rows-only by structure, recording its rows-only status the
+# way the r3 LSH family did; shape twin q92) and q101 (NEW: IVF-PQ
+# ANN, the FAISS-IVFADC composition of q93's cells with q97's ADC
+# codes -- hash-exact); (c) the
 # regression spine, including c01 so the relational-fold oracle
 # family keeps a live tripwire (its at-cap boundary seeds are new
-# this round; the oracle SQL text is unchanged); (d) with the 18
+# this round; the oracle SQL text is unchanged); (d) with the 17
 # remaining slots, the OLDEST r6-dated rows -- the whole
 # streaming/CDC block (c05, c09-c16, c18: stream-static/
 # stream-stream joins, session windows, protobuf, fsimage, editlog
 # decode + layout-64) plus the join/window/scalar head of the r6 set
-# (q04, q06, q09, q13, q14, q15, q17, q18) -- so after this round NO
+# (q04, q06, q09, q13, q14, q15, q17) -- so after this round NO
 # oracle-bearing query's latest green is older than r6 (two rounds),
-# and the 23 rows remaining r6-dated (q19, q20, q23, q27, q30-q34,
-# q37, q39_csv/json/orc, q40, q46, q50, q59, q60, q65-q68, q86) fit
+# and the 24 rows remaining r6-dated (q18, q19, q20, q23, q27,
+# q30-q34, q37, q39_csv/json/orc, q40, q46, q50, q59, q60, q65-q68,
+# q86 -- whose slots funded q100/q101) fit
 # one further rotation with room for a spine. The five
 # xxhash64-based LSH queries (q29/q36/q38/q52/q53) stay rows-only by
 # design and sit past 50 with their rows-only status on record (r3)
@@ -80,6 +83,7 @@ _FIRST_50: tuple[str, ...] = (
     # q92. Its slot came from q19, which stays r6-green.)
     "q99_kmeans_step",
     "q100_neardup_scaled",
+    "q101_ivfpq_ann",
     # C: oldest r6-dated rows -- the streaming/CDC block first
     "c05_stream_window_agg",
     "c09_stream_static_join",
@@ -99,7 +103,6 @@ _FIRST_50: tuple[str, ...] = (
     "q14_window_analytic",
     "q15_sort_limit",
     "q17_string_functions",
-    "q18_datetime_functions",
     # E: regression spine (one tripwire per family; c01 carries the
     # relational-fold oracle family)
     "q01_pricing_summary",

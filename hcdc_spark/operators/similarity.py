@@ -653,9 +653,10 @@ def _q93_oracle() -> str:
     "cid) tiebreak), the query probes its 4 nearest cells, and exact "
     "cosine re-ranks inside them (q34-proven bit-identical "
     "arithmetic) — so cell assignment, probe selection AND re-rank "
-    "are all hash-checked in DuckDB. Only the k-means TRAINING "
-    "iteration stays untwinned (q53 keeps it, rows-only + recall "
-    "gates). Scale shape: the 16 (k x dim) centroids broadcast into a "
+    "are all hash-checked in DuckDB. The k-means TRAINING update is "
+    "twinned separately by q99's bit-exact Lloyd step (q53 keeps the "
+    "float iteration, rows-only + recall gates). Scale shape: the 16 "
+    "(k x dim) centroids broadcast into a "
     "cross join, assignment is one window over the short score table, "
     "and the probe filter partition-prunes when the table is written "
     "partitioned by cell.",
@@ -1349,3 +1350,161 @@ def neardup_pairs_scaled(
     if threshold is not None:
         out = out.where(F.col("cos_sim") > threshold)
     return out
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def _q101_oracle() -> str:
+    dsum = " + ".join(f"d{j}" for j in range(PQ_M))
+    pivs = ",\n             ".join(
+        f"MAX(CASE WHEN w.j = {j} THEN l.ld END) AS d{j}"
+        for j in range(PQ_M)
+    )
+    cs = (
+        "list_dot_product(e.v, c.c) / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.c, c.c)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS ccid, v AS c FROM e
+      WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 16
+    ), cscored AS (
+      SELECT e.vec_id, c.ccid, {cs} AS cs FROM e CROSS JOIN cents c
+    ), cells AS (
+      SELECT vec_id, ccid AS cell
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cs DESC, ccid) AS rn FROM cscored)
+      WHERE rn = 1
+    ), qprobe AS (
+      SELECT ccid FROM cscored WHERE vec_id = 0
+      ORDER BY cs DESC, ccid LIMIT 4
+    ), js AS (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS j),
+    sub AS (
+      SELECT vec_id, label, j,
+             v[j * {PQ_SUBDIM} + 1 : j * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+      FROM e CROSS JOIN js
+    ), cb AS (
+      SELECT vec_id AS cid, v FROM e
+      WHERE vec_id % 5 = 2 ORDER BY vec_id LIMIT {PQ_K}
+    ), cbsub AS (
+      SELECT cid, j,
+             v[j * {PQ_SUBDIM} + 1 : j * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cv
+      FROM cb CROSS JOIN js
+    ), scored AS (
+      SELECT t.vec_id, t.label, t.j, c.cid,
+             list_dot_product(t.sv, c.cv) AS s
+      FROM sub t JOIN cbsub c USING (j)
+    ), codes AS (
+      SELECT vec_id, label, j, cid
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                        ORDER BY s DESC, cid) AS rn FROM scored)
+      WHERE rn = 1
+    ), lut AS (
+      SELECT j, cid, s AS ld FROM scored WHERE vec_id = 0
+    ), piv AS (
+      SELECT w.vec_id, w.label,
+             {pivs}
+      FROM codes w JOIN lut l USING (j, cid)
+      GROUP BY w.vec_id, w.label
+    )
+    SELECT p.vec_id, p.label, {dsum} AS adc_sim
+    FROM piv p JOIN cells t ON t.vec_id = p.vec_id
+    WHERE p.vec_id <> 0 AND t.cell IN (SELECT ccid FROM qprobe)
+    ORDER BY adc_sim DESC, p.vec_id LIMIT 10
+    """
+
+
+@REG.add(
+    "q101_ivfpq_ann",
+    _q101_oracle(),
+    doc="IVF-PQ ANN — the FAISS IVFADC composition, the index shape "
+    "production vector stores actually deploy at scale: q93's fixed "
+    "deterministic coarse quantizer prunes the search to the query's "
+    "4 nearest cells, and INSIDE the surviving cells ranking is q97's "
+    "asymmetric distance over PQ codes (argmax-dot codeword per "
+    f"{PQ_SUBDIM}-dim subvector against a fixed {PQ_K}-row codebook, "
+    "query LUT of per-subvector dots, fixed-order d0+..+d7 sum so the "
+    "float arithmetic is bit-identical cross-engine). Cell "
+    "assignment, probe selection, code assignment, LUT and the ADC "
+    "ranking ALL hash-check against DuckDB. Scale shape: at 100 TB "
+    "the table is written partitioned by cell so the probe filter is "
+    "partition PRUNING (reads 4/16ths of the codes, never the "
+    "vectors); centroids (16 rows), subvector codebook (128 rows) "
+    "and the query LUT (128 rows) all broadcast; the scan side "
+    "carries M one-byte codes per vector; top-10 via TakeOrdered. "
+    "Composes q93 (cells) and q97 (codes) into the two-level index "
+    "their docstrings describe separately.",
+    tags=("similarity", "ivf", "pq"),
+)
+def q101_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = emb.select("vec_id", "label", _emb().alias("v"))
+    # --- coarse quantizer (q93's fixed cells) ---
+    cents = (
+        e.where(F.col("vec_id") % 7 == 1)
+        .orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("ccid"), F.col("v").alias("c"))
+    )
+    cs = _dot(F.col("v"), F.col("c")) / (
+        F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("c")))
+    )
+    cscored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "ccid", cs.alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "ccid")
+    cells = (
+        cscored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("ccid").alias("cell"))
+    )
+    qscores = cscored.where(F.col("vec_id") == 0).collect()
+    probes = [
+        r["ccid"] for r in sorted(qscores, key=lambda r: (-r["cs"], r["ccid"]))
+    ][:4]
+    # --- PQ codes + ADC (q97's encoder) ---
+    sub = _pq_subvectors(e)
+    cb = (
+        e.where(F.col("vec_id") % 5 == 2)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cid"), "v")
+    )
+    cbsub = _pq_subvectors(cb).select("cid", "j", F.col("sv").alias("cv"))
+    scored = sub.join(F.broadcast(cbsub), "j").select(
+        "vec_id", "label", "j", "cid",
+        _dot(F.col("sv"), F.col("cv")).alias("s"),
+    )
+    wj = Window.partitionBy("vec_id", "j").orderBy(F.col("s").desc(), "cid")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(wj))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "j", "cid")
+    )
+    lut = scored.where(F.col("vec_id") == 0).select(
+        "j", "cid", F.col("s").alias("ld")
+    )
+    piv = codes.join(F.broadcast(lut), ["j", "cid"]).groupBy(
+        "vec_id", "label"
+    ).agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("ld"))).alias(f"d{j}")
+            for j in range(PQ_M)
+        ]
+    )
+    adc = F.col("d0")
+    for j in range(1, PQ_M):
+        adc = adc + F.col(f"d{j}")
+    return (
+        piv.join(cells, "vec_id")
+        .where(F.col("cell").isin(probes) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", adc.alias("adc_sim"))
+        .orderBy(F.col("adc_sim").desc(), "vec_id")
+        .limit(10)
+    )

@@ -559,3 +559,18 @@ def test_q100_neardup_scaled_equi_join_no_cartesian(spark, sf_dir):
     assert not I.has_cartesian(df)
     assert "pythonudf" not in p.lower()
     assert "TakeOrdered" in p
+
+
+def test_q101_ivfpq_broadcasts_all_artifacts(spark, sf_dir):
+    """IVF-PQ: the coarse centroids (16 rows), the subvector codebook
+    (128 rows) and the query LUT (128 rows) must all BROADCAST — the
+    scan side carries codes and cell ids only — with top-10 via
+    TakeOrdered and no cartesian or Python UDF anywhere."""
+    from hcdc_spark.operators import similarity
+
+    df = similarity.q101_ivfpq_ann(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert I.broadcast_join_count(df) >= 3
+    assert not I.has_cartesian(df)
+    assert "TakeOrdered" in p
+    assert "pythonudf" not in p.lower()

@@ -26,6 +26,7 @@ import __spark_entry__ as E
 CHANGED_THIS_ROUND = {
     "q99_kmeans_step",
     "q100_neardup_scaled",
+    "q101_ivfpq_ann",
 }
 
 #: The 24 queries whose latest driver green still dates to round 4 —
@@ -53,7 +54,7 @@ R6_ROTATION = {
     "c14_stream_dedup", "c15_tx_gaps", "c16_editlog_decode",
     "c18_editlog_layout64", "q04_left_outer_join", "q06_semi_join",
     "q09_cross_join", "q13_window_rank", "q14_window_analytic",
-    "q15_sort_limit", "q17_string_functions", "q18_datetime_functions",
+    "q15_sort_limit", "q17_string_functions",
 }
 
 #: Long-green canaries that must stay in the prefix as regression
@@ -162,9 +163,10 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 122
+    assert len(qs) >= 123
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 8: q99 (bit-exact Lloyd k-means training step) joins the
-    # oracle-bearing set — 116/122 (q100 is rows-only by structure)
-    assert len(oracles) >= 116
+    # round 8: q99 (bit-exact Lloyd k-means training step) and q101
+    # (IVF-PQ ADC) join the oracle-bearing set — 117/123 (q100 is
+    # rows-only by structure)
+    assert len(oracles) >= 117
