@@ -41,10 +41,13 @@ QUERIES = (
     "q94_chunk_dedup_rewrite",
     "q95_vocab_oov",
     "q68_semantic_dedup",
-    # round-8 addition: the k-means training step (broadcast score →
-    # argmax window → posexplode update agg), measured against the
-    # now-actually-scaled embeddings table (gen_sf_scale round-8 note)
+    # round-8 additions: the k-means training step (broadcast score →
+    # argmax window → posexplode update agg) and the IVF-PQ ANN
+    # (cell-pruned ADC over broadcast artifacts), both measured
+    # against the now-actually-scaled embeddings table (gen_sf_scale
+    # round-8 note)
     "q99_kmeans_step",
+    "q101_ivfpq_ann",
 )
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
