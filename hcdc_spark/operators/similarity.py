@@ -1158,9 +1158,15 @@ def _q99_oracle() -> str:
     "is made order-independent by quantizing each coordinate (and each "
     "member's cosine, for the inertia objective) to fixed-point via "
     "floor(x*1e12 + 0.5) — pure double ops that are bit-identical "
-    "across engines (the q64 trick; a DECIMAL cast is NOT safe here, "
-    "its half-way ties round differently) — then summing exact "
-    "integers, so the per-cell member count, the updated coordinates "
+    "across engines (the q64 trick; a DECIMAL cast of the COORDINATE "
+    "is NOT safe, its half-way ties round differently) — then summing "
+    "the exact integers as DECIMAL(20,0) (accumulator widens to "
+    "38 digits), matching DuckDB's BIGINT→HUGEINT sum promotion: "
+    "a BIGINT sum would silently wrap past ~2e6 members/cell at "
+    "|x|~4 (n_per_cell * max|x| * 1e12 < 2^63) while the oracle "
+    "promotes — the decimal accumulator moves that headroom to "
+    "~1e25 rows/cell and overflows LOUDLY to null, never a wrong "
+    "number. The per-cell member count, the updated coordinates "
     "(dims 0/32), the full-vector checksum sum(mean_j), the inertia "
     "and the dim-0 centroid shift all agree with DuckDB bit-for-bit; "
     "every double division happens AFTER the exact sum is cast, on "
@@ -1197,7 +1203,13 @@ def q99_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", F.col("cid").alias("cell"), "s")
     )
     scale = F.lit(float(KM_SCALE))
-    quant = lambda c: F.floor(c * scale + F.lit(0.5)).cast("bigint")  # noqa: E731
+    # quantize in DOUBLE (bit-identical cross-engine), then sum as
+    # decimal so the accumulator can't wrap: see the doc's headroom
+    # bound — DuckDB promotes BIGINT sums to HUGEINT, a Spark BIGINT
+    # sum wraps silently at ~2e6 members/cell.
+    quant = lambda c: (  # noqa: E731
+        F.floor(c * scale + F.lit(0.5)).cast("bigint").cast("decimal(20,0)")
+    )
     dimsum = (
         assign.select("cell", F.posexplode("v").alias("dim", "x"))
         .groupBy("cell", "dim")
@@ -1235,20 +1247,72 @@ def q99_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- scale-regime near-dup LSH
 
-NEARDUP_SCALED_BANDS = 16
 NEARDUP_SCALED_THRESHOLD = 0.9
 
 
 def neardup_scaled_bits(n_rows: int, target_bucket_rows: int = 16) -> int:
     """Bits per LSH band sized to the corpus: 2^bits buckets per band
     keeps the EXPECTED bucket size ~target_bucket_rows, so random-pair
-    candidates stay ~bands * n * target/2 — LINEAR in n — instead of
-    the quadratic n^2 / 2^bits a FIXED bit width degrades to. The
-    100 TB prescription: bits is a function of corpus size, exactly
-    like shuffle partitions."""
+    candidates stay ~bands * n * target/2 in n — instead of the
+    quadratic n^2 / 2^bits a FIXED bit width degrades to. The 100 TB
+    prescription: bits is a function of corpus size, exactly like
+    shuffle partitions."""
     import math as _math
 
     return max(4, _math.ceil(_math.log2(max(n_rows, 1) / target_bucket_rows)))
+
+
+def neardup_scaled_bands(
+    bits: int,
+    threshold: float = NEARDUP_SCALED_THRESHOLD,
+    target_recall: float = 0.93,
+) -> int:
+    """Bands sized to HOLD per-pair recall as bits grow with the corpus.
+
+    Random-hyperplane LSH theory: a pair at cosine >= ``threshold``
+    collides on one sign bit with probability p = 1 - acos(t)/pi
+    (0.857 at t=0.9), on a whole band with p^bits, and is recalled by
+    at least one of B bands with 1-(1-p^bits)^B. With bits growing as
+    log2(n/16) (neardup_scaled_bits) and B FIXED, recall decays with
+    the corpus (~0.90 at bits=13 but ~0.53 at bits=20 for B=16) — so
+    B must grow too: B = ceil(ln(1-R)/ln(1-p^bits)), the standard
+    banding trade. Cost: B ~ ln(1/(1-R)) / p^bits = O((n/16)^rho)
+    with rho = -log2(p) ~ 0.22 at t=0.9, so total candidates grow as
+    ~n^1.22 — the classic sublinear LSH exponent, still nowhere near
+    the n^2 a fixed geometry degrades to."""
+    import math as _math
+
+    p = 1.0 - _math.acos(min(max(threshold, -1.0), 1.0)) / _math.pi
+    p_band = p**bits
+    if p_band >= 1.0:
+        return 1
+    return max(
+        1, _math.ceil(_math.log(1.0 - target_recall) / _math.log(1.0 - p_band))
+    )
+
+
+def write_corpus_stats(emb: DataFrame, path: str) -> None:
+    """Persist the one-row corpus-stats artifact (currently: n_rows).
+
+    The learn-then-broadcast pattern (q95): at 100 TB the ingest
+    pipeline writes this row once per corpus version, and every
+    index build / banding-geometry decision reads the catalog
+    statistic instead of re-scanning the table for a count."""
+    emb.groupBy().agg(F.count(F.lit(1)).alias("n_rows")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def read_corpus_stats(spark: SparkSession, path: str) -> int | None:
+    """n_rows from a write_corpus_stats artifact, or None if absent
+    (callers fall back to a count() job)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(path).collect()
+    except AnalysisException:
+        return None
+    return int(rows[0]["n_rows"]) if rows else None
 
 
 @REG.add(
@@ -1260,11 +1324,15 @@ def neardup_scaled_bits(n_rows: int, target_bucket_rows: int = 16) -> int:
     "corpus) exposed the fixed 4-bit banding as quadratic: 16 buckets "
     "per band means bucket size grows with the corpus and candidates "
     "grow as n^2/2^bits (q92 measured 23.9x wall at 10x rows). Here "
-    "bits per band is sized from the corpus (ceil(log2(n/16)) — one "
-    "count job, then a literal in the plan), which pins expected "
-    "bucket size and makes random-pair candidates LINEAR in n; 16 "
-    "bands at the production threshold 0.9 give ~93% per-pair recall "
-    "((1-(1-0.857^bits-ish)^16); the 0.45 threshold q52/q92 serve is "
+    "bits per band is sized from the corpus (ceil(log2(n/16)) — read "
+    "from a persisted corpus-stats artifact when one exists, else one "
+    "count job; either way a literal in the plan), which pins "
+    "expected bucket size, and the BAND COUNT grows with bits "
+    "(neardup_scaled_bands) so per-pair recall HOLDS at ~0.93 as the "
+    "corpus grows instead of decaying (fixed 16 bands would be ~0.90 "
+    "recall at bits=13 but ~0.53 at bits=20); the band growth is the "
+    "classic sublinear LSH exponent — total candidates ~n^1.22 at "
+    "threshold 0.9; the 0.45 threshold q52/q92 serve is "
     "NOT scalable by any banding — hyperplane collision at theta=63 "
     "deg is 0.65/bit, so low-threshold all-pairs is a clustering "
     "problem (q68) or a capped exact join (q35), and q52/q92 remain "
@@ -1286,8 +1354,12 @@ def neardup_scaled_bits(n_rows: int, target_bucket_rows: int = 16) -> int:
 )
 def q100_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # banding geometry from the persisted corpus-stats row when the
+    # corpus ships one (scripts/gen_sf_scale.py writes it; at 100 TB
+    # it's a catalog statistic) — None falls back to one count() job
+    n_rows = read_corpus_stats(spark, f"{sf_dir}/corpus_stats.parquet")
     return (
-        neardup_pairs_scaled(emb, threshold=None)
+        neardup_pairs_scaled(emb, threshold=None, n_rows=n_rows)
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
         .limit(20)
     )
@@ -1296,15 +1368,26 @@ def q100_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_pairs_scaled(
     emb: DataFrame,
     threshold: float | None = NEARDUP_SCALED_THRESHOLD,
-    n_bands: int = NEARDUP_SCALED_BANDS,
+    n_bands: int | None = None,
     target_bucket_rows: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All (a, b, cos_sim) pairs above ``threshold`` (None = every
     candidate, for rank-k consumers) that collide in at least one
-    corpus-sized LSH band (see q100 doc for the regime)."""
-    bits = neardup_scaled_bits(emb.count(), target_bucket_rows)
+    corpus-sized LSH band (see q100 doc for the regime).
+
+    ``n_rows`` feeds the banding geometry without a count() job —
+    pass the value from a persisted write_corpus_stats artifact (the
+    100 TB path: a catalog statistic, not a scan). None falls back to
+    counting. ``n_bands=None`` sizes the band count to HOLD recall at
+    the grown bit width (neardup_scaled_bands); a fixed band count
+    would let recall decay with the corpus."""
+    n = emb.count() if n_rows is None else n_rows
+    bits = neardup_scaled_bits(n, target_bucket_rows)
+    if n_bands is None:
+        n_bands = neardup_scaled_bands(bits)
     banded = hyperplane_bands(
         emb, vec_col=vec_col, n_bands=n_bands, bits_per_band=bits
     )
@@ -1418,6 +1501,63 @@ def _q101_oracle() -> str:
     """
 
 
+def _ivfpq_coarse(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """q93's fixed deterministic coarse quantizer over an
+    (vec_id, label, v) frame: (cents(ccid, c), cscored(vec_id, ccid,
+    cs), cells(vec_id, cell)) — centroids broadcast, assignment one
+    narrow window with the (cs DESC, ccid) tiebreak."""
+    from pyspark.sql import Window
+
+    cents = (
+        e.where(F.col("vec_id") % 7 == 1)
+        .orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("ccid"), F.col("v").alias("c"))
+    )
+    cs = _dot(F.col("v"), F.col("c")) / (
+        F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("c")))
+    )
+    cscored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "ccid", cs.alias("cs")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "ccid")
+    cells = (
+        cscored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("ccid").alias("cell"))
+    )
+    return cents, cscored, cells
+
+
+def _ivfpq_codes(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """q97's PQ encoder over an (vec_id, label, v) frame: (cbsub(cid,
+    j, cv) — the fixed codebook's subvectors, scored(vec_id, label, j,
+    cid, s) — every (vector, codeword) dot, codes(vec_id, label, j,
+    cid) — the argmax codeword per subvector, (s DESC, cid) tiebreak)."""
+    from pyspark.sql import Window
+
+    sub = _pq_subvectors(e)
+    cb = (
+        e.where(F.col("vec_id") % 5 == 2)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cid"), "v")
+    )
+    cbsub = _pq_subvectors(cb).select("cid", "j", F.col("sv").alias("cv"))
+    scored = sub.join(F.broadcast(cbsub), "j").select(
+        "vec_id", "label", "j", "cid",
+        _dot(F.col("sv"), F.col("cv")).alias("s"),
+    )
+    wj = Window.partitionBy("vec_id", "j").orderBy(F.col("s").desc(), "cid")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(wj))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "j", "cid")
+    )
+    return cbsub, scored, codes
+
+
+
 @REG.add(
     "q101_ivfpq_ann",
     _q101_oracle(),
@@ -1441,52 +1581,16 @@ def _q101_oracle() -> str:
     tags=("similarity", "ivf", "pq"),
 )
 def q101_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     e = emb.select("vec_id", "label", _emb().alias("v"))
     # --- coarse quantizer (q93's fixed cells) ---
-    cents = (
-        e.where(F.col("vec_id") % 7 == 1)
-        .orderBy("vec_id")
-        .limit(16)
-        .select(F.col("vec_id").alias("ccid"), F.col("v").alias("c"))
-    )
-    cs = _dot(F.col("v"), F.col("c")) / (
-        F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("c")))
-    )
-    cscored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "ccid", cs.alias("cs")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "ccid")
-    cells = (
-        cscored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("ccid").alias("cell"))
-    )
+    cents, cscored, cells = _ivfpq_coarse(e)
     qscores = cscored.where(F.col("vec_id") == 0).collect()
     probes = [
         r["ccid"] for r in sorted(qscores, key=lambda r: (-r["cs"], r["ccid"]))
     ][:4]
     # --- PQ codes + ADC (q97's encoder) ---
-    sub = _pq_subvectors(e)
-    cb = (
-        e.where(F.col("vec_id") % 5 == 2)
-        .orderBy("vec_id")
-        .limit(PQ_K)
-        .select(F.col("vec_id").alias("cid"), "v")
-    )
-    cbsub = _pq_subvectors(cb).select("cid", "j", F.col("sv").alias("cv"))
-    scored = sub.join(F.broadcast(cbsub), "j").select(
-        "vec_id", "label", "j", "cid",
-        _dot(F.col("sv"), F.col("cv")).alias("s"),
-    )
-    wj = Window.partitionBy("vec_id", "j").orderBy(F.col("s").desc(), "cid")
-    codes = (
-        scored.withColumn("rn", F.row_number().over(wj))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "j", "cid")
-    )
+    cbsub, scored, codes = _ivfpq_codes(e)
     lut = scored.where(F.col("vec_id") == 0).select(
         "j", "cid", F.col("s").alias("ld")
     )
@@ -1508,3 +1612,180 @@ def q101_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ------------------------------------ materialized IVF-PQ index (q102)
+
+
+def write_ivfpq_index(spark: SparkSession, emb: DataFrame, path: str) -> None:
+    """Materialize the IVF-PQ index q101 computes inline.
+
+    Three artifacts under ``path`` (the FAISS-IVFADC on-disk shape,
+    re-expressed as Spark tables):
+
+    - ``centroids``  — 16 rows (ccid, c): the coarse quantizer.
+    - ``codebook``   — PQ_M*PQ_K rows (j, code, cid, cv): the
+      per-subvector codewords, with ``code`` the DENSE ordinal
+      (row_number by cid within j, 0-based, tinyint) the code table
+      stores — one BYTE per subvector, the production PQ budget.
+    - ``codes``      — parquet PARTITIONED BY (cell): one row per
+      vector, (vec_id, label, c0..c{M-1} tinyint). A probe filter
+      ``cell IN (...)`` on this table is partition PRUNING: the scan
+      plans only the probed directories and never opens the rest —
+      at 100 TB the read is n_probe/16ths of the code bytes and
+      touches zero raw vectors.
+
+    Build cost is one pass over the corpus (the same broadcast
+    score -> argmax window q101 runs inline); amortized across every
+    subsequent query by ivfpq_index_search.
+    """
+    from pyspark.sql import Window
+
+    e = emb.select("vec_id", "label", _emb().alias("v"))
+    cents, _cscored, cells = _ivfpq_coarse(e)
+    cbsub, _scored, codes = _ivfpq_codes(e)
+    dense = cbsub.withColumn(
+        "code",
+        (
+            F.row_number().over(Window.partitionBy("j").orderBy("cid")) - 1
+        ).cast("tinyint"),
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    dense.select("j", "code", "cid", "cv").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebook")
+    pivoted = (
+        codes.join(
+            F.broadcast(dense.select("j", "cid", "code")), ["j", "cid"]
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            *[
+                F.max(F.when(F.col("j") == j, F.col("code")))
+                .cast("tinyint")
+                .alias(f"c{j}")
+                for j in range(PQ_M)
+            ]
+        )
+    )
+    pivoted.join(cells, "vec_id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+
+
+def ivfpq_index_search(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    n_probe: int = 4,
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over a write_ivfpq_index artifact — q101's ranking,
+    but the heavy operand is a PRUNED scan of the code table instead
+    of an inline encode of the whole corpus.
+
+    Reads: 16 centroid rows (probe selection — the only collect),
+    the PQ_M*PQ_K-row codebook (query LUT, broadcast), and ONLY the
+    probed cell partitions of the code table (``cell IN (probes)``
+    is a partition filter; tests/test_plans.py gates the
+    PartitionFilters entry and proves the pruning by deleting the
+    unprobed directories). Arithmetic is operand-identical to q101
+    (parquet round-trips doubles exactly; the fixed-order
+    d0+..+d{M-1} ADC sum is unchanged), so the ranking hash-matches
+    q101's oracle."""
+    q = [float(x) for x in query_vec]
+    qarr = F.array(*[F.lit(x).cast("double") for x in q])
+    cents = spark.read.parquet(f"{path}/centroids")
+    qcs = cents.select(
+        "ccid",
+        (
+            _dot(qarr, F.col("c"))
+            / (F.sqrt(_norm2(qarr)) * F.sqrt(_norm2(F.col("c"))))
+        ).alias("cs"),
+    ).collect()  # bounded: 16 centroid scores
+    probes = [
+        r["ccid"] for r in sorted(qcs, key=lambda r: (-r["cs"], r["ccid"]))
+    ][:n_probe]
+    qsub = None  # per-j query subvector: a literal CASE over PQ_M arrays
+    for j in range(PQ_M):
+        arr = F.array(
+            *[
+                F.lit(x).cast("double")
+                for x in q[j * PQ_SUBDIM : (j + 1) * PQ_SUBDIM]
+            ]
+        )
+        qsub = (
+            F.when(F.col("j") == j, arr)
+            if qsub is None
+            else qsub.when(F.col("j") == j, arr)
+        )
+    lut = spark.read.parquet(f"{path}/codebook").select(
+        "j", "code", _dot(qsub, F.col("cv")).alias("ld")
+    )
+    codes = spark.read.parquet(f"{path}/codes").where(
+        F.col("cell").isin(probes)
+    )
+    if exclude_id is not None:
+        codes = codes.where(F.col("vec_id") != exclude_id)
+    stack = ", ".join(f"{j}, c{j}" for j in range(PQ_M))
+    unpivot = codes.select(
+        "vec_id",
+        "label",
+        F.expr(f"stack({PQ_M}, {stack}) AS (j, code)"),
+    )
+    piv = (
+        unpivot.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("vec_id", "label")
+        .agg(
+            *[
+                F.max(F.when(F.col("j") == j, F.col("ld"))).alias(f"d{j}")
+                for j in range(PQ_M)
+            ]
+        )
+    )
+    adc = F.col("d0")
+    for j in range(1, PQ_M):
+        adc = adc + F.col(f"d{j}")
+    return (
+        piv.select("vec_id", "label", adc.alias("adc_sim"))
+        .orderBy(F.col("adc_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+@REG.add(
+    "q102_ivfpq_index_ann",
+    _q101_oracle(),
+    doc="IVF-PQ ANN over a MATERIALIZED index — the read path the "
+    "q101 docstring promises: write_ivfpq_index persists the code "
+    "table partitioned by cell (plus the 16-row centroids and the "
+    "128-row dense-ordinal codebook), and the search plans the probe "
+    "filter as PARTITION PRUNING (PartitionFilters: [cell IN "
+    "(probes)]) — the scan reads 4/16ths of the code directories, "
+    "M one-byte codes per vector, and never touches a raw vector "
+    "(tests/test_plans.py asserts the filter AND proves it by "
+    "deleting the unprobed directories and re-running). Same "
+    "deterministic quantizers, same fixed-order ADC sum, identical "
+    "operands (parquet round-trips doubles exactly), so the result "
+    "hash-matches q101's oracle through a different physical path — "
+    "inline encode vs index scan. At 100 TB this is the shape that "
+    "matters: the index is built once per corpus version and every "
+    "query amortizes it, reading n_probe/n_cells of one-byte codes.",
+    tags=("similarity", "ivf", "pq", "index"),
+)
+def q102_ivfpq_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    work = tempfile.mkdtemp(prefix="hcdc_ivfpq_")
+    try:
+        idx = os.path.join(work, "ivfpq")
+        write_ivfpq_index(spark, emb, idx)
+        out = ivfpq_index_search(spark, idx, qv, exclude_id=0)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -55,6 +55,20 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Filters planned as PARTITION pruning (PartitionFilters at the
+    scan): the scan lists only the matching directories — stronger
+    than PushedFilters, which still opens every file."""
+    out: list[str] = []
+    for m in re.finditer(
+        r"PartitionFilters: \[([^\]]*)\]", plan(df, "formatted")
+    ):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema of every file scan — column pruning made visible."""
     return re.findall(r"ReadSchema: (struct<[^\n]*)", plan(df, "formatted"))

@@ -123,6 +123,17 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{out}/{t}.parquet")
         print(f"{t}: copied 1x")
+    # persist the corpus-stats artifact alongside the synthesized data:
+    # q100's banding geometry reads n_rows from here instead of running
+    # a count() job over the corpus at plan time (round-8 verdict #3 —
+    # at 100 TB this row comes from the ingest pipeline / catalog)
+    from hcdc_spark.operators.similarity import write_corpus_stats
+
+    write_corpus_stats(
+        spark.read.parquet(f"{out}/embeddings.parquet"),
+        f"{out}/corpus_stats.parquet",
+    )
+    print("corpus_stats: written")
     print("done ->", out)
 
 

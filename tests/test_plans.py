@@ -574,3 +574,73 @@ def test_q101_ivfpq_broadcasts_all_artifacts(spark, sf_dir):
     assert not I.has_cartesian(df)
     assert "TakeOrdered" in p
     assert "pythonudf" not in p.lower()
+
+
+def test_q102_index_search_is_partition_pruning(spark, sf_dir, tmp_path):
+    """The materialized IVF-PQ index delivers the claim q101's doc
+    makes: the probe filter on the cell-partitioned code table must be
+    planned as PARTITION pruning (PartitionFilters at the scan — the
+    unprobed directories are never listed), the scan must read the
+    one-byte codes and no raw vector column, and the LUT must join
+    broadcast. Then the hard proof: overwrite every UNPROBED cell
+    directory's parquet bytes with garbage (same size, so the cached
+    file index stays consistent) — the pruned search still returns the
+    identical ranking because it never OPENS those files, while an
+    unpruned full scan over the same table dies on the poison."""
+    import math
+    import pathlib
+
+    import pytest as _pytest
+
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(spark, emb, idx)
+
+    df = S.ivfpq_index_search(spark, idx, qv, exclude_id=0)
+    pf = I.partition_filters(df)
+    assert any("cell" in f for f in pf), f"no cell PartitionFilters: {pf}"
+    schemas = I.read_schemas(df)
+    code_scan = [s for s in schemas if "c0:tinyint" in s]
+    assert code_scan, f"code scan missing tinyint codes: {schemas}"
+    assert all("embedding" not in s and "cv" not in s for s in code_scan)
+    assert I.has_broadcast_join(df)
+    assert "TakeOrdered" in I.simple_plan(df)
+
+    # recompute the probes the search chose (same fold order: left-to-
+    # right over 64 doubles, identical to the _dot aggregate)
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    q = [float(x) for x in qv]
+    qn = math.sqrt(dot(q, q))
+    scored = [
+        (r["ccid"], dot(q, r["c"]) / (qn * math.sqrt(dot(r["c"], r["c"]))))
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    ]
+    probes = {c for c, _ in sorted(scored, key=lambda t: (-t[1], t[0]))[:4]}
+
+    expected = sorted(tuple(r) for r in df.collect())
+    full = spark.read.parquet(f"{idx}/codes")  # file index cached now
+
+    poisoned = 0
+    for d in pathlib.Path(idx, "codes").iterdir():
+        if not d.name.startswith("cell="):
+            continue
+        if int(d.name.split("=", 1)[1]) in probes:
+            continue
+        for f in d.glob("*.parquet"):
+            f.write_bytes(b"\x00" * f.stat().st_size)
+            poisoned += 1
+    assert poisoned >= 4, "corpus too small to leave unprobed cells"
+
+    # pruned search: identical ranking, unprobed files never opened
+    assert sorted(tuple(r) for r in df.collect()) == expected
+    # the poison is live: an UNpruned scan over the same table dies
+    with _pytest.raises(Exception, match="[Pp]arquet|magic|corrupt"):
+        full.count()

