@@ -1,0 +1,90 @@
+"""Read-side win of the MATERIALIZED IVF-PQ index (q102 vs q101).
+
+q101 re-encodes the whole corpus inline on every query (subvector
+scoring against the codebook + argmax window = the index BUILD cost,
+paid per query). q102's split pays the build once (write_ivfpq_index)
+and serves every query from a partition-pruned scan of one-byte codes.
+This script measures all three legs at sf0.1 and a synthesized scale
+point (default .benchdata/sf4, scripts/gen_sf_scale.py 40):
+
+  inline  = q101 end-to-end (the per-query cost WITHOUT the index)
+  build   = write_ivfpq_index (paid once per corpus version)
+  search  = ivfpq_index_search over the prebuilt index (per-query cost)
+
+Prints one JSON line:
+  {sf: {"inline": s, "build": s, "search": s, "win": inline/search}}
+
+Usage: python scripts/bench_ivfpq_index.py [passes=3] [sf_label=sf4]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def _best(fn, passes: int) -> float:
+    fn()  # warmup (codegen/JIT)
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    big = sys.argv[2] if len(sys.argv) > 2 else "sf4"
+    sf_dirs = {"sf0.1": "/root/testdata/sf0.1",
+               big: str(ROOT / ".benchdata" / big)}
+    from pyspark.sql import functions as F
+
+    from hcdc_spark.operators import similarity as S
+    from hcdc_spark.session import get_spark
+
+    spark = get_spark("hcdc-bench-ivfpq")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, dict[str, float]] = {}
+    for sf, d in sf_dirs.items():
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        qv = (
+            emb.where(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0][0]
+        )
+        work = tempfile.mkdtemp(prefix="hcdc_ivfpq_bench_")
+        try:
+            idx = f"{work}/ivfpq"
+            inline = _best(lambda: S.q101_ivfpq_ann(spark, d).collect(),
+                           passes)
+            t0 = time.time()
+            S.write_ivfpq_index(spark, emb, idx)
+            build = time.time() - t0
+            search = _best(
+                lambda: S.ivfpq_index_search(
+                    spark, idx, qv, exclude_id=0
+                ).collect(),
+                passes,
+            )
+            out[sf] = {
+                "inline": round(inline, 3),
+                "build": round(build, 3),
+                "search": round(search, 3),
+                "win": round(inline / search, 2),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,8 @@ QUERIES = (
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     big = sys.argv[2] if len(sys.argv) > 2 else "sf1.0"
+    only = set(sys.argv[3:])  # optional: probe a subset by name
+    queries = [q for q in QUERIES if not only or q in only]
     sf_dirs = {"sf0.1": "/root/testdata/sf0.1",
                big: str(ROOT / ".benchdata" / big)}
     from hcdc_spark.session import get_spark
@@ -66,7 +68,7 @@ def main() -> None:
 
     qs = E.queries()
     out: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in queries:
         fn = qs[name]
         row: dict[str, float] = {}
         raw: dict[str, float] = {}

@@ -380,3 +380,163 @@ def test_cascade_reaches_bootstrap_close_files(spark, tmp_path):
              latest_state(spark, str(tmp_path / "out")).collect()}
     assert state[11]["state"] == "Deleted"     # cascaded over bootstrap
     assert state[12]["state"] == "Finalized"   # sibling dir untouched
+
+
+# ---------------------------------------------------- chaos recovery
+
+
+def _commits(ckpt: str) -> list[int]:
+    import pathlib
+
+    d = pathlib.Path(ckpt, "commits")
+    if not d.exists():
+        return []
+    return sorted(int(p.name) for p in d.iterdir() if p.name.isdigit())
+
+
+def _write_segments(spark, event_log, src: str, k: int) -> None:
+    n = len(event_log)
+    step = max(1, n // k)
+    for i in range(k):
+        lo = i * step
+        hi = (i + 1) * step if i < k - 1 else n
+        if lo >= n:
+            break
+        write_event_segment(spark, event_log[lo:hi], src,
+                            f"edits_{i + 1:07d}")
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_stream_kill_mid_drain_resumes_exactly(
+    spark, tmp_path, event_log, provider
+):
+    """The at-least-once crash path the clean-restart test never hits:
+    kill the query DURING an availableNow drain (after >=1 committed
+    micro-batch, with most segments still unread), then cold-restart
+    from the checkpoint. The resumed fold must land on exactly the
+    batch reconciler's state — no lost batches, no double-applied
+    events (T4 guards replays). Parametrized over the HDFS and RocksDB
+    state-store providers: recovery must not depend on the store."""
+    import time
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    if provider == "rocksdb":
+        spark.conf.set(key, rocks)
+    src = str(tmp_path / "segments")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        _write_segments(spark, event_log, src, 8)
+        q = run_reconciler(
+            spark, src, out, ckpt,
+            max_files_per_trigger=1, available_now=True,
+        )
+        deadline = time.time() + 120
+        while (
+            time.time() < deadline
+            and len(_commits(ckpt)) < 2
+            and q.isActive
+        ):
+            time.sleep(0.1)
+        q.stop()  # the kill: mid-drain, most segments unprocessed
+        try:
+            q.awaitTermination(60)
+        except Exception:  # noqa: BLE001 — interrupted batch may surface
+            pass
+        assert len(_commits(ckpt)) < 8, (
+            "drain finished before the kill — raise the segment count"
+        )
+        q2 = run_reconciler(
+            spark, src, out, ckpt,
+            max_files_per_trigger=1, available_now=True,
+        )
+        q2.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch_state = reconcile_batch(
+        events_df(spark, event_log), expand_dirs=False
+    ).drop("errors")
+    assert _comparable(latest_state(spark, out)) == _comparable(batch_state)
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_stream_lost_commit_replays_batch_idempotently(
+    spark, tmp_path, event_log, provider
+):
+    """Crash BETWEEN the sink's parquet append and the checkpoint
+    commit — the exact window where at-least-once means a committed
+    side effect gets replayed. Simulated faithfully: drain, then
+    delete the final commits/<N> marker (offsets/<N> stays, so the
+    restarted query re-executes batch N against state version N and
+    re-appends its rows), add a new segment, restart. latest_state
+    must still equal the batch fold — the state log's last-writer-wins
+    read plus the deterministic re-fold absorb the duplicate batch.
+    Parametrized over both state-store providers: the RocksDB store
+    must serve version N again after N+1 was already written."""
+    import os as _os
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    if provider == "rocksdb":
+        spark.conf.set(key, rocks)
+    src = str(tmp_path / "segments")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        third = len(event_log) // 3
+        write_event_segment(spark, event_log[:third], src, "edits_0000001")
+        write_event_segment(spark, event_log[third: 2 * third], src,
+                            "edits_0000002")
+        q = run_reconciler(
+            spark, src, out, ckpt,
+            max_files_per_trigger=1, available_now=True,
+        )
+        q.awaitTermination(120)
+
+        commits = _commits(ckpt)
+        assert commits, "drain produced no committed batches"
+        last = max(commits)
+        log_path = f"{out}/file_state_log"
+        rows_before = spark.read.parquet(log_path).where(
+            F.col("batch_id") == last
+        ).count()
+        _os.remove(f"{ckpt}/commits/{last}")  # the simulated crash window
+        crc = f"{ckpt}/commits/.{last}.crc"   # local-FS checksum sidecar
+        if _os.path.exists(crc):
+            _os.remove(crc)
+
+        write_event_segment(spark, event_log[2 * third:], src,
+                            "edits_0000003")
+        q2 = run_reconciler(
+            spark, src, out, ckpt,
+            max_files_per_trigger=1, available_now=True,
+        )
+        q2.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    # the replay REALLY happened: batch `last` appended a second copy
+    rows_after = spark.read.parquet(log_path).where(
+        F.col("batch_id") == last
+    ).count()
+    assert rows_after == 2 * rows_before
+
+    batch_state = reconcile_batch(
+        events_df(spark, event_log), expand_dirs=False
+    ).drop("errors")
+    assert _comparable(latest_state(spark, out)) == _comparable(batch_state)
