@@ -37,18 +37,20 @@ from hcdc_spark.registry import Registry
 # rows-only by structure, recording no_oracle like r8), q101
 # (refactored onto the shared _ivfpq_coarse/_ivfpq_codes helpers the
 # index builder uses -- same plan, fresh row because the code moved)
-# and q102 (NEW: the MATERIALIZED IVF-PQ index -- write_ivfpq_index
+# q102 (NEW: the MATERIALIZED IVF-PQ index -- write_ivfpq_index
 # persists the code table partitioned by cell, search is partition
 # PRUNING; hash-exact against q101's oracle through the different
-# physical path); (c) the regression spine, including c01 so the
-# relational-fold oracle family keeps a live tripwire and q73 so the
-# md5-twin family does; (d) with the 17 remaining slots, the OLDEST
-# r7-dated rows -- the whole r7 streaming/CDC block (c02-c04, c06-c08,
-# c17, c19) plus the relational head (q02, q03, q07, q08, q10, q11,
-# q16, q22, q24) -- starting the steady-state rotation so round 10
-# inherits only 27 r7-dated rows (q25, q26, q28, q35, q42-q45,
-# q47-q49, q63, q64, q69-q72, q89-q98), which fit one window with
-# spine room. The five xxhash64-based LSH queries
+# physical path) and q103 (NEW: ingest-time near-dup against a
+# persisted BUCKETED LSH band index -- the corpus never re-bands or
+# re-shuffles; hash-exact, q92-geometry static oracle); (c) the
+# regression spine, including c01 so the relational-fold oracle
+# family keeps a live tripwire and q73 so the md5-twin family does;
+# (d) with the 16 remaining slots, the OLDEST r7-dated rows -- the
+# whole r7 streaming/CDC block (c02-c04, c06-c08, c17, c19) plus the
+# relational head (q02, q03, q07, q08, q10, q11, q16, q22) --
+# starting the steady-state rotation so round 10 inherits 28
+# r7-dated rows (q24-q26, q28, q35, q42-q45, q47-q49, q63, q64,
+# q69-q72, q89-q98), which fit one window with spine room. The five xxhash64-based LSH queries
 # (q29/q36/q38/q52/q53) stay rows-only by design and sit past 50 with
 # their rows-only status on record (r3) -- every one's SHAPE has a
 # hash-exact twin: q29<->q73, q36<->q89, q38<->q91, q52<->q92, and
@@ -86,6 +88,7 @@ _FIRST_50: tuple[str, ...] = (
     "q100_neardup_scaled",
     "q101_ivfpq_ann",
     "q102_ivfpq_index_ann",
+    "q103_incremental_neardup",
     # C: oldest r7-dated rows -- the streaming/CDC block first
     "c02_cdc_error_channel",
     "c03_cdc_change_set",
@@ -104,7 +107,6 @@ _FIRST_50: tuple[str, ...] = (
     "q11_rollup",
     "q16_set_ops",
     "q22_explode_wordcount",
-    "q24_latest_per_key",
     # E: regression spine (one tripwire per family; c01 carries the
     # relational-fold oracle family, q73 the md5-twin family)
     "q01_pricing_summary",

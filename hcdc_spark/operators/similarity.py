@@ -1789,3 +1789,184 @@ def q102_ivfpq_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------- persisted LSH band index + ingest dedup
+
+
+def _band_explode(
+    emb: DataFrame, n_bands: int = Q92_BANDS, bits: int = Q92_BITS
+) -> DataFrame:
+    """(vec_id, band, bucket) rows under the fixed q92 sign-bit/md5
+    geometry — the scan-side projection both the index builder and the
+    ingest-batch prober run (one implementation so the two sides can
+    never band differently)."""
+    banded = emb.select(
+        "vec_id",
+        *[
+            F.expr(e).alias(f"mband_{b}")
+            for b, e in enumerate(
+                _sign_band_exprs(n_bands=n_bands, bits=bits)
+            )
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), F.col(f"mband_{b}").alias("bucket")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return banded.select("vec_id", F.explode(pairs).alias("bb")).select(
+        "vec_id", "bb.band", "bb.bucket"
+    )
+
+
+def write_band_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    table: str,
+    path: str,
+    n_bands: int = Q92_BANDS,
+    bits: int = Q92_BITS,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the (vec_id, band, bucket) LSH band index as a BUCKETED
+    table — the near-dup family's build-once artifact.
+
+    bucketBy(n_buckets, band, bucket) + sortBy pre-shuffles the corpus
+    index ONCE at build: every later probe join on (band, bucket) reads
+    the corpus side bucket-aligned with NO exchange (plan-gated in
+    tests/test_plans.py), so ingest-time dedup never re-shuffles —
+    or re-bands — the 100 TB corpus. The q74 bucketed-join layout
+    applied to the LSH index; geometry fixed to q92's (6 bands x 4
+    sign bits, md5 buckets) so the semantics stay oracle-expressible.
+    """
+    exploded = _band_explode(emb, n_bands=n_bands, bits=bits)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        exploded.write.bucketBy(n_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def incremental_neardup_pairs(
+    spark: SparkSession,
+    new_batch: DataFrame,
+    index_table: str,
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_bands: int = Q92_BANDS,
+    bits: int = Q92_BITS,
+) -> DataFrame:
+    """Dedup-on-ingest: (vec_new, vec_old, cos_sim) pairs between a NEW
+    batch and the already-indexed corpus, above ``threshold``.
+
+    The new batch is banded with the SAME fixed geometry and its short
+    (vec_id, band, bucket) rows join the persisted index — the corpus
+    is never re-banded and, because the index is bucketed on the join
+    key, never re-shuffled; only the (small) ingest batch moves. Exact
+    cosine then filters candidates, with vectors joining back by id —
+    the q52/q92/q100 collapse-first shape with the corpus side served
+    from the build-once artifact."""
+    nbx = _band_explode(new_batch, n_bands=n_bands, bits=bits).select(
+        F.col("vec_id").alias("vec_new"), "band", "bucket"
+    )
+    idx = spark.table(index_table).select(
+        "band", "bucket", F.col("vec_id").alias("vec_old")
+    )
+    cand = (
+        nbx.join(idx, ["band", "bucket"])
+        .select("vec_new", "vec_old")
+        .distinct()
+    )
+    ea = new_batch.select(
+        F.col("vec_id").alias("vec_new"), _emb().alias("ea")
+    )
+    eb = corpus.select(F.col("vec_id").alias("vec_old"), _emb().alias("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
+    )
+    return (
+        cand.join(ea, "vec_new")
+        .join(eb, "vec_old")
+        .select("vec_new", "vec_old", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") > threshold)
+    )
+
+
+def _q103_oracle() -> str:
+    # same band/sim SQL text as q92's oracle (similarity.py:_q92_oracle),
+    # restricted to the (new batch x indexed corpus) rectangle
+    def band(b: int, alias: str) -> str:
+        return (
+            "md5(concat_ws('|', "
+            + ", ".join(
+                f"CASE WHEN {alias}.embedding[{b * Q92_BITS + j + 1}] >= 0 "
+                "THEN '1' ELSE '0' END"
+                for j in range(Q92_BITS)
+            )
+            + "))"
+        )
+
+    collide = " OR ".join(
+        f"{band(b, 'a')} = {band(b, 'b')}" for b in range(Q92_BANDS)
+    )
+    sim = (
+        "list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(a.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[]))))"
+    )
+    return f"""
+    SELECT a.vec_id AS vec_new, b.vec_id AS vec_old, {sim} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7
+    WHERE ({collide}) AND {sim} > 0.45
+    """
+
+
+@REG.add(
+    "q103_incremental_neardup",
+    _q103_oracle(),
+    doc="Ingest-time near-dup against a PERSISTED, BUCKETED LSH band "
+    "index — the build-once artifact of the q52/q92/q100 family "
+    "(round-8 verdict missing #3's second half). The corpus "
+    "(vec_id % 10 <> 7) is banded ONCE by write_band_index into a "
+    "table bucketed on the (band, bucket) join key; the new batch "
+    "(vec_id % 10 = 7) bands only itself and probes the index — the "
+    "corpus is never re-banded and never re-shuffled (bucket-aligned "
+    "scan, plan-gated with broadcast disabled: ONE exchange in the "
+    "probe join, the ingest batch's own). Fixed q92 geometry keeps "
+    "it hash-exact against a static SQL oracle stating the same "
+    "any-band-collision + exact-cosine semantics over the "
+    "(new x corpus) rectangle. At 100 TB this is the dedup-on-ingest "
+    "shape: per-batch cost scales with the BATCH, not the corpus.",
+    tags=("similarity", "dedup", "lsh", "index"),
+)
+def q103_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    new_batch = emb.where(F.col("vec_id") % 10 == 7)
+    table = "hcdc_band_index_q103"
+    work = tempfile.mkdtemp(prefix="hcdc_bandidx_")
+    try:
+        write_band_index(
+            spark, corpus, table, os.path.join(work, "band_index")
+        )
+        out = incremental_neardup_pairs(spark, new_batch, table, corpus)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)

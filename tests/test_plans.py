@@ -644,3 +644,40 @@ def test_q102_index_search_is_partition_pruning(spark, sf_dir, tmp_path):
     # the poison is live: an UNpruned scan over the same table dies
     with _pytest.raises(Exception, match="[Pp]arquet|magic|corrupt"):
         full.count()
+
+
+def test_q103_band_index_probe_joins_bucket_aligned(spark, sf_dir, tmp_path):
+    """Dedup-on-ingest scale contract: the persisted band index is
+    BUCKETED on the (band, bucket) join key, so the probe join reads
+    the corpus side bucket-aligned — with broadcast disabled, the only
+    exchange in the candidate join is the ingest batch's own. A
+    regression to an unbucketed layout shows up as a second exchange
+    (the 100 TB corpus re-shuffling on every ingest batch)."""
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    new_batch = emb.where(F.col("vec_id") % 10 == 7)
+    table = "hcdc_band_index_gate"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bcast)
+    try:
+        S.write_band_index(
+            spark, corpus, table, str(tmp_path / "band_index")
+        )
+        spark.conf.set(bcast, "-1")
+        probe = S._band_explode(new_batch).join(
+            spark.table(table), ["band", "bucket"]
+        )
+        p = I.plan(probe, "formatted")
+        assert "Bucketed: true" in p
+        assert I.count_exchanges(probe) == 1, I.simple_plan(probe)
+        assert I.sortmerge_join_count(probe) == 1
+        # end-to-end: the full pair pipeline stays cartesian-free and
+        # UDF-free on the same plan
+        full = S.incremental_neardup_pairs(spark, new_batch, table, corpus)
+        assert not I.has_cartesian(full)
+        assert "pythonudf" not in I.simple_plan(full).lower()
+    finally:
+        spark.conf.set(bcast, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -759,3 +759,26 @@ def test_neardup_scaled_recall_holds_at_large_bits(spark):
     assert planted, "test corpus failed to plant any >0.9 pair"
     recall = len(got & planted) / len(planted)
     assert recall >= 0.8, f"recall {recall} at bits=18"
+
+
+def test_incremental_neardup_matches_full_rectangle(spark, sf_dir, tmp_path):
+    """q103's index-probe pairs must equal the (new x corpus) slice of
+    the full fixed-geometry near-dup relation (q92 over the whole
+    table, no index) — the persisted bucketed index changes the
+    physical path, never the answer."""
+    full = similarity.q92_embedding_neardup_md5(spark, sf_dir).collect()
+    expected = {}
+    for r in full:
+        a_new = r["vec_a"] % 10 == 7
+        b_new = r["vec_b"] % 10 == 7
+        if a_new and not b_new:
+            expected[(r["vec_a"], r["vec_b"])] = r["cos_sim"]
+        elif b_new and not a_new:
+            expected[(r["vec_b"], r["vec_a"])] = r["cos_sim"]
+    got = {
+        (r["vec_new"], r["vec_old"]): r["cos_sim"]
+        for r in similarity.q103_incremental_neardup(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in got.items():
+        assert v == expected[k], k
