@@ -1795,12 +1795,39 @@ def q102_ivfpq_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_explode(
-    emb: DataFrame, n_bands: int = Q92_BANDS, bits: int = Q92_BITS
+    emb: DataFrame,
+    n_bands: int = Q92_BANDS,
+    bits: int = Q92_BITS,
+    geometry: str = "sign",
 ) -> DataFrame:
-    """(vec_id, band, bucket) rows under the fixed q92 sign-bit/md5
-    geometry — the scan-side projection both the index builder and the
-    ingest-batch prober run (one implementation so the two sides can
-    never band differently)."""
+    """(vec_id, band, bucket) rows — the scan-side projection both the
+    index builder and the ingest-batch prober run (one implementation
+    so the two sides can never band differently).
+
+    geometry="sign": the fixed q92 axis-aligned sign-bit/md5 shape —
+    oracle-expressible, but n_bands*bits <= EMB_DIM and bucket
+    occupancy grows with the corpus. geometry="hyperplane": random-
+    hyperplane bands (hyperplane_bands) with arbitrary width — the
+    SCALE shape; size n_bands/bits from corpus stats
+    (neardup_scaled_bits/neardup_scaled_bands) to pin occupancy.
+    Bucket keys normalize to string so the index schema is
+    geometry-independent."""
+    if geometry == "hyperplane":
+        banded = hyperplane_bands(emb, n_bands=n_bands, bits_per_band=bits)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.col(f"band_{b}").cast("string").alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return banded.select(
+            "vec_id", F.explode(pairs).alias("bb")
+        ).select("vec_id", "bb.band", "bb.bucket")
+    if geometry != "sign":
+        raise ValueError(f"unknown band geometry: {geometry!r}")
     banded = emb.select(
         "vec_id",
         *[
@@ -1831,6 +1858,7 @@ def write_band_index(
     n_bands: int = Q92_BANDS,
     bits: int = Q92_BITS,
     n_buckets: int = 32,
+    geometry: str = "sign",
 ) -> None:
     """Persist the (vec_id, band, bucket) LSH band index as a BUCKETED
     table — the near-dup family's build-once artifact.
@@ -1840,10 +1868,16 @@ def write_band_index(
     the corpus side bucket-aligned with NO exchange (plan-gated in
     tests/test_plans.py), so ingest-time dedup never re-shuffles —
     or re-bands — the 100 TB corpus. The q74 bucketed-join layout
-    applied to the LSH index; geometry fixed to q92's (6 bands x 4
-    sign bits, md5 buckets) so the semantics stay oracle-expressible.
+    applied to the LSH index. Default geometry is q92's (6 bands x 4
+    sign bits, md5 buckets) so the semantics stay oracle-expressible;
+    at scale pass geometry='hyperplane' with n_bands/bits from corpus
+    stats (neardup_scaled_bits/neardup_scaled_bands) so bucket
+    occupancy — and so per-ingest-batch probe cost — stays pinned as
+    the corpus grows (the sign shape's 2^bits <= 2^64-axis buckets
+    fill up linearly with n).
     """
-    exploded = _band_explode(emb, n_bands=n_bands, bits=bits)
+    exploded = _band_explode(emb, n_bands=n_bands, bits=bits,
+                             geometry=geometry)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         exploded.write.bucketBy(n_buckets, "band", "bucket")
@@ -1860,23 +1894,25 @@ def incremental_neardup_pairs(
     new_batch: DataFrame,
     index_table: str,
     corpus: DataFrame,
-    threshold: float = 0.45,
+    threshold: float | None = 0.45,
     n_bands: int = Q92_BANDS,
     bits: int = Q92_BITS,
+    geometry: str = "sign",
 ) -> DataFrame:
     """Dedup-on-ingest: (vec_new, vec_old, cos_sim) pairs between a NEW
-    batch and the already-indexed corpus, above ``threshold``.
+    batch and the already-indexed corpus, above ``threshold`` (None =
+    every candidate).
 
-    The new batch is banded with the SAME fixed geometry and its short
-    (vec_id, band, bucket) rows join the persisted index — the corpus
-    is never re-banded and, because the index is bucketed on the join
-    key, never re-shuffled; only the (small) ingest batch moves. Exact
-    cosine then filters candidates, with vectors joining back by id —
-    the q52/q92/q100 collapse-first shape with the corpus side served
-    from the build-once artifact."""
-    nbx = _band_explode(new_batch, n_bands=n_bands, bits=bits).select(
-        F.col("vec_id").alias("vec_new"), "band", "bucket"
-    )
+    The new batch is banded with the SAME geometry the index was built
+    with and its short (vec_id, band, bucket) rows join the persisted
+    index — the corpus is never re-banded and, because the index is
+    bucketed on the join key, never re-shuffled; only the (small)
+    ingest batch moves. Exact cosine then filters candidates, with
+    vectors joining back by id — the q52/q92/q100 collapse-first shape
+    with the corpus side served from the build-once artifact."""
+    nbx = _band_explode(
+        new_batch, n_bands=n_bands, bits=bits, geometry=geometry
+    ).select(F.col("vec_id").alias("vec_new"), "band", "bucket")
     idx = spark.table(index_table).select(
         "band", "bucket", F.col("vec_id").alias("vec_old")
     )
@@ -1892,12 +1928,14 @@ def incremental_neardup_pairs(
     sim = _dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
     )
-    return (
+    out = (
         cand.join(ea, "vec_new")
         .join(eb, "vec_old")
         .select("vec_new", "vec_old", sim.alias("cos_sim"))
-        .where(F.col("cos_sim") > threshold)
     )
+    if threshold is not None:
+        out = out.where(F.col("cos_sim") > threshold)
+    return out
 
 
 def _q103_oracle() -> str:

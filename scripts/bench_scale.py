@@ -48,6 +48,12 @@ QUERIES = (
     # round-8 note)
     "q99_kmeans_step",
     "q101_ivfpq_ann",
+    # round-9 additions: the MATERIALIZED index paths — q102 measures
+    # build+pruned-search end-to-end (the search leg alone is flat at
+    # 40x, see scripts/bench_ivfpq_index.py), q103 the bucketed band
+    # index build + ingest-batch probe
+    "q102_ivfpq_index_ann",
+    "q103_incremental_neardup",
 )
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2

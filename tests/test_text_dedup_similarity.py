@@ -782,3 +782,48 @@ def test_incremental_neardup_matches_full_rectangle(spark, sf_dir, tmp_path):
     assert set(got) == set(expected)
     for k, v in got.items():
         assert v == expected[k], k
+
+
+def test_incremental_neardup_hyperplane_geometry(spark, sf_dir, tmp_path):
+    """The SCALE configuration of the band index: geometry='hyperplane'
+    (arbitrary n_bands x bits, corpus-sizable — the sign geometry caps
+    at 64 axis bits and its buckets grow with the corpus). Index the
+    corpus, probe the new batch, and pin the candidate pairs + exact
+    cosines to the (new x corpus) slice of neardup_pairs_scaled under
+    the IDENTICAL pinned geometry — the persisted path and the inline
+    path band with the same planes, so they must agree exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    new_batch = emb.where(F.col("vec_id") % 10 == 7)
+    n_bands, bits = 8, 6
+    table = "hcdc_band_index_hp"
+    try:
+        similarity.write_band_index(
+            spark, corpus, table, str(tmp_path / "bi_hp"),
+            n_bands=n_bands, bits=bits, geometry="hyperplane",
+        )
+        got = {
+            (r["vec_new"], r["vec_old"]): r["cos_sim"]
+            for r in similarity.incremental_neardup_pairs(
+                spark, new_batch, table, corpus, threshold=None,
+                n_bands=n_bands, bits=bits, geometry="hyperplane",
+            ).collect()
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # n_rows=1024 -> bits = ceil(log2(1024/16)) = 6, matching the pin
+    full = similarity.neardup_pairs_scaled(
+        emb, threshold=None, n_bands=n_bands, n_rows=1024
+    ).collect()
+    expected = {}
+    for r in full:
+        a_new = r["vec_a"] % 10 == 7
+        b_new = r["vec_b"] % 10 == 7
+        if a_new and not b_new:
+            expected[(r["vec_a"], r["vec_b"])] = r["cos_sim"]
+        elif b_new and not a_new:
+            expected[(r["vec_b"], r["vec_a"])] = r["cos_sim"]
+    assert got, "hyperplane probe produced no candidates"
+    assert set(got) == set(expected)
+    for k, v in got.items():
+        assert v == expected[k], k
