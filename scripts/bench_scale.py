@@ -48,12 +48,16 @@ QUERIES = (
     # round-8 note)
     "q99_kmeans_step",
     "q101_ivfpq_ann",
-    # round-9 additions: the MATERIALIZED index paths — q102 measures
+    # round-9 addition: the MATERIALIZED IVF-PQ path — q102 measures
     # build+pruned-search end-to-end (the search leg alone is flat at
-    # 40x, see scripts/bench_ivfpq_index.py), q103 the bucketed band
-    # index build + ingest-batch probe
+    # 40x, see scripts/bench_ivfpq_index.py). q103 is NOT probed here
+    # for the same reason q92 was dropped in round 8: its registry
+    # entry is the FIXED-geometry oracle twin (6 bands x 4 sign bits,
+    # q35-style vec_id cap), whose bucket occupancy grows with the
+    # corpus — measured 34.5x at the 40x point. The scale
+    # configuration is geometry='hyperplane' with corpus-sized
+    # n_bands/bits, benched in scripts/bench_band_index.py.
     "q102_ivfpq_index_ann",
-    "q103_incremental_neardup",
 )
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
