@@ -1438,7 +1438,12 @@ def neardup_pairs_scaled(
 # ------------------------------------------------------------- IVF-PQ
 
 
-def _q101_oracle() -> str:
+def _ivfpq_oracle(quantizer_extra: str = "") -> str:
+    """The IVF-PQ ranking as DuckDB SQL. ``quantizer_extra`` narrows
+    the rows the quantizers are derived from (q104 trains on the BASE
+    corpus only — the production no-retrain-on-upsert contract) while
+    cells/codes/ranking always cover every vector; empty for q101
+    (quantizers from the whole table), emitting its exact text."""
     dsum = " + ".join(f"d{j}" for j in range(PQ_M))
     pivs = ",\n             ".join(
         f"MAX(CASE WHEN w.j = {j} THEN l.ld END) AS d{j}"
@@ -1454,7 +1459,7 @@ def _q101_oracle() -> str:
       FROM embeddings
     ), cents AS (
       SELECT vec_id AS ccid, v AS c FROM e
-      WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 16
+      WHERE vec_id % 7 = 1{quantizer_extra} ORDER BY vec_id LIMIT 16
     ), cscored AS (
       SELECT e.vec_id, c.ccid, {cs} AS cs FROM e CROSS JOIN cents c
     ), cells AS (
@@ -1472,7 +1477,7 @@ def _q101_oracle() -> str:
       FROM e CROSS JOIN js
     ), cb AS (
       SELECT vec_id AS cid, v FROM e
-      WHERE vec_id % 5 = 2 ORDER BY vec_id LIMIT {PQ_K}
+      WHERE vec_id % 5 = 2{quantizer_extra} ORDER BY vec_id LIMIT {PQ_K}
     ), cbsub AS (
       SELECT cid, j,
              v[j * {PQ_SUBDIM} + 1 : j * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cv
@@ -1560,7 +1565,7 @@ def _ivfpq_codes(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
 
 @REG.add(
     "q101_ivfpq_ann",
-    _q101_oracle(),
+    _ivfpq_oracle(),
     doc="IVF-PQ ANN — the FAISS IVFADC composition, the index shape "
     "production vector stores actually deploy at scale: q93's fixed "
     "deterministic coarse quantizer prunes the search to the query's "
@@ -1756,7 +1761,7 @@ def ivfpq_index_search(
 
 @REG.add(
     "q102_ivfpq_index_ann",
-    _q101_oracle(),
+    _ivfpq_oracle(),
     doc="IVF-PQ ANN over a MATERIALIZED index — the read path the "
     "q101 docstring promises: write_ivfpq_index persists the code "
     "table partitioned by cell (plus the 16-row centroids and the "
@@ -2016,4 +2021,105 @@ def q103_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------- incremental IVF-PQ index upsert
+
+
+def append_ivfpq_delta(
+    spark: SparkSession, delta: DataFrame, path: str
+) -> None:
+    """Incremental index maintenance: encode ONLY the delta batch
+    against the PERSISTED quantizers and append to the code table.
+
+    The production upsert contract: centroids and codebook are read
+    back from the index (never re-derived — quantizers don't retrain
+    on ingest, so existing codes stay valid and the corpus is never
+    re-scanned). The delta's cells come from an argmax-cosine against
+    the broadcast 16-row centroids, its codes from an argmax-dot
+    against the broadcast codebook with the SAME stored dense-ordinal
+    mapping, both with the build's tiebreaks; the pivoted one-byte
+    rows append into the existing cell partitions (dynamic partition
+    append — only the touched directories gain files). Work is
+    O(|delta|); ivfpq_index_search over the merged table serves
+    old + new vectors with the same partition-pruned plan."""
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        "ccid", F.col("c").alias("c")
+    )
+    cb = spark.read.parquet(f"{path}/codebook")  # (j, code, cid, cv)
+    e = delta.select("vec_id", "label", _emb().alias("v"))
+    cs = _dot(F.col("v"), F.col("c")) / (
+        F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("c")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "ccid")
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "ccid", cs.alias("cs"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("ccid").alias("cell"))
+    )
+    sub = _pq_subvectors(e)
+    scored = sub.join(F.broadcast(cb), "j").select(
+        "vec_id", "label", "j", "cid", "code",
+        _dot(F.col("sv"), F.col("cv")).alias("s"),
+    )
+    wj = Window.partitionBy("vec_id", "j").orderBy(F.col("s").desc(), "cid")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(wj))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "j", "code")
+    )
+    pivoted = codes.groupBy("vec_id", "label").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("code")))
+            .cast("tinyint")
+            .alias(f"c{j}")
+            for j in range(PQ_M)
+        ]
+    )
+    pivoted.join(cells, "vec_id").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/codes")
+
+
+@REG.add(
+    "q104_ivfpq_index_upsert",
+    _ivfpq_oracle(" AND vec_id % 10 <> 7"),
+    doc="IVF-PQ index UPSERT — the maintenance leg that completes the "
+    "lifecycle (q101 compute, q102 build+serve, q104 maintain): the "
+    "index is built on the BASE corpus (vec_id % 10 <> 7), a delta "
+    "batch (vec_id % 10 = 7) arrives and append_ivfpq_delta encodes "
+    "ONLY it against the persisted quantizers — no retrain, no "
+    "corpus re-scan, O(|delta|) work, dynamic-partition append into "
+    "the cell directories — then the SAME partition-pruned search "
+    "serves old and new vectors together. Hash-exact: the oracle is "
+    "q101's SQL with the quantizer CTEs restricted to the base "
+    "corpus (cells/codes/ranking still cover every vector), exactly "
+    "the production no-retrain-on-upsert semantics. A pytest "
+    "equivalence additionally pins the merged code table to a "
+    "from-scratch encode of the full corpus under the same "
+    "quantizers.",
+    tags=("similarity", "ivf", "pq", "index"),
+)
+def q104_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    work = tempfile.mkdtemp(prefix="hcdc_ivfpq_upsert_")
+    try:
+        idx = os.path.join(work, "ivfpq")
+        write_ivfpq_index(spark, base, idx)
+        append_ivfpq_delta(spark, delta, idx)
+        out = ivfpq_index_search(spark, idx, qv, exclude_id=0)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
         shutil.rmtree(work, ignore_errors=True)

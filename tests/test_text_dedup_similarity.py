@@ -827,3 +827,46 @@ def test_incremental_neardup_hyperplane_geometry(spark, sf_dir, tmp_path):
     assert set(got) == set(expected)
     for k, v in got.items():
         assert v == expected[k], k
+
+
+def test_ivfpq_upsert_equals_full_build(spark, sf_dir, tmp_path):
+    """The append encoder must agree with the build encoder byte for
+    byte. Craft a split where the delta contains NO quantizer-source
+    row (so a full build and a base build derive IDENTICAL centroids
+    and codebooks), then: build(full) vs build(base)+append(delta)
+    must produce the same centroids, the same codebook, the same
+    code-table rows (cell partition included) and the same search
+    ranking — the upsert path changes WHEN vectors are encoded,
+    never HOW."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    picks = set(
+        [i for i in ids if i % 7 == 1][:16]
+        + [i for i in ids if i % 5 == 2][:similarity.PQ_K]
+    )
+    delta_ids = [i for i in ids if i % 10 == 3 and i not in picks]
+    assert delta_ids, "corpus too small to carve a delta"
+    delta = emb.where(F.col("vec_id").isin(delta_ids))
+    base = emb.where(~F.col("vec_id").isin(delta_ids))
+
+    full_idx = str(tmp_path / "full")
+    ups_idx = str(tmp_path / "ups")
+    similarity.write_ivfpq_index(spark, emb, full_idx)
+    similarity.write_ivfpq_index(spark, base, ups_idx)
+    similarity.append_ivfpq_delta(spark, delta, ups_idx)
+
+    for artifact in ("centroids", "codebook", "codes"):
+        a = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{full_idx}/{artifact}").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{ups_idx}/{artifact}").collect()
+        )
+        assert a == b, f"{artifact} diverged between build and upsert"
+
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    sa = similarity.ivfpq_index_search(spark, full_idx, qv, exclude_id=0)
+    sb = similarity.ivfpq_index_search(spark, ups_idx, qv, exclude_id=0)
+    assert [tuple(r) for r in sa.collect()] == [tuple(r) for r in sb.collect()]
