@@ -44,17 +44,19 @@ from hcdc_spark.registry import Registry
 # persisted BUCKETED LSH band index -- the corpus never re-bands or
 # re-shuffles; hash-exact, q92-geometry static oracle with the
 # q35-style cap) and q104 (NEW: IVF-PQ index UPSERT -- delta encoded
-# against the persisted quantizers, O(|delta|), appended into the
-# cell partitions; hash-exact against the q101 SQL with base-corpus
-# quantizer CTEs); (c) the regression spine, including c01 so the
-# relational-fold oracle family keeps a live tripwire and q73 so the
-# md5-twin family does; (d) with the 15 remaining slots, the OLDEST
-# r7-dated rows -- the whole r7 streaming/CDC block (c02-c04,
-# c06-c08, c17, c19) plus the relational head (q02, q03, q07, q08,
-# q10, q11, q16) -- starting the steady-state rotation so round 10
-# inherits 29 r7-dated rows (q22, q24-q26, q28, q35, q42-q45,
-# q47-q49, q63, q64, q69-q72, q89-q98), which fit one window with
-# spine room. The five xxhash64-based LSH queries
+# against the persisted quantizers, O(|delta|) with batch-keyed
+# dynamic partition OVERWRITE so at-least-once replay is a no-op;
+# hash-exact against the q101 SQL with base-corpus quantizer CTEs)
+# and c20 (NEW: q104's upsert driven by a REAL availableNow stream,
+# one append_ivfpq_delta per micro-batch, same oracle); (c) the
+# regression spine, including c01 so the relational-fold oracle
+# family keeps a live tripwire and q73 so the md5-twin family does;
+# (d) with the 14 remaining slots, the OLDEST r7-dated rows -- the
+# whole r7 streaming/CDC block (c02-c04, c06-c08, c17, c19) plus the
+# relational head (q02, q03, q07, q08, q10, q11) -- starting the
+# steady-state rotation so round 10 inherits 30 r7-dated rows (q16,
+# q22, q24-q26, q28, q35, q42-q45, q47-q49, q63, q64, q69-q72,
+# q89-q98), which fit one window with spine room. The five xxhash64-based LSH queries
 # (q29/q36/q38/q52/q53) stay rows-only by design and sit past 50 with
 # their rows-only status on record (r3) -- every one's SHAPE has a
 # hash-exact twin: q29<->q73, q36<->q89, q38<->q91, q52<->q92, and
@@ -94,6 +96,7 @@ _FIRST_50: tuple[str, ...] = (
     "q102_ivfpq_index_ann",
     "q103_incremental_neardup",
     "q104_ivfpq_index_upsert",
+    "c20_stream_index_upsert",
     # C: oldest r7-dated rows -- the streaming/CDC block first
     "c02_cdc_error_channel",
     "c03_cdc_change_set",
@@ -110,7 +113,6 @@ _FIRST_50: tuple[str, ...] = (
     "q08_theta_join",
     "q10_agg_distinct",
     "q11_rollup",
-    "q16_set_ops",
     # E: regression spine (one tripwire per family; c01 carries the
     # relational-fold oracle family, q73 the md5-twin family)
     "q01_pricing_summary",

@@ -1633,12 +1633,18 @@ def write_ivfpq_index(spark: SparkSession, emb: DataFrame, path: str) -> None:
       per-subvector codewords, with ``code`` the DENSE ordinal
       (row_number by cid within j, 0-based, tinyint) the code table
       stores — one BYTE per subvector, the production PQ budget.
-    - ``codes``      — parquet PARTITIONED BY (cell): one row per
-      vector, (vec_id, label, c0..c{M-1} tinyint). A probe filter
+    - ``codes``      — parquet PARTITIONED BY (batch, cell): one row
+      per vector, (vec_id, label, c0..c{M-1} tinyint). A probe filter
       ``cell IN (...)`` on this table is partition PRUNING: the scan
       plans only the probed directories and never opens the rest —
       at 100 TB the read is n_probe/16ths of the code bytes and
-      touches zero raw vectors.
+      touches zero raw vectors. ``batch`` is the maintenance key:
+      the build writes batch=base, and append_ivfpq_delta OVERWRITES
+      exactly its own batch partitions (dynamic partition overwrite),
+      so an at-least-once replay of an ingest batch is a no-op
+      instead of a silent double-append — the same idempotence
+      contract the CDC state-log sink carries (T4 / the lost-commit
+      chaos test).
 
     Build cost is one pass over the corpus (the same broadcast
     score -> argmax window q101 runs inline); amortized across every
@@ -1673,9 +1679,11 @@ def write_ivfpq_index(spark: SparkSession, emb: DataFrame, path: str) -> None:
             ]
         )
     )
-    pivoted.join(cells, "vec_id").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/codes")
+    pivoted.join(cells, "vec_id").withColumn(
+        "batch", F.lit("base")
+    ).write.mode("overwrite").partitionBy("batch", "cell").parquet(
+        f"{path}/codes"
+    )
 
 
 def ivfpq_index_search(
@@ -2028,10 +2036,14 @@ def q103_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def append_ivfpq_delta(
-    spark: SparkSession, delta: DataFrame, path: str
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    batch_id: int | str = "delta",
 ) -> None:
     """Incremental index maintenance: encode ONLY the delta batch
-    against the PERSISTED quantizers and append to the code table.
+    against the PERSISTED quantizers and upsert it into the code
+    table under its own ``batch`` partition key.
 
     The production upsert contract: centroids and codebook are read
     back from the index (never re-derived — quantizers don't retrain
@@ -2039,11 +2051,16 @@ def append_ivfpq_delta(
     re-scanned). The delta's cells come from an argmax-cosine against
     the broadcast 16-row centroids, its codes from an argmax-dot
     against the broadcast codebook with the SAME stored dense-ordinal
-    mapping, both with the build's tiebreaks; the pivoted one-byte
-    rows append into the existing cell partitions (dynamic partition
-    append — only the touched directories gain files). Work is
-    O(|delta|); ivfpq_index_search over the merged table serves
-    old + new vectors with the same partition-pruned plan."""
+    mapping, both with the build's tiebreaks. The write is a DYNAMIC
+    PARTITION OVERWRITE of exactly the (batch=batch_id, cell=*)
+    directories the delta touches: re-running the same batch —
+    Spark's at-least-once foreachBatch replay, a retried job, a
+    crashed-then-restarted stream — replaces its own partitions
+    instead of double-appending, so the effect is exactly-once
+    (c20 drives this from a real availableNow stream; the replay
+    test re-appends a batch and pins the table byte-identical).
+    Work is O(|delta|); ivfpq_index_search over the merged table
+    serves old + new vectors with the same partition-pruned plan."""
     from pyspark.sql import Window
 
     cents = spark.read.parquet(f"{path}/centroids").select(
@@ -2081,9 +2098,14 @@ def append_ivfpq_delta(
             for j in range(PQ_M)
         ]
     )
-    pivoted.join(cells, "vec_id").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(f"{path}/codes")
+    (
+        pivoted.join(cells, "vec_id")
+        .withColumn("batch", F.lit(str(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cell")
+        .parquet(f"{path}/codes")
+    )
 
 
 @REG.add(
@@ -2118,7 +2140,7 @@ def q104_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         idx = os.path.join(work, "ivfpq")
         write_ivfpq_index(spark, base, idx)
-        append_ivfpq_delta(spark, delta, idx)
+        append_ivfpq_delta(spark, delta, idx, batch_id=1)
         out = ivfpq_index_search(spark, idx, qv, exclude_id=0)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hcdc_spark.operators import cdc_oracle, goldens
+from hcdc_spark.operators.similarity import _ivfpq_oracle
 from hcdc_spark.registry import Registry, values_oracle
 from hcdc_spark.session import scoped_shuffle_partitions as _small_shuffle
 
@@ -678,5 +679,71 @@ def c17_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
             return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@REG.add(
+    "c20_stream_index_upsert",
+    _ivfpq_oracle(" AND vec_id % 10 <> 7"),
+    doc="STREAMING IVF-PQ index maintenance — q104's upsert driven by "
+    "a real Structured Streaming pipeline: the base corpus "
+    "(vec_id % 10 <> 7) is indexed once, then the delta arrives as a "
+    "parquet file stream (3 files, maxFilesPerTrigger=1 -> 3 true "
+    "micro-batches) and every foreachBatch runs append_ivfpq_delta "
+    "with ITS OWN batch_id — a dynamic partition overwrite of "
+    "exactly that batch's (batch, cell) directories, so Spark's "
+    "at-least-once foreachBatch replay re-lands the same partitions "
+    "instead of double-appending (the replay pytest pins the table "
+    "byte-identical after a deliberate re-run; the same idempotence "
+    "contract as the CDC state-log sink). The partition-pruned "
+    "search then serves base + streamed vectors together, and the "
+    "result hash-checks against the same base-quantizer SQL oracle "
+    "as q104 — per-vector encoding is batch-split-invariant, so "
+    "WHICH micro-batch a vector rode in cannot change the ranking. "
+    "At 100 TB this is the online vector-store shape: embeddings "
+    "stream off the ingest pipeline and become searchable within a "
+    "micro-batch, quantizers frozen per corpus version.",
+    tags=("streaming", "similarity", "index", "pipeline"),
+)
+def c20_stream_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.catalog import table_path
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    work = tempfile.mkdtemp(prefix="hcdc_c20_")
+    try:
+        idx = os.path.join(work, "ivfpq")
+        S.write_ivfpq_index(spark, base, idx)
+        delta_dir = os.path.join(work, "delta")
+        delta.repartition(3).write.parquet(delta_dir)
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(delta_dir)
+        )
+        with _small_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda b, bid: S.append_ivfpq_delta(
+                        spark, b, idx, batch_id=bid
+                    )
+                )
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        qv = (
+            emb.where(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0][0]
+        )
+        out = S.ivfpq_index_search(spark, idx, qv, exclude_id=0)
+        return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)

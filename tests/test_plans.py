@@ -629,8 +629,8 @@ def test_q102_index_search_is_partition_pruning(spark, sf_dir, tmp_path):
     full = spark.read.parquet(f"{idx}/codes")  # file index cached now
 
     poisoned = 0
-    for d in pathlib.Path(idx, "codes").iterdir():
-        if not d.name.startswith("cell="):
+    for d in pathlib.Path(idx, "codes").rglob("cell=*"):
+        if not d.is_dir():
             continue
         if int(d.name.split("=", 1)[1]) in probes:
             continue

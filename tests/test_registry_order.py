@@ -31,6 +31,7 @@ CHANGED_THIS_ROUND = {
     "q102_ivfpq_index_ann",
     "q103_incremental_neardup",
     "q104_ivfpq_index_upsert",
+    "c20_stream_index_upsert",
 }
 
 #: The 24 queries whose latest driver green still dates to round 6 —
@@ -56,7 +57,7 @@ R7_ROTATION = {
     "c06_snapshot_bootstrap", "c07_materialize_pipeline",
     "c08_cdc_pipeline", "c17_watermark_late_drop", "c19_stream_doc_dedup",
     "q02_filter_project", "q03_join_topn_revenue", "q07_anti_join",
-    "q08_theta_join", "q10_agg_distinct", "q11_rollup", "q16_set_ops",
+    "q08_theta_join", "q10_agg_distinct", "q11_rollup",
 }
 
 #: Long-green canaries that must stay in the prefix as regression
@@ -167,11 +168,11 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 126
+    assert len(qs) >= 127
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 9: q102 (materialized IVF-PQ index), q103 (incremental
-    # near-dup over the bucketed band index) and q104 (IVF-PQ index
-    # upsert) join the oracle-bearing set — 120/126 (q100 + the r3
-    # five are rows-only by structure)
-    assert len(oracles) >= 120
+    # near-dup over the bucketed band index), q104 (IVF-PQ index
+    # upsert) and c20 (the streaming upsert) join the oracle-bearing
+    # set — 121/127 (q100 + the r3 five are rows-only by structure)
+    assert len(oracles) >= 121

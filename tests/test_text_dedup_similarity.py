@@ -856,17 +856,39 @@ def test_ivfpq_upsert_equals_full_build(spark, sf_dir, tmp_path):
     similarity.append_ivfpq_delta(spark, delta, ups_idx)
 
     for artifact in ("centroids", "codebook", "codes"):
-        a = sorted(
-            tuple(r)
-            for r in spark.read.parquet(f"{full_idx}/{artifact}").collect()
-        )
-        b = sorted(
-            tuple(r)
-            for r in spark.read.parquet(f"{ups_idx}/{artifact}").collect()
-        )
+        fa = spark.read.parquet(f"{full_idx}/{artifact}")
+        fb = spark.read.parquet(f"{ups_idx}/{artifact}")
+        if artifact == "codes":  # batch is lineage, not content
+            fa, fb = fa.drop("batch"), fb.drop("batch")
+        a = sorted(tuple(r) for r in fa.collect())
+        b = sorted(tuple(r) for r in fb.collect())
         assert a == b, f"{artifact} diverged between build and upsert"
 
     qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     sa = similarity.ivfpq_index_search(spark, full_idx, qv, exclude_id=0)
     sb = similarity.ivfpq_index_search(spark, ups_idx, qv, exclude_id=0)
     assert [tuple(r) for r in sa.collect()] == [tuple(r) for r in sb.collect()]
+
+
+def test_append_ivfpq_delta_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """The at-least-once contract: re-running the SAME ingest batch
+    (Spark replays foreachBatch after a crash between side effect and
+    commit — the lost-commit chaos scenario) must leave the code
+    table byte-identical, because append_ivfpq_delta dynamically
+    OVERWRITES exactly its own (batch, cell) partitions instead of
+    appending blindly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    idx = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(spark, base, idx)
+    similarity.append_ivfpq_delta(spark, delta, idx, batch_id=5)
+    once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{idx}/codes").collect()
+    )
+    similarity.append_ivfpq_delta(spark, delta, idx, batch_id=5)  # replay
+    twice = sorted(
+        tuple(r) for r in spark.read.parquet(f"{idx}/codes").collect()
+    )
+    assert twice == once, "replayed batch changed the code table"
+    assert any(r[-2] == "5" for r in once)  # the batch partition landed
