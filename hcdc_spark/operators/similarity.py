@@ -2145,3 +2145,50 @@ def q104_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
+    """Fold the code table's accumulated batch partitions back into a
+    single batch=base generation — the index lifecycle's fourth leg
+    (build → serve → maintain → COMPACT), the T27 compaction pattern
+    (cdc/maintenance.compact_state_log) applied to the vector index.
+
+    Streamed upserts (c20) leave one (batch, cell) directory pair per
+    micro-batch; read-side listing cost grows with batch count, and a
+    RE-ingested vec_id (an embedding update) leaves both generations
+    visible to the search until resolved. Compaction rewrites the
+    table keep-latest per vec_id (base is the oldest generation,
+    numeric batch ids order by value — the latest_state last-writer-
+    wins read, applied at rewrite time instead of query time so the
+    hot search path never pays a window), stages the result next to
+    the live table and swaps by rename, so a crash mid-compact leaves
+    the original table untouched. Returns the compacted row count.
+
+    Append-only streams (c20's shape) never create duplicates, so for
+    them compaction is purely the small-files/partition-count fold.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    codes_path = f"{path}/codes"
+    codes = spark.read.parquet(codes_path)
+    gen = F.when(F.col("batch") == "base", F.lit(-1).cast("long")).otherwise(
+        F.col("batch").cast("long")
+    )
+    w = Window.partitionBy("vec_id").orderBy(gen.desc())
+    latest = (
+        codes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "batch")
+        .withColumn("batch", F.lit("base"))
+    )
+    tmp = codes_path + ".compact"
+    latest.write.mode("overwrite").partitionBy("batch", "cell").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = codes_path + ".old"
+    os.rename(codes_path, old)
+    os.rename(tmp, codes_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

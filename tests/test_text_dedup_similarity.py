@@ -892,3 +892,58 @@ def test_append_ivfpq_delta_replay_is_idempotent(spark, sf_dir, tmp_path):
     )
     assert twice == once, "replayed batch changed the code table"
     assert any(r[-2] == "5" for r in once)  # the batch partition landed
+
+
+def test_compact_ivfpq_index_folds_and_resolves(spark, sf_dir, tmp_path):
+    """Compaction must (a) fold every batch partition into batch=base,
+    (b) resolve RE-ingested vec_ids keep-latest (an embedding update
+    streamed as a later batch wins, like latest_state over the CDC
+    state log), and (c) leave the search ranking identical to an
+    index that only ever saw the final generation."""
+    import pathlib
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+    idx = str(tmp_path / "live")
+    similarity.write_ivfpq_index(spark, base, idx)
+    relabel = lambda g: delta.withColumn(  # noqa: E731
+        "label", F.lit(g).cast("int")  # embeddings.label is int32
+    )
+    similarity.append_ivfpq_delta(spark, relabel(1002), idx, batch_id=1)
+    # the update: same vectors re-ingested with a new generation label
+    similarity.append_ivfpq_delta(spark, relabel(1003), idx, batch_id=2)
+    n_base, n_delta = base.count(), delta.count()
+    pre = spark.read.parquet(f"{idx}/codes")
+    assert pre.count() == n_base + 2 * n_delta  # both generations live
+
+    n = similarity.compact_ivfpq_index(spark, idx)
+    assert n == n_base + n_delta
+
+    post = spark.read.parquet(f"{idx}/codes")
+    assert post.count() == n
+    labels = {
+        r["label"] for r in post.where(F.col("vec_id") % 10 == 7).collect()
+    }
+    assert labels == {1003}  # keep-latest resolved the update
+    batch_dirs = {
+        d.name for d in pathlib.Path(idx, "codes").glob("batch=*")
+    }
+    assert batch_dirs == {"batch=base"}
+
+    ref = str(tmp_path / "ref")
+    similarity.write_ivfpq_index(spark, base, ref)
+    similarity.append_ivfpq_delta(spark, relabel(1003), ref, batch_id=1)
+    want = [
+        tuple(r)
+        for r in similarity.ivfpq_index_search(spark, ref, qv, exclude_id=0)
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in similarity.ivfpq_index_search(spark, idx, qv, exclude_id=0)
+        .collect()
+    ]
+    assert got == want
