@@ -47,15 +47,18 @@ from hcdc_spark.registry import Registry
 # against the persisted quantizers, O(|delta|) with batch-keyed
 # dynamic partition OVERWRITE so at-least-once replay is a no-op;
 # hash-exact against the q101 SQL with base-corpus quantizer CTEs)
-# and c20 (NEW: q104's upsert driven by a REAL availableNow stream,
-# one append_ivfpq_delta per micro-batch, same oracle); (c) the
+# c20 (NEW: q104's upsert driven by a REAL availableNow stream, one
+# append_ivfpq_delta per micro-batch, same oracle) and c21 (NEW: the
+# streaming dedup-on-ingest gate -- probe the bucketed band index,
+# reject near-dups of the corpus, admit survivors via
+# append_band_index; hash-exact NOT EXISTS oracle); (c) the
 # regression spine, including c01 so the relational-fold oracle
 # family keeps a live tripwire and q73 so the md5-twin family does;
-# (d) with the 14 remaining slots, the OLDEST r7-dated rows -- the
+# (d) with the 13 remaining slots, the OLDEST r7-dated rows -- the
 # whole r7 streaming/CDC block (c02-c04, c06-c08, c17, c19) plus the
-# relational head (q02, q03, q07, q08, q10, q11) -- starting the
-# steady-state rotation so round 10 inherits 30 r7-dated rows (q16,
-# q22, q24-q26, q28, q35, q42-q45, q47-q49, q63, q64, q69-q72,
+# relational head (q02, q03, q07, q08, q10) -- starting the
+# steady-state rotation so round 10 inherits 31 r7-dated rows (q11,
+# q16, q22, q24-q26, q28, q35, q42-q45, q47-q49, q63, q64, q69-q72,
 # q89-q98), which fit one window with spine room. The five xxhash64-based LSH queries
 # (q29/q36/q38/q52/q53) stay rows-only by design and sit past 50 with
 # their rows-only status on record (r3) -- every one's SHAPE has a
@@ -89,7 +92,8 @@ _FIRST_50: tuple[str, ...] = (
     "q86_unpivot",
     # B: changed or new this round (see header: q99 decimal
     # accumulator, q100 recall-holding bands + stats-artifact path,
-    # q101 helper refactor, q102 the new materialized-index query)
+    # q101 helper refactor, and the new index-lifecycle family
+    # q102/q103/q104/c20/c21)
     "q99_kmeans_step",
     "q100_neardup_scaled",
     "q101_ivfpq_ann",
@@ -97,6 +101,7 @@ _FIRST_50: tuple[str, ...] = (
     "q103_incremental_neardup",
     "q104_ivfpq_index_upsert",
     "c20_stream_index_upsert",
+    "c21_stream_ingest_dedup",
     # C: oldest r7-dated rows -- the streaming/CDC block first
     "c02_cdc_error_channel",
     "c03_cdc_change_set",
@@ -112,7 +117,6 @@ _FIRST_50: tuple[str, ...] = (
     "q07_anti_join",
     "q08_theta_join",
     "q10_agg_distinct",
-    "q11_rollup",
     # E: regression spine (one tripwire per family; c01 carries the
     # relational-fold oracle family, q73 the md5-twin family)
     "q01_pricing_summary",

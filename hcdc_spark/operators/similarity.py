@@ -1951,9 +1951,9 @@ def incremental_neardup_pairs(
     return out
 
 
-def _q103_oracle() -> str:
-    # same band/sim SQL text as q92's oracle (similarity.py:_q92_oracle),
-    # restricted to the (new batch x indexed corpus) rectangle
+def _sign_collide_sql(x: str = "a", y: str = "b") -> str:
+    """q92's any-band md5 sign-bit collision predicate between two
+    table aliases — one builder for the q92/q103/c21 oracle family."""
     def band(b: int, alias: str) -> str:
         return (
             "md5(concat_ws('|', "
@@ -1965,17 +1965,29 @@ def _q103_oracle() -> str:
             + "))"
         )
 
-    collide = " OR ".join(
-        f"{band(b, 'a')} = {band(b, 'b')}" for b in range(Q92_BANDS)
+    return " OR ".join(
+        f"{band(b, x)} = {band(b, y)}" for b in range(Q92_BANDS)
     )
-    sim = (
-        "list_dot_product(CAST(a.embedding AS DOUBLE[]), "
-        "CAST(b.embedding AS DOUBLE[])) / "
-        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
-        "CAST(a.embedding AS DOUBLE[]))) * "
-        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), "
-        "CAST(b.embedding AS DOUBLE[]))))"
+
+
+def _cosine_sql(x: str = "a", y: str = "b") -> str:
+    """The q34-proven bit-identical exact-cosine text between two
+    table aliases."""
+    return (
+        f"list_dot_product(CAST({x}.embedding AS DOUBLE[]), "
+        f"CAST({y}.embedding AS DOUBLE[])) / "
+        f"(sqrt(list_dot_product(CAST({x}.embedding AS DOUBLE[]), "
+        f"CAST({x}.embedding AS DOUBLE[]))) * "
+        f"sqrt(list_dot_product(CAST({y}.embedding AS DOUBLE[]), "
+        f"CAST({y}.embedding AS DOUBLE[]))))"
     )
+
+
+def _q103_oracle() -> str:
+    # same band/sim SQL text as q92's oracle (similarity.py:_q92_oracle),
+    # restricted to the (new batch x indexed corpus) rectangle
+    collide = _sign_collide_sql("a", "b")
+    sim = _cosine_sql("a", "b")
     return f"""
     SELECT a.vec_id AS vec_new, b.vec_id AS vec_old, {sim} AS cos_sim
     FROM embeddings a JOIN embeddings b
@@ -2192,3 +2204,26 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
     os.rename(tmp, codes_path)
     shutil.rmtree(old, ignore_errors=True)
     return n
+
+
+def append_band_index(
+    spark: SparkSession,
+    new_batch: DataFrame,
+    table: str,
+    n_bands: int = Q92_BANDS,
+    bits: int = Q92_BITS,
+    geometry: str = "sign",
+) -> None:
+    """Admit accepted vectors into the persisted band index: band the
+    batch with the index's geometry and APPEND its (vec_id, band,
+    bucket) rows into the bucketed table (insertInto keeps the bucket
+    spec — each append adds bucket-aligned files, so later probe joins
+    stay exchange-free on the corpus side). This is the write half of
+    the ingest-dedup loop: probe (incremental_neardup_pairs) rejects
+    near-dups of the indexed corpus, the survivors are appended here,
+    and the NEXT ingest cycle dedups against the grown corpus without
+    any rebuild — O(|batch|) per cycle, never O(corpus)."""
+    exploded = _band_explode(
+        new_batch, n_bands=n_bands, bits=bits, geometry=geometry
+    )
+    exploded.write.insertInto(table, overwrite=False)

@@ -747,3 +747,107 @@ def c20_stream_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _c21_oracle() -> str:
+    from hcdc_spark.operators.similarity import _cosine_sql, _sign_collide_sql
+
+    collide = _sign_collide_sql("a", "b")
+    sim = _cosine_sql("a", "b")
+    return f"""
+    SELECT a.vec_id, a.label
+    FROM embeddings a
+    WHERE a.vec_id % 10 = 7 AND a.vec_id < 100000
+      AND NOT EXISTS (
+        SELECT 1 FROM embeddings b
+        WHERE b.vec_id % 10 <> 7 AND b.vec_id < 100000
+          AND ({collide}) AND {sim} > 0.45
+      )
+    ORDER BY a.vec_id
+    """
+
+
+@REG.add(
+    "c21_stream_ingest_dedup",
+    _c21_oracle(),
+    doc="The training-data DEDUP-ON-INGEST loop, end to end as a "
+    "stream: the corpus (vec_id % 10 <> 7, q35-style cap) is banded "
+    "once into the BUCKETED LSH index; new embeddings arrive as a "
+    "3-file stream (maxFilesPerTrigger=1 -> 3 true micro-batches) "
+    "and every foreachBatch probes the index (incremental_neardup_"
+    "pairs: batch bands only itself, corpus side bucket-aligned, "
+    "never re-shuffled), REJECTS rows with an exact-cosine > 0.45 "
+    "near-dup in the corpus, and lands survivors in the clean sink "
+    "under their own batch partition (dynamic overwrite -> replay-"
+    "idempotent, the c20 contract). After the drain the survivors "
+    "are ADMITTED to the index via append_band_index (insertInto "
+    "keeps the bucket spec), closing the cycle: the next ingest "
+    "dedups against the grown corpus with no rebuild. Admission "
+    "decisions are made against the pre-stream corpus, so the result "
+    "is micro-batch-order-invariant and hash-checks against a static "
+    "NOT EXISTS oracle (greedy intra-delta chains are a different "
+    "operator: q58/q68 clustering). Per-cycle cost is O(|batch|) "
+    "probe + O(|survivors|) append — never O(corpus).",
+    tags=("streaming", "dedup", "lsh", "index", "pipeline"),
+)
+def c21_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.catalog import table_path
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings")).where(
+        F.col("vec_id") < 100_000  # the q103/q35 oracle-twin cap
+    )
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    table = "hcdc_band_index_c21"
+    work = tempfile.mkdtemp(prefix="hcdc_c21_")
+    try:
+        S.write_band_index(
+            spark, corpus, table, os.path.join(work, "band_index")
+        )
+        delta_dir = os.path.join(work, "delta")
+        delta.repartition(3).write.parquet(delta_dir)
+        clean_dir = os.path.join(work, "clean")
+
+        def gate(batch_df: DataFrame, batch_id: int) -> None:
+            hits = (
+                S.incremental_neardup_pairs(
+                    spark, batch_df, table, corpus, threshold=0.45
+                )
+                .select(F.col("vec_new").alias("vec_id"))
+                .distinct()
+            )
+            (
+                batch_df.join(hits, "vec_id", "left_anti")
+                .select("vec_id", "label", "embedding")
+                .withColumn("batch", F.lit(str(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(clean_dir)
+            )
+
+        with _small_shuffle(spark):
+            q = (
+                spark.readStream.schema(delta.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+                .writeStream.foreachBatch(gate)
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        survivors = spark.read.parquet(clean_dir)
+        # close the cycle: admit the accepted vectors to the index so
+        # the NEXT ingest dedups against the grown corpus
+        S.append_band_index(
+            spark, survivors.select("vec_id", "label", "embedding"), table
+        )
+        out = survivors.select("vec_id", "label").orderBy("vec_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)

@@ -5,9 +5,9 @@ entries per round (flat count — observed in rounds 1-8). These tests pin
 the round-9 contract: every query whose implementation or oracle is new
 or changed sits inside that prefix (a green row that predates the code
 is not evidence), plus the currency-rotation blocks (all 24 r6-dated
-greens and the 17 oldest r7-dated greens) and the spine. If the round-9
+greens and the 13 oldest r7-dated greens) and the spine. If the round-9
 window goes green, every oracle-bearing query's latest driver green is
-r7 or newer — steady-state rotation (~25 rows/round).
+r7 or newer — steady-state rotation (~30 rows/round).
 """
 
 from __future__ import annotations
@@ -23,7 +23,8 @@ import __spark_entry__ as E
 #: the corpus-sized bit width to hold recall; optional stats-artifact
 #: n_rows), q101 (refactored onto the shared _ivfpq_coarse/_ivfpq_codes
 #: helpers — same plan, but moved code needs fresh evidence), and the
-#: NEW q102 (materialized IVF-PQ index, partition-pruned search).
+#: NEW q102/q103/q104/c20/c21 (the materialized, bucketed, upserted
+#: and stream-maintained index family).
 CHANGED_THIS_ROUND = {
     "q99_kmeans_step",
     "q100_neardup_scaled",
@@ -32,6 +33,7 @@ CHANGED_THIS_ROUND = {
     "q103_incremental_neardup",
     "q104_ivfpq_index_upsert",
     "c20_stream_index_upsert",
+    "c21_stream_ingest_dedup",
 }
 
 #: The 24 queries whose latest driver green still dates to round 6 —
@@ -49,15 +51,15 @@ R6_DATED = {
     "q86_unpivot",
 }
 
-#: The oldest r7-dated rows that take the 17 leftover slots — the
+#: The oldest r7-dated rows that take the 13 leftover slots — the
 #: whole r7 streaming/CDC block plus the relational head — starting
-#: the steady-state rotation (round 10 inherits 27 r7-dated rows).
+#: the steady-state rotation (round 10 inherits 31 r7-dated rows).
 R7_ROTATION = {
     "c02_cdc_error_channel", "c03_cdc_change_set", "c04_stream_reconcile",
     "c06_snapshot_bootstrap", "c07_materialize_pipeline",
     "c08_cdc_pipeline", "c17_watermark_late_drop", "c19_stream_doc_dedup",
     "q02_filter_project", "q03_join_topn_revenue", "q07_anti_join",
-    "q08_theta_join", "q10_agg_distinct", "q11_rollup",
+    "q08_theta_join", "q10_agg_distinct",
 }
 
 #: Long-green canaries that must stay in the prefix as regression
@@ -168,11 +170,12 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 127
+    assert len(qs) >= 128
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 9: q102 (materialized IVF-PQ index), q103 (incremental
     # near-dup over the bucketed band index), q104 (IVF-PQ index
-    # upsert) and c20 (the streaming upsert) join the oracle-bearing
-    # set — 121/127 (q100 + the r3 five are rows-only by structure)
-    assert len(oracles) >= 121
+    # upsert), c20 (the streaming upsert) and c21 (the streaming
+    # ingest-dedup gate) join the oracle-bearing set — 122/128 (q100
+    # + the r3 five are rows-only by structure)
+    assert len(oracles) >= 122

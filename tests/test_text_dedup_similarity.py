@@ -947,3 +947,58 @@ def test_compact_ivfpq_index_folds_and_resolves(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_append_band_index_grows_corpus_for_next_cycle(spark, sf_dir,
+                                                       tmp_path):
+    """The ingest-dedup loop's write half: after appending a batch to
+    the bucketed band index, the NEXT cycle's probe must behave
+    exactly as if the index had been built fresh over the grown
+    corpus — and the appended files must stay bucket-aligned (the
+    probe join plan keeps the corpus side exchange-free)."""
+    from hcdc_spark.plans import inspect as I
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus0 = emb.where(F.col("vec_id") % 10 == 0)
+    batch1 = emb.where(F.col("vec_id") % 10 == 7)
+    batch2 = emb.where(F.col("vec_id") % 10 == 3)
+
+    grown_tbl, fresh_tbl = "hcdc_bi_grown", "hcdc_bi_fresh"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bcast)
+    try:
+        similarity.write_band_index(
+            spark, corpus0, grown_tbl, str(tmp_path / "grown")
+        )
+        similarity.append_band_index(spark, batch1, grown_tbl)
+        similarity.write_band_index(
+            spark,
+            corpus0.unionByName(batch1),
+            fresh_tbl,
+            str(tmp_path / "fresh"),
+        )
+        corpus01 = corpus0.unionByName(batch1)
+        got = {
+            (r["vec_new"], r["vec_old"]): r["cos_sim"]
+            for r in similarity.incremental_neardup_pairs(
+                spark, batch2, grown_tbl, corpus01, threshold=None
+            ).collect()
+        }
+        want = {
+            (r["vec_new"], r["vec_old"]): r["cos_sim"]
+            for r in similarity.incremental_neardup_pairs(
+                spark, batch2, fresh_tbl, corpus01, threshold=None
+            ).collect()
+        }
+        assert got == want and got, "grown index diverged from fresh build"
+        # appended files keep the bucket layout: probe join still
+        # exchange-free on the corpus side
+        spark.conf.set(bcast, "-1")
+        probe = similarity._band_explode(batch2).join(
+            spark.table(grown_tbl), ["band", "bucket"]
+        )
+        assert I.count_exchanges(probe) == 1, I.simple_plan(probe)
+    finally:
+        spark.conf.set(bcast, prev)
+        for tbl in (grown_tbl, fresh_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
