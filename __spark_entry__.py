@@ -51,15 +51,17 @@ from hcdc_spark.registry import Registry
 # append_ivfpq_delta per micro-batch, same oracle) and c21 (NEW: the
 # streaming dedup-on-ingest gate -- probe the bucketed band index,
 # reject near-dups of the corpus, admit survivors via
-# append_band_index; hash-exact NOT EXISTS oracle); (c) the
-# regression spine, including c01 so the relational-fold oracle
-# family keeps a live tripwire and q73 so the md5-twin family does;
-# (d) with the 13 remaining slots, the OLDEST r7-dated rows -- the
-# whole r7 streaming/CDC block (c02-c04, c06-c08, c17, c19) plus the
-# relational head (q02, q03, q07, q08, q10) -- starting the
-# steady-state rotation so round 10 inherits 31 r7-dated rows (q11,
-# q16, q22, q24-q26, q28, q35, q42-q45, q47-q49, q63, q64, q69-q72,
-# q89-q98), which fit one window with spine room. The five xxhash64-based LSH queries
+# append_band_index; hash-exact NOT EXISTS oracle) and c22 (NEW: the
+# TEXT twin -- MinHash doc index, streaming crawl gate, q73-geometry
+# oracle); (c) the regression spine, including c01 so the
+# relational-fold oracle family keeps a live tripwire and q73 so the
+# md5-twin family does; (d) with the 12 remaining slots, the OLDEST
+# r7-dated rows -- the whole r7 streaming/CDC block (c02-c04,
+# c06-c08, c17, c19) plus the relational head (q02, q03, q07, q08)
+# -- starting the steady-state rotation so round 10 inherits 32
+# r7-dated rows (q10, q11, q16, q22, q24-q26, q28, q35, q42-q45,
+# q47-q49, q63, q64, q69-q72, q89-q98), which fit one window with
+# spine room. The five xxhash64-based LSH queries
 # (q29/q36/q38/q52/q53) stay rows-only by design and sit past 50 with
 # their rows-only status on record (r3) -- every one's SHAPE has a
 # hash-exact twin: q29<->q73, q36<->q89, q38<->q91, q52<->q92, and
@@ -102,6 +104,7 @@ _FIRST_50: tuple[str, ...] = (
     "q104_ivfpq_index_upsert",
     "c20_stream_index_upsert",
     "c21_stream_ingest_dedup",
+    "c22_stream_doc_ingest_dedup",
     # C: oldest r7-dated rows -- the streaming/CDC block first
     "c02_cdc_error_channel",
     "c03_cdc_change_set",
@@ -116,7 +119,6 @@ _FIRST_50: tuple[str, ...] = (
     "q03_join_topn_revenue",
     "q07_anti_join",
     "q08_theta_join",
-    "q10_agg_distinct",
     # E: regression spine (one tripwire per family; c01 carries the
     # relational-fold oracle family, q73 the md5-twin family)
     "q01_pricing_summary",

@@ -837,3 +837,87 @@ def q73_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _collapse_verify_expand(t, md5_candidates)
+
+
+# -------------------------- persisted MinHash doc index + ingest dedup
+
+
+def _doc_band_explode(docs_t: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows under q73's md5-MinHash geometry
+    over a (doc_id, ws) frame — one implementation for the index
+    builder, the admit path and the ingest-batch prober, so the two
+    sides can never band differently. Empty word-sets are excluded
+    (q73's convention: their Jaccard is undefined, so they carry no
+    dedup evidence and are admitted without probing)."""
+    rows_per_band = Q73_HASHES // Q73_BANDS
+    sig = docs_t.where(F.size("ws") > 0).select(
+        "doc_id", F.expr(_md5_signature_sql(Q73_HASHES)).alias("sig")
+    )
+    return sig.select(
+        "doc_id",
+        F.expr(f"explode({_md5_band_sql(Q73_BANDS, rows_per_band)})").alias(
+            "bb"
+        ),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def write_doc_band_index(
+    spark: SparkSession, docs_t: DataFrame, table: str, path: str
+) -> None:
+    """Persist the MinHash(72)/LSH(6x12) band index of a document
+    corpus as a BUCKETED table — the text twin of the embedding band
+    index (similarity.write_band_index; shared core writer): built
+    once per corpus version, probed by every ingest batch with the
+    corpus side bucket-aligned and never re-banded or re-shuffled."""
+    from hcdc_spark.operators.similarity import write_band_index_rows
+
+    write_band_index_rows(spark, _doc_band_explode(docs_t), table, path)
+
+
+def append_doc_band_index(
+    spark: SparkSession, new_t: DataFrame, table: str
+) -> None:
+    """Admit accepted documents into the persisted MinHash index
+    (insertInto keeps the bucket spec — the next cycle's probe joins
+    stay exchange-free on the corpus side)."""
+    _doc_band_explode(new_t).write.insertInto(table, overwrite=False)
+
+
+def incremental_doc_neardup(
+    spark: SparkSession,
+    new_t: DataFrame,
+    index_table: str,
+    corpus_t: DataFrame,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Dedup-on-ingest for TEXT: (doc_new, doc_old, jaccard) pairs
+    between a NEW batch and the already-indexed corpus with exact
+    Jaccard >= ``threshold``. The batch bands only itself (a pure
+    projection), candidates come from the bucket-aligned index join,
+    and the exact word-set Jaccard verifies — the q73 pipeline with
+    the corpus side served from the build-once artifact."""
+    nbx = _doc_band_explode(new_t).select(
+        F.col("doc_id").alias("doc_new"), "band", "bucket"
+    )
+    idx = spark.table(index_table).select(
+        "band", "bucket", F.col("doc_id").alias("doc_old")
+    )
+    cand = (
+        nbx.join(idx, ["band", "bucket"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+    a = new_t.select(F.col("doc_id").alias("doc_new"),
+                     F.col("ws").alias("ws_a"))
+    b = corpus_t.select(F.col("doc_id").alias("doc_old"),
+                        F.col("ws").alias("ws_b"))
+    shared = F.size(F.array_intersect("ws_a", "ws_b"))
+    jac = shared.cast("double") / (
+        F.size("ws_a") + F.size("ws_b") - shared
+    )
+    return (
+        cand.join(a, "doc_new")
+        .join(b, "doc_old")
+        .select("doc_new", "doc_old", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1891,6 +1891,21 @@ def write_band_index(
     """
     exploded = _band_explode(emb, n_bands=n_bands, bits=bits,
                              geometry=geometry)
+    write_band_index_rows(spark, exploded, table, path, n_buckets)
+
+
+def write_band_index_rows(
+    spark: SparkSession,
+    exploded: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+) -> None:
+    """Core band-index writer: persist a pre-banded (id, band, bucket)
+    frame as a table BUCKETED on the (band, bucket) join key. Shared
+    by the embedding index (write_band_index) and the MinHash document
+    index (dedup.write_doc_band_index) — one layout, one bucket-join
+    contract for every ingest-dedup probe."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         exploded.write.bucketBy(n_buckets, "band", "bucket")

@@ -851,3 +851,134 @@ def c21_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _c22_oracle() -> str:
+    from hcdc_spark.operators.dedup import _DW, Q73_BANDS, Q73_HASHES
+
+    rows = Q73_HASHES // Q73_BANDS
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_DW} AS ws FROM documents
+      WHERE len({_DW}) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS w FROM t
+    ), mh AS (
+      SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || w)) AS h
+      FROM tok CROSS JOIN range({Q73_HASHES}) r(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, i // {rows} AS band,
+             md5(string_agg(h, '|' ORDER BY i)) AS bucket
+      FROM mh GROUP BY doc_id, i // {rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3
+    ), sized AS (
+      SELECT doc_id, len(ws) AS n, ws FROM t
+    ), rejected AS (
+      SELECT DISTINCT doc_new FROM cand
+      JOIN sized x ON doc_new = x.doc_id
+      JOIN sized y ON doc_old = y.doc_id
+      WHERE CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+            / (x.n + y.n - len(list_intersect(x.ws, y.ws))) >= 0.9
+    )
+    SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words
+    FROM t
+    WHERE t.doc_id % 10 = 3
+      AND t.doc_id NOT IN (SELECT doc_new FROM rejected)
+    ORDER BY t.doc_id
+    """
+
+
+@REG.add(
+    "c22_stream_doc_ingest_dedup",
+    _c22_oracle(),
+    doc="The TEXT dedup-on-ingest gate — c21's loop for documents, "
+    "the gate a training-data crawl actually runs: the corpus "
+    "(doc_id % 10 <> 3) is MinHash(72)/LSH(6x12)-banded once into the "
+    "bucketed doc index (write_doc_band_index, q73's md5 geometry so "
+    "every stage is oracle-derivable); new documents arrive as a "
+    "3-file stream and each foreachBatch probes the index "
+    "(incremental_doc_neardup: the batch bands only itself, corpus "
+    "side bucket-aligned), REJECTS docs whose exact word-set Jaccard "
+    "vs any corpus doc is >= 0.9, and lands survivors under their own "
+    "batch partition (dynamic overwrite -> replay-idempotent); after "
+    "the drain the survivors are admitted via append_doc_band_index, "
+    "so the next crawl cycle dedups against the grown corpus with no "
+    "rebuild. Decisions are made against the pre-stream corpus -> "
+    "micro-batch-order-invariant -> hash-exact against the static "
+    "NOT EXISTS oracle (q73's CTE pipeline with the (new x corpus) "
+    "rectangle and the survivor anti-join). Empty word-sets are "
+    "excluded on both sides (q73's convention — no dedup evidence). "
+    "Per-cycle cost O(|batch|) probe + O(|survivors|) append, never "
+    "O(corpus).",
+    tags=("streaming", "dedup", "lsh", "index", "pipeline", "text"),
+)
+def c22_stream_doc_ingest_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hcdc_spark.catalog import table_path
+    from hcdc_spark.functions.text import distinct_words
+    from hcdc_spark.operators import dedup as D
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    t = docs.select("doc_id", distinct_words("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    corpus_t = t.where(F.col("doc_id") % 10 != 3)
+    delta_t = t.where(F.col("doc_id") % 10 == 3)
+    table = "hcdc_doc_band_index_c22"
+    work = tempfile.mkdtemp(prefix="hcdc_c22_")
+    try:
+        D.write_doc_band_index(
+            spark, corpus_t, table, os.path.join(work, "doc_index")
+        )
+        delta_dir = os.path.join(work, "delta")
+        delta_t.repartition(3).write.parquet(delta_dir)
+        clean_dir = os.path.join(work, "clean")
+
+        def gate(batch_df: DataFrame, batch_id: int) -> None:
+            hits = (
+                D.incremental_doc_neardup(
+                    spark, batch_df, table, corpus_t, threshold=0.9
+                )
+                .select(F.col("doc_new").alias("doc_id"))
+                .distinct()
+            )
+            (
+                batch_df.join(hits, "doc_id", "left_anti")
+                .withColumn("batch", F.lit(str(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(clean_dir)
+            )
+
+        with _small_shuffle(spark):
+            q = (
+                spark.readStream.schema(delta_t.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+                .writeStream.foreachBatch(gate)
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        survivors = spark.read.parquet(clean_dir)
+        # close the cycle: the accepted docs join the corpus index
+        D.append_doc_band_index(
+            spark, survivors.select("doc_id", "ws"), table
+        )
+        out = survivors.select(
+            "doc_id", F.size("ws").cast("bigint").alias("n_words")
+        ).orderBy("doc_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)

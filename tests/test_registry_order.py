@@ -5,7 +5,7 @@ entries per round (flat count — observed in rounds 1-8). These tests pin
 the round-9 contract: every query whose implementation or oracle is new
 or changed sits inside that prefix (a green row that predates the code
 is not evidence), plus the currency-rotation blocks (all 24 r6-dated
-greens and the 13 oldest r7-dated greens) and the spine. If the round-9
+greens and the 12 oldest r7-dated greens) and the spine. If the round-9
 window goes green, every oracle-bearing query's latest driver green is
 r7 or newer — steady-state rotation (~30 rows/round).
 """
@@ -34,6 +34,7 @@ CHANGED_THIS_ROUND = {
     "q104_ivfpq_index_upsert",
     "c20_stream_index_upsert",
     "c21_stream_ingest_dedup",
+    "c22_stream_doc_ingest_dedup",
 }
 
 #: The 24 queries whose latest driver green still dates to round 6 —
@@ -51,15 +52,15 @@ R6_DATED = {
     "q86_unpivot",
 }
 
-#: The oldest r7-dated rows that take the 13 leftover slots — the
+#: The oldest r7-dated rows that take the 12 leftover slots — the
 #: whole r7 streaming/CDC block plus the relational head — starting
-#: the steady-state rotation (round 10 inherits 31 r7-dated rows).
+#: the steady-state rotation (round 10 inherits 32 r7-dated rows).
 R7_ROTATION = {
     "c02_cdc_error_channel", "c03_cdc_change_set", "c04_stream_reconcile",
     "c06_snapshot_bootstrap", "c07_materialize_pipeline",
     "c08_cdc_pipeline", "c17_watermark_late_drop", "c19_stream_doc_dedup",
     "q02_filter_project", "q03_join_topn_revenue", "q07_anti_join",
-    "q08_theta_join", "q10_agg_distinct",
+    "q08_theta_join",
 }
 
 #: Long-green canaries that must stay in the prefix as regression
@@ -170,12 +171,13 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 128
+    assert len(qs) >= 129
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 9: q102 (materialized IVF-PQ index), q103 (incremental
     # near-dup over the bucketed band index), q104 (IVF-PQ index
-    # upsert), c20 (the streaming upsert) and c21 (the streaming
-    # ingest-dedup gate) join the oracle-bearing set — 122/128 (q100
-    # + the r3 five are rows-only by structure)
-    assert len(oracles) >= 122
+    # upsert), c20 (the streaming upsert), c21 (the streaming
+    # ingest-dedup gate) and c22 (its TEXT twin) join the
+    # oracle-bearing set — 123/129 (q100 + the r3 five are rows-only
+    # by structure)
+    assert len(oracles) >= 123

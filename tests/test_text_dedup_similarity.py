@@ -1002,3 +1002,55 @@ def test_append_band_index_grows_corpus_for_next_cycle(spark, sf_dir,
         spark.conf.set(bcast, prev)
         for tbl in (grown_tbl, fresh_tbl):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_append_doc_band_index_grows_corpus(spark, sf_dir, tmp_path):
+    """TEXT twin of the embedding grown-index test: after admitting a
+    batch to the MinHash doc index, the next cycle's probe must equal
+    a fresh build over the grown corpus, and the appended files must
+    stay bucket-aligned (exchange-free corpus side)."""
+    from hcdc_spark.functions.text import distinct_words
+    from hcdc_spark.plans import inspect as I
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", distinct_words("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    corpus0 = t.where(F.col("doc_id") % 10 == 0)
+    batch1 = t.where(F.col("doc_id") % 10 == 3)
+    batch2 = t.where(F.col("doc_id") % 10 == 7)
+
+    grown_tbl, fresh_tbl = "hcdc_dbi_grown", "hcdc_dbi_fresh"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bcast)
+    try:
+        dedup.write_doc_band_index(
+            spark, corpus0, grown_tbl, str(tmp_path / "grown")
+        )
+        dedup.append_doc_band_index(spark, batch1, grown_tbl)
+        corpus01 = corpus0.unionByName(batch1)
+        dedup.write_doc_band_index(
+            spark, corpus01, fresh_tbl, str(tmp_path / "fresh")
+        )
+        got = {
+            (r["doc_new"], r["doc_old"]): r["jaccard"]
+            for r in dedup.incremental_doc_neardup(
+                spark, batch2, grown_tbl, corpus01, threshold=0.9
+            ).collect()
+        }
+        want = {
+            (r["doc_new"], r["doc_old"]): r["jaccard"]
+            for r in dedup.incremental_doc_neardup(
+                spark, batch2, fresh_tbl, corpus01, threshold=0.9
+            ).collect()
+        }
+        assert got == want and got, "grown doc index diverged or empty"
+        spark.conf.set(bcast, "-1")
+        probe = dedup._doc_band_explode(batch2).join(
+            spark.table(grown_tbl), ["band", "bucket"]
+        )
+        assert I.count_exchanges(probe) == 1, I.simple_plan(probe)
+    finally:
+        spark.conf.set(bcast, prev)
+        for tbl in (grown_tbl, fresh_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
