@@ -879,7 +879,10 @@ def append_doc_band_index(
 ) -> None:
     """Admit accepted documents into the persisted MinHash index
     (insertInto keeps the bucket spec — the next cycle's probe joins
-    stay exchange-free on the corpus side)."""
+    stay exchange-free on the corpus side). Re-appending the same
+    batch duplicates index ROWS but never answers: probes dedup
+    candidates before the Jaccard verify; a replayed admit costs
+    storage only, reclaimed by a rebuild."""
     _doc_band_explode(new_t).write.insertInto(table, overwrite=False)
 
 

@@ -2237,7 +2237,10 @@ def append_band_index(
     the ingest-dedup loop: probe (incremental_neardup_pairs) rejects
     near-dups of the indexed corpus, the survivors are appended here,
     and the NEXT ingest cycle dedups against the grown corpus without
-    any rebuild — O(|batch|) per cycle, never O(corpus)."""
+    any rebuild — O(|batch|) per cycle, never O(corpus). Re-appending
+    the same batch duplicates index ROWS but never answers: every
+    probe dedups candidates (.distinct()) before verification — the
+    cost of a replayed admit is storage, reclaimed by a rebuild."""
     exploded = _band_explode(
         new_batch, n_bands=n_bands, bits=bits, geometry=geometry
     )
