@@ -2201,8 +2201,29 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
 
     codes_path = f"{path}/codes"
     codes = spark.read.parquet(codes_path)
+    # keep-latest needs a total order over generations: "base" is
+    # oldest, numeric batch ids order by value. A NON-numeric batch id
+    # (e.g. append's ad-hoc "delta" default) would cast to NULL and
+    # silently LOSE to base for duplicated vec_ids — refuse loudly
+    # instead of resolving wrong.
+    bad = (
+        codes.select("batch")
+        .distinct()
+        .where(
+            (F.col("batch") != "base")
+            & F.expr("try_cast(batch AS long)").isNull()
+        )
+        .collect()
+    )
+    if bad:
+        names = sorted(r["batch"] for r in bad)
+        raise ValueError(
+            "compact_ivfpq_index needs orderable generations: batch ids "
+            f"must be 'base' or numeric, got {names} — re-append with "
+            "numeric batch_id before compacting"
+        )
     gen = F.when(F.col("batch") == "base", F.lit(-1).cast("long")).otherwise(
-        F.col("batch").cast("long")
+        F.expr("try_cast(batch AS long)")
     )
     w = Window.partitionBy("vec_id").orderBy(gen.desc())
     latest = (

@@ -1054,3 +1054,18 @@ def test_append_doc_band_index_grows_corpus(spark, sf_dir, tmp_path):
         spark.conf.set(bcast, prev)
         for tbl in (grown_tbl, fresh_tbl):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_compact_ivfpq_index_refuses_unorderable_batches(spark, sf_dir,
+                                                         tmp_path):
+    """A non-numeric batch id (append's ad-hoc 'delta' default) has no
+    place in the keep-latest order — compaction must refuse LOUDLY
+    naming the offender instead of silently resolving updates wrong."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    idx = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(spark, base, idx)
+    similarity.append_ivfpq_delta(spark, delta, idx)  # default "delta"
+    with pytest.raises(ValueError, match="delta.*numeric batch_id"):
+        similarity.compact_ivfpq_index(spark, idx)
