@@ -737,7 +737,7 @@ def c20_stream_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            _await_drained(q, "c20_stream_index_upsert")
         qv = (
             emb.where(F.col("vec_id") == 0)
             .select("embedding")
@@ -839,7 +839,7 @@ def c21_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            _await_drained(q, "c21_stream_ingest_dedup")
         survivors = spark.read.parquet(clean_dir)
         # close the cycle: admit the accepted vectors to the index so
         # the NEXT ingest dedups against the grown corpus
@@ -969,7 +969,7 @@ def c22_stream_doc_ingest_dedup(
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            _await_drained(q, "c22_stream_doc_ingest_dedup")
         survivors = spark.read.parquet(clean_dir)
         # close the cycle: the accepted docs join the corpus index
         D.append_doc_band_index(
