@@ -898,7 +898,14 @@ def incremental_doc_neardup(
     Jaccard >= ``threshold``. The batch bands only itself (a pure
     projection), candidates come from the bucket-aligned index join,
     and the exact word-set Jaccard verifies — the q73 pipeline with
-    the corpus side served from the build-once artifact."""
+    the corpus side served from the build-once artifact.
+
+    INDEX/CORPUS COUPLING: ``corpus_t`` must carry every doc_id the
+    index holds — after append_doc_band_index admits a batch, grow
+    ``corpus_t`` with the same rows (c22 reads the clean sink back).
+    A candidate whose doc_old has no corpus row cannot be verified;
+    dropping it silently would under-reject near-dups, so the verify
+    join is LEFT and a missing word-set raises at execution time."""
     nbx = _doc_band_explode(new_t).select(
         F.col("doc_id").alias("doc_new"), "band", "bucket"
     )
@@ -918,9 +925,22 @@ def incremental_doc_neardup(
     jac = shared.cast("double") / (
         F.size("ws_a") + F.size("ws_b") - shared
     )
+    checked = F.when(
+        F.col("ws_b").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("doc-band-index/corpus drift: indexed doc_old "),
+                F.col("doc_old").cast("string"),
+                F.lit(
+                    " has no row in the corpus frame — grow `corpus_t`"
+                    " with every batch admitted via append_doc_band_index"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(jac)
     return (
         cand.join(a, "doc_new")
-        .join(b, "doc_old")
-        .select("doc_new", "doc_old", jac.alias("jaccard"))
+        .join(b, "doc_old", "left")
+        .select("doc_new", "doc_old", checked.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

@@ -1160,12 +1160,13 @@ def _q99_oracle() -> str:
     "floor(x*1e12 + 0.5) — pure double ops that are bit-identical "
     "across engines (the q64 trick; a DECIMAL cast of the COORDINATE "
     "is NOT safe, its half-way ties round differently) — then summing "
-    "the exact integers as DECIMAL(20,0) (accumulator widens to "
-    "38 digits), matching DuckDB's BIGINT→HUGEINT sum promotion: "
-    "a BIGINT sum would silently wrap past ~2e6 members/cell at "
-    "|x|~4 (n_per_cell * max|x| * 1e12 < 2^63) while the oracle "
-    "promotes — the decimal accumulator moves that headroom to "
-    "~1e25 rows/cell and overflows LOUDLY to null, never a wrong "
+    "the exact integers as DECIMAL(20,0) (Spark widens the sum "
+    "accumulator by 10 digits, to DECIMAL(30,0)), matching DuckDB's "
+    "BIGINT→HUGEINT sum promotion: a BIGINT sum would silently wrap "
+    "past ~2e6 members/cell at |x|~4 (n_per_cell * max|x| * 1e12 < "
+    "2^63) while the oracle promotes — the decimal accumulator moves "
+    "that headroom to ~2.5e17 rows/cell (10^30 / (4*10^12)) and "
+    "overflows LOUDLY to null, never a wrong "
     "number. The per-cell member count, the updated coordinates "
     "(dims 0/32), the full-vector checksum sum(mean_j), the inertia "
     "and the dim-0 centroid shift all agree with DuckDB bit-for-bit; "
@@ -1291,28 +1292,72 @@ def neardup_scaled_bands(
     )
 
 
-def write_corpus_stats(emb: DataFrame, path: str) -> None:
-    """Persist the one-row corpus-stats artifact (currently: n_rows).
+def _dir_fingerprint(src_dir: str) -> str | None:
+    """Metadata-only fingerprint of a local data directory: data-file
+    count + total bytes (dotfiles/_SUCCESS excluded). Appending or
+    regenerating the source changes it; no file is ever opened. On an
+    object store the analogue is the listing's (count, bytes) — or the
+    table format's snapshot id."""
+    import os
+
+    if not os.path.isdir(src_dir):
+        return None
+    n = total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            n += 1
+            total += os.path.getsize(os.path.join(root, f))
+    return f"{n}:{total}"
+
+
+def write_corpus_stats(
+    emb: DataFrame, path: str, source_dir: str | None = None
+) -> None:
+    """Persist the one-row corpus-stats artifact (n_rows + a source
+    fingerprint when ``source_dir`` is given).
 
     The learn-then-broadcast pattern (q95): at 100 TB the ingest
     pipeline writes this row once per corpus version, and every
     index build / banding-geometry decision reads the catalog
-    statistic instead of re-scanning the table for a count."""
-    emb.groupBy().agg(F.count(F.lit(1)).alias("n_rows")).coalesce(
-        1
-    ).write.mode("overwrite").parquet(path)
+    statistic instead of re-scanning the table for a count. The
+    fingerprint ties the row to the corpus files it counted, so a
+    regenerated or appended corpus can't silently serve stale
+    geometry (read_corpus_stats falls back to a count on mismatch)."""
+    fp = _dir_fingerprint(source_dir) if source_dir else None
+    emb.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(fp).cast("string").alias("source_fp"),
+    ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
-def read_corpus_stats(spark: SparkSession, path: str) -> int | None:
-    """n_rows from a write_corpus_stats artifact, or None if absent
-    (callers fall back to a count() job)."""
+def read_corpus_stats(
+    spark: SparkSession, path: str, source_dir: str | None = None
+) -> int | None:
+    """n_rows from a write_corpus_stats artifact, or None — meaning
+    "count it yourself" — if the artifact is absent OR carries a
+    source fingerprint that no longer matches ``source_dir`` (the
+    corpus was regenerated/appended without rewriting the stats row:
+    serving the stale count would silently size the banding geometry
+    for the wrong corpus). An artifact without a fingerprint is
+    trusted as written (pre-marker artifacts; callers that manage
+    versioning out of band)."""
     from pyspark.errors import AnalysisException
 
     try:
-        rows = spark.read.parquet(path).collect()
+        df = spark.read.parquet(path)
+        rows = df.collect()
     except AnalysisException:
         return None
-    return int(rows[0]["n_rows"]) if rows else None
+    if not rows:
+        return None
+    row = rows[0]
+    stored_fp = row["source_fp"] if "source_fp" in df.columns else None
+    if stored_fp is not None and source_dir is not None:
+        if _dir_fingerprint(source_dir) != stored_fp:
+            return None
+    return int(row["n_rows"])
 
 
 @REG.add(
@@ -1356,8 +1401,15 @@ def q100_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     # banding geometry from the persisted corpus-stats row when the
     # corpus ships one (scripts/gen_sf_scale.py writes it; at 100 TB
-    # it's a catalog statistic) — None falls back to one count() job
-    n_rows = read_corpus_stats(spark, f"{sf_dir}/corpus_stats.parquet")
+    # it's a catalog statistic) — None falls back to one count() job.
+    # source_dir pins the row to the embeddings files it counted: a
+    # regenerated corpus invalidates the artifact instead of silently
+    # serving wrong geometry.
+    n_rows = read_corpus_stats(
+        spark,
+        f"{sf_dir}/corpus_stats.parquet",
+        source_dir=f"{sf_dir}/embeddings.parquet",
+    )
     return (
         neardup_pairs_scaled(emb, threshold=None, n_rows=n_rows)
         .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
@@ -1937,7 +1989,16 @@ def incremental_neardup_pairs(
     bucketed on the join key, never re-shuffled; only the (small)
     ingest batch moves. Exact cosine then filters candidates, with
     vectors joining back by id — the q52/q92/q100 collapse-first shape
-    with the corpus side served from the build-once artifact."""
+    with the corpus side served from the build-once artifact.
+
+    INDEX/CORPUS COUPLING: ``corpus`` must contain every vec_id the
+    index holds — after append_band_index admits a batch, the caller
+    must grow ``corpus`` with the same rows (c21 reads the clean sink
+    back for exactly this reason). A candidate whose vec_old has no
+    corpus row cannot be cosine-verified; silently dropping it would
+    under-reject near-dups, so the verify join is LEFT and a missing
+    vector raises at execution time (drift fails loudly, not quietly).
+    """
     nbx = _band_explode(
         new_batch, n_bands=n_bands, bits=bits, geometry=geometry
     ).select(F.col("vec_id").alias("vec_new"), "band", "bucket")
@@ -1956,10 +2017,23 @@ def incremental_neardup_pairs(
     sim = _dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
     )
+    checked = F.when(
+        F.col("eb").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("band-index/corpus drift: indexed vec_old "),
+                F.col("vec_old").cast("string"),
+                F.lit(
+                    " has no row in the corpus frame — grow `corpus`"
+                    " with every batch admitted via append_band_index"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(sim)
     out = (
         cand.join(ea, "vec_new")
-        .join(eb, "vec_old")
-        .select("vec_new", "vec_old", sim.alias("cos_sim"))
+        .join(eb, "vec_old", "left")
+        .select("vec_new", "vec_old", checked.alias("cos_sim"))
     )
     if threshold is not None:
         out = out.where(F.col("cos_sim") > threshold)
@@ -2187,9 +2261,16 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
     table keep-latest per vec_id (base is the oldest generation,
     numeric batch ids order by value — the latest_state last-writer-
     wins read, applied at rewrite time instead of query time so the
-    hot search path never pays a window), stages the result next to
-    the live table and swaps by rename, so a crash mid-compact leaves
-    the original table untouched. Returns the compacted row count.
+    hot search path never pays a window), stages the result NEXT TO
+    the live table (same directory, so the swap renames never cross a
+    filesystem; an object-store deployment would use the catalog swap
+    the band indexes use) and swaps by two renames. Crash windows:
+    before the first rename the live table is untouched (the stage is
+    overwritten next run); between the two renames the live path is
+    briefly missing with the fully-written compacted generation staged
+    at codes.compact — the recovery guard at the top of this function
+    finishes that swap on the next call; if the second rename itself
+    fails the first is rolled back. Returns the compacted row count.
 
     Append-only streams (c20's shape) never create duplicates, so for
     them compaction is purely the small-files/partition-count fold.
@@ -2200,18 +2281,30 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
     from pyspark.sql import Window
 
     codes_path = f"{path}/codes"
+    tmp = codes_path + ".compact"
+    old = codes_path + ".old"
+    if not os.path.isdir(codes_path) and os.path.isdir(tmp):
+        # finish an interrupted swap: the stage is only ever renamed in
+        # after being fully written, so it IS the compacted generation
+        os.rename(tmp, codes_path)
+    shutil.rmtree(old, ignore_errors=True)  # stale post-swap leftover
+    shutil.rmtree(tmp, ignore_errors=True)  # stale pre-swap stage
     codes = spark.read.parquet(codes_path)
     # keep-latest needs a total order over generations: "base" is
-    # oldest, numeric batch ids order by value. A NON-numeric batch id
-    # (e.g. append's ad-hoc "delta" default) would cast to NULL and
-    # silently LOSE to base for duplicated vec_ids — refuse loudly
-    # instead of resolving wrong.
+    # oldest (sentinel -1), numeric batch ids order by value. A
+    # NON-numeric batch id (e.g. append's ad-hoc "delta" default)
+    # would cast to NULL and silently LOSE to base for duplicated
+    # vec_ids, and a NEGATIVE id would tie with or sort under the
+    # base sentinel — refuse both loudly instead of resolving wrong.
     bad = (
         codes.select("batch")
         .distinct()
         .where(
             (F.col("batch") != "base")
-            & F.expr("try_cast(batch AS long)").isNull()
+            & (
+                F.expr("try_cast(batch AS long)").isNull()
+                | (F.expr("try_cast(batch AS long)") < 0)
+            )
         )
         .collect()
     )
@@ -2219,8 +2312,8 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
         names = sorted(r["batch"] for r in bad)
         raise ValueError(
             "compact_ivfpq_index needs orderable generations: batch ids "
-            f"must be 'base' or numeric, got {names} — re-append with "
-            "numeric batch_id before compacting"
+            f"must be 'base' or numeric and >= 0, got {names} — re-append "
+            "with a non-negative numeric batch_id before compacting"
         )
     gen = F.when(F.col("batch") == "base", F.lit(-1).cast("long")).otherwise(
         F.expr("try_cast(batch AS long)")
@@ -2232,12 +2325,14 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
         .drop("_rn", "batch")
         .withColumn("batch", F.lit("base"))
     )
-    tmp = codes_path + ".compact"
     latest.write.mode("overwrite").partitionBy("batch", "cell").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    old = codes_path + ".old"
     os.rename(codes_path, old)
-    os.rename(tmp, codes_path)
+    try:
+        os.rename(tmp, codes_path)
+    except OSError:
+        os.rename(old, codes_path)  # roll back: the live table survives
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return n
 

@@ -46,7 +46,11 @@ def main() -> None:
         # every scale point — copy 0 is byte-identical across corpora)
         batch = emb.where(F.col("vec_id") < 200)
         corpus = emb.where(F.col("vec_id") >= 200)
-        n = S.read_corpus_stats(spark, f"{d}/corpus_stats.parquet")
+        n = S.read_corpus_stats(
+            spark,
+            f"{d}/corpus_stats.parquet",
+            source_dir=f"{d}/embeddings.parquet",
+        )
         if n is None:
             n = emb.count()
         bits = S.neardup_scaled_bits(n)

@@ -132,6 +132,7 @@ def main() -> None:
     write_corpus_stats(
         spark.read.parquet(f"{out}/embeddings.parquet"),
         f"{out}/corpus_stats.parquet",
+        source_dir=f"{out}/embeddings.parquet",
     )
     print("corpus_stats: written")
     print("done ->", out)

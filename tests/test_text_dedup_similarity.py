@@ -1069,3 +1069,122 @@ def test_compact_ivfpq_index_refuses_unorderable_batches(spark, sf_dir,
     similarity.append_ivfpq_delta(spark, delta, idx)  # default "delta"
     with pytest.raises(ValueError, match="delta.*numeric batch_id"):
         similarity.compact_ivfpq_index(spark, idx)
+
+    # a NEGATIVE numeric id ties with (or sorts under) the base
+    # sentinel gen=-1, so keep-latest would resolve a re-ingested
+    # vec_id arbitrarily — refused just as loudly (round-9 ADVICE)
+    idx2 = str(tmp_path / "ivfpq_neg")
+    similarity.write_ivfpq_index(spark, base, idx2)
+    similarity.append_ivfpq_delta(spark, delta, idx2, batch_id=-1)
+    with pytest.raises(ValueError, match="-1.*numeric batch_id"):
+        similarity.compact_ivfpq_index(spark, idx2)
+
+
+def test_compact_ivfpq_index_recovers_interrupted_swap(spark, sf_dir,
+                                                       tmp_path):
+    """A crash between the two swap renames leaves the live codes path
+    missing with the fully-written compacted generation staged at
+    codes.compact — the next compact() call must finish that swap
+    (round-9 ADVICE: the docstring's crash-safety claim now has the
+    recovery guard to back it)."""
+    import os
+    import shutil
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(spark, base, idx)
+    similarity.append_ivfpq_delta(spark, delta, idx, batch_id=1)
+    want = [
+        tuple(r)
+        for r in similarity.ivfpq_index_search(
+            spark, idx, qv, exclude_id=0
+        ).collect()
+    ]
+    n = similarity.compact_ivfpq_index(spark, idx)
+    # simulate the mid-swap crash: compacted generation staged, live
+    # path gone (rename 1 done, rename 2 not)
+    os.rename(f"{idx}/codes", f"{idx}/codes.compact")
+    os.makedirs(f"{idx}/codes.old")
+    n2 = similarity.compact_ivfpq_index(spark, idx)
+    assert n2 == n
+    assert not os.path.isdir(f"{idx}/codes.old")
+    assert not os.path.isdir(f"{idx}/codes.compact")
+    got = [
+        tuple(r)
+        for r in similarity.ivfpq_index_search(
+            spark, idx, qv, exclude_id=0
+        ).collect()
+    ]
+    assert got == want
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_corpus_stats_freshness_marker(spark, tmp_path):
+    """A stats row stamped with a source fingerprint must be refused
+    (None → count fallback) once the source dir changes — a
+    regenerated/appended corpus can't silently serve stale banding
+    geometry (round-9 ADVICE). Rows without a marker stay trusted."""
+    src = tmp_path / "emb_src"
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.lit("x").alias("label"),
+    )
+    emb.coalesce(1).write.parquet(str(src))
+    path = str(tmp_path / "stats.parquet")
+    similarity.write_corpus_stats(
+        spark.read.parquet(str(src)), path, source_dir=str(src)
+    )
+    assert similarity.read_corpus_stats(
+        spark, path, source_dir=str(src)
+    ) == 100
+    # corpus grows without the stats row being rewritten → stale
+    (src / "extra.parquet.bin").write_bytes(b"x" * 64)
+    assert similarity.read_corpus_stats(
+        spark, path, source_dir=str(src)
+    ) is None
+    # a caller that doesn't pass source_dir opts out of the check
+    assert similarity.read_corpus_stats(spark, path) == 100
+
+
+def test_incremental_neardup_drift_fails_loudly(spark, sf_dir, tmp_path):
+    """Index/corpus drift (round-9 ADVICE): a candidate whose indexed
+    vec_old is missing from the caller's corpus frame must raise, not
+    silently under-reject. Both modalities."""
+    from hcdc_spark.functions.text import distinct_words
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 == 0)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    tbl = "hcdc_bi_drift"
+    try:
+        similarity.write_band_index(spark, corpus, tbl,
+                                    str(tmp_path / "bi"))
+        # drop part of the indexed corpus from the verify frame
+        drifted = corpus.where(F.col("vec_id") % 20 == 0)
+        with pytest.raises(Exception, match="drift"):
+            similarity.incremental_neardup_pairs(
+                spark, batch, tbl, drifted, threshold=None
+            ).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", distinct_words("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    corpus_t = t.where(F.col("doc_id") % 10 == 0)
+    batch_t = t.where(F.col("doc_id") % 10 == 3)
+    dtbl = "hcdc_dbi_drift"
+    try:
+        dedup.write_doc_band_index(spark, corpus_t, dtbl,
+                                   str(tmp_path / "dbi"))
+        drifted_t = corpus_t.where(F.col("doc_id") % 20 == 0)
+        with pytest.raises(Exception, match="drift"):
+            dedup.incremental_doc_neardup(
+                spark, batch_t, dtbl, drifted_t, threshold=0.0
+            ).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {dtbl}")
