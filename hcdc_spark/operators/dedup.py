@@ -868,22 +868,59 @@ def write_doc_band_index(
     corpus as a BUCKETED table — the text twin of the embedding band
     index (similarity.write_band_index; shared core writer): built
     once per corpus version, probed by every ingest batch with the
-    corpus side bucket-aligned and never re-banded or re-shuffled."""
+    corpus side bucket-aligned and never re-banded or re-shuffled.
+    Rows carry the shared gen/keep-latest contract (build = gen -1;
+    see similarity.write_band_index_rows)."""
     from hcdc_spark.operators.similarity import write_band_index_rows
 
-    write_band_index_rows(spark, _doc_band_explode(docs_t), table, path)
+    write_band_index_rows(
+        spark, _doc_band_explode(docs_t), table, path,
+        id_col="doc_id",
+        meta={"n_bands": Q73_BANDS, "bits": Q73_HASHES // Q73_BANDS,
+              "geometry": "minhash-md5", "target_bucket_rows": 16},
+    )
 
 
 def append_doc_band_index(
-    spark: SparkSession, new_t: DataFrame, table: str
+    spark: SparkSession, new_t: DataFrame, table: str, batch_id: int = 0
 ) -> None:
     """Admit accepted documents into the persisted MinHash index
     (insertInto keeps the bucket spec — the next cycle's probe joins
-    stay exchange-free on the corpus side). Re-appending the same
-    batch duplicates index ROWS but never answers: probes dedup
-    candidates before the Jaccard verify; a replayed admit costs
-    storage only, reclaimed by a rebuild."""
-    _doc_band_explode(new_t).write.insertInto(table, overwrite=False)
+    stay exchange-free on the corpus side). ``batch_id`` (>= 0) is the
+    keep-latest generation: a RE-crawled doc_id's superseded band rows
+    stay probing until compact_doc_band_index drops them. Re-appending
+    the same batch duplicates index ROWS but never answers: probes
+    dedup candidates before the Jaccard verify; a replayed admit costs
+    storage only, reclaimed by compaction. Updates the hcdc.n_rows
+    statistic the rebuild policy reads."""
+    from hcdc_spark.operators.similarity import (
+        _set_band_index_props,
+        read_band_index_meta,
+    )
+
+    if batch_id < 0:
+        raise ValueError(
+            f"append_doc_band_index: batch_id must be >= 0, got "
+            f"{batch_id} (-1 is the build-generation sentinel)"
+        )
+    exploded = _doc_band_explode(new_t).withColumn(
+        "gen", F.lit(int(batch_id)).cast("long")
+    )
+    exploded.select(*spark.table(table).columns).write.insertInto(
+        table, overwrite=False
+    )
+    meta = read_band_index_meta(spark, table)
+    n_new = new_t.select("doc_id").distinct().count()
+    _set_band_index_props(spark, table, {"n_rows": meta["n_rows"] + n_new})
+
+
+def compact_doc_band_index(spark: SparkSession, table: str) -> int:
+    """Keep-latest compaction for the MinHash doc index — the text
+    twin of similarity.compact_band_index (one shared implementation:
+    the id column comes from the table's persisted metadata)."""
+    from hcdc_spark.operators.similarity import compact_band_index
+
+    return compact_band_index(spark, table)
 
 
 def incremental_doc_neardup(

@@ -8,8 +8,16 @@ Measures, at sf0.1 (2k vecs) and a synthesized point (default sf4,
 80k vecs): index build (once) and the min-of-N probe of the SAME
 200-vector batch (threshold=None, full candidate + exact-cosine leg).
 
+At the big point it also measures the REBUILD policy (round-9 verdict
+missing #2): the index is first built with the small point's STALE
+geometry (as if the corpus grew 40x under admissions with no rebuild),
+probed (degraded — bucket occupancy ~40x target), then
+rebuild_band_index re-sizes it and the probe is measured again; the
+rebuilt cost must return to the sized curve (~= "probe").
+
 Prints one JSON line:
-  {sf: {"n_corpus": n, "bands": B, "bits": b, "build": s, "probe": s}}
+  {sf: {"n_corpus": n, "bands": B, "bits": b, "build": s, "probe": s,
+        ["probe_stale": s, "rebuild": s, "probe_rebuilt": s]}}
 
 Usage: python scripts/bench_band_index.py [passes=3] [sf_label=sf4]
 """
@@ -81,6 +89,53 @@ def main() -> None:
                 "n_corpus": int(n), "bands": bands, "bits": bits,
                 "build": round(build, 3), "probe": round(best, 3),
             }
+            if sf == big:
+                # the growth story: same corpus under the SMALL point's
+                # stale geometry (what no-rebuild admission drift looks
+                # like), then rebuild_band_index back to the sized
+                # curve. Stale occupancy is n_big/2^bits_small (~625
+                # rows/bucket at 40x) so candidates grow LINEARLY in
+                # corpus size; a production-sized ingest batch (2000
+                # vecs) makes the verify leg dominant and the
+                # wall-clock shows it — plus the candidate counts,
+                # which are the scale diagnostic itself.
+                big_batch = emb.where(F.col("vec_id") < 2000)
+                n_small = out["sf0.1"]["n_corpus"]
+                bits_s = S.neardup_scaled_bits(n_small)
+                bands_s = S.neardup_scaled_bands(bits_s)
+                S.write_band_index(
+                    spark, corpus, table, f"{work}/bi_stale",
+                    n_bands=bands_s, bits=bits_s, geometry="hyperplane",
+                )
+
+                def probe_as(nb: int, bi: int) -> tuple[float, int]:
+                    best, n_pairs = float("inf"), 0
+                    for _ in range(passes):
+                        t0 = time.time()
+                        n_pairs = S.incremental_neardup_pairs(
+                            spark, big_batch, table, corpus,
+                            threshold=None,
+                            n_bands=nb, bits=bi, geometry="hyperplane",
+                        ).count()
+                        best = min(best, time.time() - t0)
+                    return best, n_pairs
+
+                probe_as(bands_s, bits_s)  # warmup
+                stale, cand_stale = probe_as(bands_s, bits_s)
+                assert S.band_index_needs_rebuild(spark, table)
+                t0 = time.time()
+                meta = S.rebuild_band_index(spark, corpus, table)
+                rebuild = time.time() - t0
+                rebuilt, cand_rebuilt = probe_as(
+                    meta["n_bands"], meta["bits"]
+                )
+                out[sf].update(
+                    probe_stale=round(stale, 3),
+                    cand_stale=cand_stale,
+                    rebuild=round(rebuild, 3),
+                    probe_rebuilt=round(rebuilt, 3),
+                    cand_rebuilt=cand_rebuilt,
+                )
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
             import shutil

@@ -1188,3 +1188,253 @@ def test_incremental_neardup_drift_fails_loudly(spark, sf_dir, tmp_path):
             ).collect()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {dtbl}")
+
+
+def test_band_index_keep_latest_ghost_removal(spark, sf_dir, tmp_path):
+    """Round-9 verdict missing #3: a RE-ingested vec_id (embedding
+    update admitted as a later generation) leaves BOTH generations'
+    band rows producing candidates — the probe matches buckets of an
+    embedding that no longer exists. compact_band_index must drop the
+    superseded generation: afterwards the probe equals a fresh build
+    over the UPDATED corpus, and the plan stays exchange-free."""
+    from hcdc_spark.plans import inspect as I
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus0 = emb.where(F.col("vec_id") % 10 == 0)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    # the update: every %20==0 vector re-ingested with a REVERSED
+    # embedding (deterministic, near-orthogonal to the original)
+    updated = corpus0.where(F.col("vec_id") % 20 == 0).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    corpus_now = corpus0.where(F.col("vec_id") % 20 != 0).unionByName(
+        updated
+    )
+    live_tbl, fresh_tbl = "hcdc_bi_ghost", "hcdc_bi_ghost_fresh"
+    try:
+        similarity.write_band_index(
+            spark, corpus0, live_tbl, str(tmp_path / "live")
+        )
+        similarity.append_band_index(spark, updated, live_tbl, batch_id=1)
+        similarity.write_band_index(
+            spark, corpus_now, fresh_tbl, str(tmp_path / "fresh")
+        )
+
+        def pairs(tbl):
+            return {
+                (r["vec_new"], r["vec_old"])
+                for r in similarity.incremental_neardup_pairs(
+                    spark, batch, tbl, corpus_now, threshold=None
+                ).collect()
+            }
+
+        want = pairs(fresh_tbl)
+        before = pairs(live_tbl)
+        ghosts = before - want
+        assert before >= want
+        assert ghosts, "no ghost candidates planted — test is vacuous"
+
+        n = similarity.compact_band_index(spark, live_tbl)
+        gens = {
+            r["gen"]
+            for r in spark.table(live_tbl)
+            .where(F.col("vec_id") % 20 == 0)
+            .select("gen").distinct().collect()
+        }
+        assert gens == {1}, "stale generation survived compaction"
+        assert n == spark.table(live_tbl).count()
+        assert pairs(live_tbl) == want, "ghosts survived compaction"
+
+        bcast = "spark.sql.autoBroadcastJoinThreshold"
+        prev = spark.conf.get(bcast)
+        try:
+            spark.conf.set(bcast, "-1")
+            probe = similarity._band_explode(batch).join(
+                spark.table(live_tbl), ["band", "bucket"]
+            )
+            assert I.count_exchanges(probe) == 1, I.simple_plan(probe)
+        finally:
+            spark.conf.set(bcast, prev)
+    finally:
+        for tbl in (live_tbl, fresh_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_doc_band_index_keep_latest_ghost_removal(spark, sf_dir, tmp_path):
+    """TEXT twin of the ghost-removal test: a re-crawled doc_id with a
+    changed word set leaves stale MinHash band rows matching text that
+    no longer exists; compact_doc_band_index drops them."""
+    from hcdc_spark.functions.text import distinct_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", distinct_words("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    corpus0 = t.where(F.col("doc_id") % 10 == 0)
+    batch = t.where(F.col("doc_id") % 10 == 3)
+    # the re-crawl: every %20==0 doc shrinks to the first half of its
+    # word set (different set -> different signature/buckets)
+    updated = corpus0.where(F.col("doc_id") % 20 == 0).withColumn(
+        "ws",
+        F.slice("ws", 1, F.greatest(F.lit(1),
+                                    (F.size("ws") / 2).cast("int"))),
+    )
+    corpus_now = corpus0.where(F.col("doc_id") % 20 != 0).unionByName(
+        updated
+    )
+    live_tbl, fresh_tbl = "hcdc_dbi_ghost", "hcdc_dbi_ghost_fresh"
+    try:
+        dedup.write_doc_band_index(
+            spark, corpus0, live_tbl, str(tmp_path / "live")
+        )
+        dedup.append_doc_band_index(spark, updated, live_tbl, batch_id=1)
+        dedup.write_doc_band_index(
+            spark, corpus_now, fresh_tbl, str(tmp_path / "fresh")
+        )
+
+        def pairs(tbl):
+            return {
+                (r["doc_new"], r["doc_old"])
+                for r in dedup.incremental_doc_neardup(
+                    spark, batch, tbl, corpus_now, threshold=0.0
+                ).collect()
+            }
+
+        want = pairs(fresh_tbl)
+        before = pairs(live_tbl)
+        assert before >= want
+        assert before - want, "no doc ghosts planted — test is vacuous"
+        dedup.compact_doc_band_index(spark, live_tbl)
+        assert pairs(live_tbl) == want, "doc ghosts survived compaction"
+    finally:
+        for tbl in (live_tbl, fresh_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_band_index_rebuild_policy(spark, sf_dir, tmp_path):
+    """Round-9 verdict missing #2, the growth loop: admissions push
+    n_rows past the sizing point, band_index_needs_rebuild fires
+    exactly when neardup_scaled_bits(n_now) > bits_built, and
+    rebuild_band_index re-bands at the geometry the grown corpus calls
+    for (bits == neardup_scaled_bits(n_new), bands ==
+    neardup_scaled_bands(bits)) with probe results equal to a fresh
+    build and an exchange-free probe plan."""
+    from hcdc_spark.plans import inspect as I
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the sf0.001 corpus has exactly 500 vectors (vec_id 0..499) —
+    # size the growth so the bits threshold crosses inside it:
+    # bits(128)=4, bits(228)=4 (no rebuild yet), bits(328)=5 (fires)
+    corpus0 = emb.where(F.col("vec_id") < 128)
+    grow1 = emb.where((F.col("vec_id") >= 128) & (F.col("vec_id") < 228))
+    grow2 = emb.where((F.col("vec_id") >= 228) & (F.col("vec_id") < 328))
+    batch = emb.where(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 500)
+    )
+    n0, n_final = 128, 328
+    bits0 = similarity.neardup_scaled_bits(n0)
+    bands0 = similarity.neardup_scaled_bands(bits0)
+    assert similarity.neardup_scaled_bits(n0 + 100) == bits0  # not yet
+    assert similarity.neardup_scaled_bits(n_final) > bits0  # crosses
+
+    live_tbl, fresh_tbl = "hcdc_bi_rebuild", "hcdc_bi_rebuild_fresh"
+    try:
+        similarity.write_band_index(
+            spark, corpus0, live_tbl, str(tmp_path / "live"),
+            n_bands=bands0, bits=bits0, geometry="hyperplane",
+        )
+        meta = similarity.read_band_index_meta(spark, live_tbl)
+        assert meta["n_rows"] == n0 and meta["bits"] == bits0
+        assert not similarity.band_index_needs_rebuild(spark, live_tbl)
+
+        similarity.append_band_index(
+            spark, grow1, live_tbl,
+            n_bands=bands0, bits=bits0, geometry="hyperplane", batch_id=1,
+        )
+        assert not similarity.band_index_needs_rebuild(spark, live_tbl)
+        similarity.append_band_index(
+            spark, grow2, live_tbl,
+            n_bands=bands0, bits=bits0, geometry="hyperplane", batch_id=2,
+        )
+        assert similarity.band_index_needs_rebuild(spark, live_tbl)
+
+        corpus_now = corpus0.unionByName(grow1).unionByName(grow2)
+        new_meta = similarity.rebuild_band_index(spark, corpus_now,
+                                                 live_tbl)
+        bits_new = similarity.neardup_scaled_bits(n_final)
+        assert new_meta["bits"] == bits_new
+        assert new_meta["n_bands"] == similarity.neardup_scaled_bands(
+            bits_new
+        )
+        assert new_meta["n_rows"] == n_final
+        assert not similarity.band_index_needs_rebuild(spark, live_tbl)
+
+        similarity.write_band_index(
+            spark, corpus_now, fresh_tbl, str(tmp_path / "fresh"),
+            n_bands=new_meta["n_bands"], bits=bits_new,
+            geometry="hyperplane",
+        )
+
+        def pairs(tbl):
+            return {
+                (r["vec_new"], r["vec_old"]): r["cos_sim"]
+                for r in similarity.incremental_neardup_pairs(
+                    spark, batch, tbl, corpus_now, threshold=None,
+                    n_bands=new_meta["n_bands"], bits=bits_new,
+                    geometry="hyperplane",
+                ).collect()
+            }
+
+        assert pairs(live_tbl) == pairs(fresh_tbl)
+
+        bcast = "spark.sql.autoBroadcastJoinThreshold"
+        prev = spark.conf.get(bcast)
+        try:
+            spark.conf.set(bcast, "-1")
+            probe = similarity._band_explode(
+                batch, n_bands=new_meta["n_bands"], bits=bits_new,
+                geometry="hyperplane",
+            ).join(spark.table(live_tbl), ["band", "bucket"])
+            assert I.count_exchanges(probe) == 1, I.simple_plan(probe)
+        finally:
+            spark.conf.set(bcast, prev)
+    finally:
+        for tbl in (live_tbl, fresh_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_rebuild_refuses_sign_geometry(spark, sf_dir, tmp_path):
+    """The fixed 'sign' shape is the oracle-twin geometry — re-sizing
+    it would change q92/q103 semantics; rebuild must refuse loudly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 == 0)
+    tbl = "hcdc_bi_sign_refuse"
+    try:
+        similarity.write_band_index(spark, corpus, tbl,
+                                    str(tmp_path / "bi"))
+        with pytest.raises(ValueError, match="sign.*never re-sized"):
+            similarity.rebuild_band_index(spark, corpus, tbl)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_band_swap_recovery_guard(spark, sf_dir, tmp_path):
+    """A crash between the swap's DROP and RENAME leaves the live name
+    missing with the fully-written stage registered; the guard on the
+    next compact call finishes the rename before reading."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 == 0)
+    tbl = "hcdc_bi_swaprec"
+    try:
+        similarity.write_band_index(spark, corpus, tbl,
+                                    str(tmp_path / "bi"))
+        want = spark.table(tbl).count()
+        # simulate the mid-swap crash: live name gone, stage present
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}__stage")
+        n = similarity.compact_band_index(spark, tbl)
+        assert n == want
+        assert spark.catalog.tableExists(tbl)
+        assert not spark.catalog.tableExists(f"{tbl}__stage")
+    finally:
+        for t2 in (tbl, f"{tbl}__stage"):
+            spark.sql(f"DROP TABLE IF EXISTS {t2}")
