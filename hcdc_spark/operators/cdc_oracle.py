@@ -873,3 +873,86 @@ def c03_oracle() -> str:
         trunc_rounds=trunc_rounds(demo_events()),
         cascade_rounds=cascade_rounds(demo_events()),
     )
+
+
+#: Snapshot txid for the c23 backlog demo — mid-log (seed-42 spans tx
+#: 1..253; state last_tx median is 233 but file activity clusters
+#: early, so 120 leaves both sides populated: files fully caught-up
+#: before it AND files with post-snapshot deltas).
+C23_SNAPSHOT_TX = 120
+
+
+def backlog_query(
+    input_ctes: str,
+    snapshot_tx: int,
+    trunc_rounds: int = 1,
+    cascade_rounds: int = 1,
+) -> str:
+    """T23 backlog re-derived relationally: the per-block covering
+    interval of every delta PAST the snapshot txid, restricted the way
+    ``snapshot.backlog_events`` restricts — live files only (folded
+    state <> Deleted), files that actually moved past the snapshot
+    (last_tx_id > snapshot_tx), live blocks only (truncate-killed
+    blocks without a later resurrection are exactly ``blk_dead``,
+    the same CTE the state fold uses for num_blocks). The interval
+    min/max is :func:`changeset_query`'s delta derivation — the
+    DFSBlockState.compressedChangeSet lag over the per-block size
+    trajectory — with the tx window anchored at the snapshot."""
+    return f"""
+WITH {input_ctes},
+{_fold_ctes(cascade_rounds)},
+{_clamp_stage_ctes(trunc_rounds)},
+{_STATE_CTES},
+lagged AS MATERIALIZED (
+  SELECT *, COALESCE(LAG(size) OVER (PARTITION BY inode_id, block_id
+                                     ORDER BY tx_id), 0) AS prev
+  FROM traj
+),
+deltas AS MATERIALIZED (
+  SELECT inode_id, block_id, tx_id,
+         CASE WHEN size > prev THEN prev ELSE size END AS start_offset,
+         CASE WHEN size > prev THEN size - 1 ELSE prev - 1 END AS end_offset,
+         size < prev AS deleted
+  FROM lagged WHERE size <> prev
+)
+SELECT d.inode_id, d.block_id,
+       MIN(d.start_offset) AS start_offset,
+       MAX(d.end_offset) AS end_offset,
+       MAX(d.end_offset) - MIN(d.start_offset) + 1 AS delta_size,
+       BOOL_OR(d.deleted) AS any_deleted
+FROM deltas d
+JOIN folded f USING (inode_id)
+WHERE d.tx_id > {snapshot_tx}
+  AND f.state <> 'Deleted' AND f.last_tx_id > {snapshot_tx}
+  AND NOT EXISTS (SELECT 1 FROM blk_dead bd
+                  WHERE bd.inode_id = d.inode_id
+                    AND bd.block_id = d.block_id)
+GROUP BY d.inode_id, d.block_id
+ORDER BY d.inode_id, d.block_id
+"""
+
+
+def c23_oracle() -> str:
+    """Seed-42 backlog at the mid-log snapshot via
+    :func:`backlog_query`."""
+    return backlog_query(
+        _input_ctes("seed42"),
+        C23_SNAPSHOT_TX,
+        trunc_rounds=trunc_rounds(demo_events()),
+        cascade_rounds=cascade_rounds(demo_events()),
+    )
+
+
+def c24_oracle() -> str:
+    """T27 state-GC expectation: compacting a two-generation state log
+    keep-latest and dropping Deleted rows must land exactly on the
+    full fold's live rows — c01's independently re-derived state with
+    the Deleted rows filtered (a window-ordering bug in the compactor
+    would surface the stale first-generation sizes instead)."""
+    return f"""
+SELECT inode_id, path, state, data_size, num_blocks, last_tx_id,
+       file_type
+FROM ({c01_oracle()})
+WHERE state <> 'Deleted'
+ORDER BY inode_id
+"""

@@ -234,6 +234,105 @@ def c07_materialize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@REG.add(
+    "c23_backlog_replay",
+    cdc_oracle.c23_oracle(),
+    doc="T23 backlog catch-up (SURVEY §2A; reference "
+    "DFSBlockState.compressedChangeSet, DFSBlockState.java:75-106): a "
+    "downstream target bootstrapped from a mid-log snapshot (tx 120) "
+    "is caught up by synthetic Backlog CLOSE events, each block "
+    "carrying the T16-compressed covering interval of its deltas in "
+    "(snapshot_tx, last_tx]. The row is the exploded per-block "
+    "interval set; the oracle INDEPENDENTLY re-derives it in DuckDB "
+    "from the raw seed-42 events (operators/cdc_oracle.backlog_query): "
+    "the changeset lag over the per-block size trajectory windowed at "
+    "the snapshot, restricted to live files that moved past it and to "
+    "live blocks via the same truncate-kill/resurrection CTE the "
+    "state fold uses — two formulations agreeing, not a pinned "
+    "replay. Round-trip semantics (replaying snapshot+backlog onto an "
+    "empty reconciler) are gated in tests/test_snapshot.py.",
+    tags=("cdc", "snapshot"),
+)
+def c23_backlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.cdc.snapshot import backlog_events
+    from hcdc_spark.operators.cdc_oracle import C23_SNAPSHOT_TX
+
+    with scoped_shuffle_partitions(spark):
+        bl = backlog_events(
+            _demo_state(spark), snapshot_tx=C23_SNAPSHOT_TX
+        )
+        return _materialized(
+            bl.select("inode_id", F.explode("blocks").alias("b"))
+            .select(
+                "inode_id",
+                F.col("b.block_id").alias("block_id"),
+                F.col("b.start_offset").alias("start_offset"),
+                F.col("b.end_offset").alias("end_offset"),
+                F.col("b.delta_size").alias("delta_size"),
+                F.col("b.deleted").alias("any_deleted"),
+            )
+            .orderBy("inode_id", "block_id")
+        )
+
+
+@REG.add(
+    "c24_state_gc",
+    cdc_oracle.c24_oracle(),
+    doc="T27 state maintenance (reference CDCChangeDeltaProcessor."
+    "cleanFileState / FileStateHelper.compact): the append-only state "
+    "log accumulates one generation per reconcile batch; "
+    "compact_state_log rewrites it keep-latest per inode (batch_id "
+    "desc, last_tx_id desc — the same window latest_state applies at "
+    "read time) and drops Deleted rows, through a staged directory "
+    "swap. The demo writes TWO generations — the fold of the first "
+    "half of the seed-42 log (tx <= 120, stale sizes/states) under "
+    "batch 0, the full fold under batch 1 — compacts, and returns the "
+    "surviving rows. Hash-exact against c01's independent relational "
+    "re-derivation filtered to live rows: a window-ordering bug would "
+    "surface the stale generation's sizes; a drop_deleted bug would "
+    "change the row set (the seed-42 fold has 21 Deleted files).",
+    tags=("cdc", "maintenance"),
+)
+def c24_state_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from hcdc_spark.cdc.maintenance import compact_state_log
+    from hcdc_spark.cdc.reconcile import reconcile_batch
+    from hcdc_spark.operators.cdc_oracle import C23_SNAPSHOT_TX
+
+    work = tempfile.mkdtemp(prefix="hcdc_c24_")
+    try:
+        with scoped_shuffle_partitions(spark):
+            log = _demo_log(spark)
+            half = _materialized(
+                reconcile_batch(
+                    log.where(F.col("tx_id") <= C23_SNAPSHOT_TX)
+                )
+            )
+            full = _demo_state(spark)
+            log_dir = os.path.join(work, "file_state_log")
+            half.withColumn(
+                "batch_id", F.lit(0).cast("long")
+            ).write.mode("append").parquet(log_dir)
+            full.select(*half.columns).withColumn(
+                "batch_id", F.lit(1).cast("long")
+            ).write.mode("append").parquet(log_dir)
+            compact_state_log(spark, work, drop_deleted=True)
+            out = (
+                spark.read.parquet(log_dir)
+                .select(
+                    "inode_id", "path", "state", "data_size",
+                    "num_blocks", "last_tx_id", "file_type",
+                )
+                .orderBy("inode_id")
+            )
+            return _materialized(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ------------------------------------------- CDC patterns over `events`
 
 @REG.add(

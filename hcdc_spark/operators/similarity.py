@@ -1490,12 +1490,17 @@ def neardup_pairs_scaled(
 # ------------------------------------------------------------- IVF-PQ
 
 
-def _ivfpq_oracle(quantizer_extra: str = "") -> str:
+def _ivfpq_oracle(quantizer_extra: str = "", data_v: str | None = None) -> str:
     """The IVF-PQ ranking as DuckDB SQL. ``quantizer_extra`` narrows
     the rows the quantizers are derived from (q104 trains on the BASE
     corpus only — the production no-retrain-on-upsert contract) while
     cells/codes/ranking always cover every vector; empty for q101
-    (quantizers from the whole table), emitting its exact text."""
+    (quantizers from the whole table), emitting its exact text.
+    ``data_v`` overrides the vector expression the DATA side encodes
+    (c25's re-ingest view: some vectors replaced by a later
+    generation) while the quantizers keep reading the ORIGINAL
+    embeddings via a separate CTE — updates never retrain; None emits
+    the single-CTE text unchanged."""
     dsum = " + ".join(f"d{j}" for j in range(PQ_M))
     pivs = ",\n             ".join(
         f"MAX(CASE WHEN w.j = {j} THEN l.ld END) AS d{j}"
@@ -1505,12 +1510,21 @@ def _ivfpq_oracle(quantizer_extra: str = "") -> str:
         "list_dot_product(e.v, c.c) / (sqrt(list_dot_product(e.v, e.v))"
         " * sqrt(list_dot_product(c.c, c.c)))"
     )
+    orig_v = "CAST(embedding AS DOUBLE[])"
+    quant_src = "e"
+    eq_cte = ""
+    if data_v is not None and data_v != orig_v:
+        quant_src = "eq"
+        eq_cte = f""", eq AS (
+      SELECT vec_id, label, {orig_v} AS v
+      FROM embeddings
+    )"""
     return f"""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      SELECT vec_id, label, {data_v or orig_v} AS v
       FROM embeddings
-    ), cents AS (
-      SELECT vec_id AS ccid, v AS c FROM e
+    ){eq_cte}, cents AS (
+      SELECT vec_id AS ccid, v AS c FROM {quant_src}
       WHERE vec_id % 7 = 1{quantizer_extra} ORDER BY vec_id LIMIT 16
     ), cscored AS (
       SELECT e.vec_id, c.ccid, {cs} AS cs FROM e CROSS JOIN cents c
@@ -1528,7 +1542,7 @@ def _ivfpq_oracle(quantizer_extra: str = "") -> str:
              v[j * {PQ_SUBDIM} + 1 : j * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
       FROM e CROSS JOIN js
     ), cb AS (
-      SELECT vec_id AS cid, v FROM e
+      SELECT vec_id AS cid, v FROM {quant_src}
       WHERE vec_id % 5 = 2{quantizer_extra} ORDER BY vec_id LIMIT {PQ_K}
     ), cbsub AS (
       SELECT cid, j,
@@ -2391,6 +2405,136 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
     return n
 
 
+@REG.add(
+    "c25_index_compaction",
+    _ivfpq_oracle(
+        " AND vec_id % 10 <> 7",
+        data_v=(
+            "CASE WHEN vec_id % 20 = 14 "
+            "THEN list_reverse(CAST(embedding AS DOUBLE[])) "
+            "ELSE CAST(embedding AS DOUBLE[]) END"
+        ),
+    ),
+    doc="IVF-PQ index COMPACTION with a real re-ingest — the lifecycle "
+    "leg that was pytest-only in round 9 (verdict #4): the index is "
+    "built on the base corpus (vec_id % 10 <> 7), batch 1 appends the "
+    "delta (% 10 = 7), batch 2 RE-INGESTS every % 20 = 14 vector with "
+    "an updated embedding (list_reverse — deterministic, arithmetic-"
+    "free, so both engines transform identically), and "
+    "compact_ivfpq_index folds the three generations keep-latest into "
+    "batch=base before the partition-pruned search runs. Hash-exact "
+    "against the q101 SQL over the UPDATED corpus view (a CASE swaps "
+    "in the reversed vectors) with quantizers pinned to the ORIGINAL "
+    "base corpus — exactly the no-retrain-on-update contract: had "
+    "compaction resolved any duplicate vec_id to the stale "
+    "generation, its cell or codes would differ and the ranking hash "
+    "would break. The re-ingest residue (14 mod 20) is chosen "
+    "disjoint from both quantizer-row families (centroids are the "
+    "first 16 of % 7 = 1 in the base — residues {1..19}-{0,7,14,17} "
+    "mod 20; codebook rows are = 2 mod 10) and from the query vector "
+    "0, so updates never silently retrain the quantizers.",
+    tags=("similarity", "ivf", "pq", "index", "maintenance"),
+)
+def c25_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.where(F.col("vec_id") % 10 != 7)
+    delta = emb.where(F.col("vec_id") % 10 == 7)
+    reingest = emb.where(F.col("vec_id") % 20 == 14).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    work = tempfile.mkdtemp(prefix="hcdc_c25_")
+    try:
+        idx = os.path.join(work, "ivfpq")
+        write_ivfpq_index(spark, base, idx)
+        append_ivfpq_delta(spark, delta, idx, batch_id=1)
+        append_ivfpq_delta(spark, reingest, idx, batch_id=2)
+        compact_ivfpq_index(spark, idx)
+        out = ivfpq_index_search(spark, idx, qv, exclude_id=0)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _c27_oracle() -> str:
+    # q103's rectangle over the UPDATED corpus view: the CASE swaps in
+    # the re-ingested (reversed) embeddings, so both the band-collision
+    # predicate and the exact cosine read the surviving generation —
+    # exactly what the index serves after keep-latest compaction
+    collide = _sign_collide_sql("a", "b")
+    sim = _cosine_sql("a", "b")
+    return f"""
+    WITH emb2 AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 20 = 14
+                  THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                  ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+      FROM embeddings
+      WHERE vec_id < 100000
+    )
+    SELECT a.vec_id AS vec_new, b.vec_id AS vec_old, {sim} AS cos_sim
+    FROM emb2 a JOIN emb2 b
+      ON a.vec_id % 10 = 7 AND b.vec_id % 10 <> 7
+    WHERE ({collide})
+    """
+
+
+@REG.add(
+    "c27_band_compaction",
+    _c27_oracle(),
+    doc="Band-index COMPACTION with a real re-ingest — the keep-latest "
+    "leg for the LSH index family (round-9 verdict #2's driver-visible "
+    "proof; compact_ivfpq_index's twin for band rows): the corpus "
+    "(vec_id % 10 <> 7, q35-style cap) is banded once into the "
+    "bucketed index, every % 20 = 14 vector is RE-INGESTED with an "
+    "updated embedding (list_reverse) as generation 1, and "
+    "compact_band_index drops the superseded generation's band rows "
+    "before the ingest batch (% 10 = 7) probes. The output is EVERY "
+    "candidate pair with its exact cosine (threshold=None): had a "
+    "stale generation survived, the dead embedding's buckets would "
+    "still collide and emit ghost rows the oracle — q103's static "
+    "rectangle over the UPDATED corpus view — does not contain, so "
+    "the hash breaks (verified non-vacuous: pre-compaction the row "
+    "set differs). Bucket-aligned probe plan and the fresh-build "
+    "equivalence are gated in tests/test_text_dedup_similarity.py.",
+    tags=("similarity", "dedup", "lsh", "index", "maintenance"),
+)
+def c27_band_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = emb.where(F.col("vec_id") < 100_000)  # q103's oracle-twin cap
+    corpus0 = emb.where(F.col("vec_id") % 10 != 7)
+    new_batch = emb.where(F.col("vec_id") % 10 == 7)
+    updated = corpus0.where(F.col("vec_id") % 20 == 14).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    corpus_now = corpus0.where(F.col("vec_id") % 20 != 14).unionByName(
+        updated
+    )
+    table = "hcdc_band_index_c27"
+    work = tempfile.mkdtemp(prefix="hcdc_c27_")
+    try:
+        write_band_index(
+            spark, corpus0, table, os.path.join(work, "band_index")
+        )
+        append_band_index(spark, updated, table, batch_id=1)
+        compact_band_index(spark, table)
+        out = incremental_neardup_pairs(
+            spark, new_batch, table, corpus_now, threshold=None
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def append_band_index(
     spark: SparkSession,
     new_batch: DataFrame,
@@ -2424,7 +2568,10 @@ def append_band_index(
     band_index_needs_rebuild sees the grown corpus — check it each
     admission cycle and call rebuild_band_index when it fires, or
     bucket occupancy drifts back into the quadratic regime the sized
-    geometry exists to prevent."""
+    geometry exists to prevent. A RE-ingest (updating ids already
+    indexed) over-counts the statistic until compact_band_index
+    refreshes it from a distinct count — drift in the conservative
+    direction (rebuilds fire earlier, never later)."""
     if batch_id < 0:
         raise ValueError(
             f"append_band_index: batch_id must be >= 0, got {batch_id} "

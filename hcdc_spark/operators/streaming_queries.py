@@ -787,7 +787,13 @@ def _c21_oracle() -> str:
     "is micro-batch-order-invariant and hash-checks against a static "
     "NOT EXISTS oracle (greedy intra-delta chains are a different "
     "operator: q58/q68 clustering). Per-cycle cost is O(|batch|) "
-    "probe + O(|survivors|) append — never O(corpus).",
+    "probe + O(|survivors|) append — never O(corpus). At scale the "
+    "admission loop also checks band_index_needs_rebuild each cycle "
+    "(appends maintain the index's n_rows statistic) and re-sizes via "
+    "rebuild_band_index when the grown corpus calls for more bits — "
+    "gated in tests/test_text_dedup_similarity.py::"
+    "test_band_index_rebuild_policy; the demo's fixed sign geometry "
+    "is capped instead (q103's contract).",
     tags=("streaming", "dedup", "lsh", "index", "pipeline"),
 )
 def c21_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,7 +920,9 @@ def _c22_oracle() -> str:
     "rectangle and the survivor anti-join). Empty word-sets are "
     "excluded on both sides (q73's convention — no dedup evidence). "
     "Per-cycle cost O(|batch|) probe + O(|survivors|) append, never "
-    "O(corpus).",
+    "O(corpus). A re-crawled (updated) doc's stale band rows are "
+    "resolved by compact_doc_band_index (keep-latest, ghost-removal "
+    "gated in tests); the growth policy is c21's.",
     tags=("streaming", "dedup", "lsh", "index", "pipeline", "text"),
 )
 def c22_stream_doc_ingest_dedup(
@@ -978,6 +986,231 @@ def c22_stream_doc_ingest_dedup(
         out = survivors.select(
             "doc_id", F.size("ws").cast("bigint").alias("n_words")
         ).orderBy("doc_id")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _c26_oracle() -> str:
+    from hcdc_spark.functions.text import STOPWORDS, duck_in_set
+    from hcdc_spark.operators.dedup import _DW, Q73_BANDS, Q73_HASHES
+    from hcdc_spark.operators.text import _W, CHUNK_ENC, DEDUP_CHUNK_WORDS
+
+    rows = Q73_HASHES // Q73_BANDS
+    k = DEDUP_CHUNK_WORDS
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_DW} AS ws FROM documents
+      WHERE len({_DW}) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS w FROM t
+    ), mh AS (
+      SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || w)) AS h
+      FROM tok CROSS JOIN range({Q73_HASHES}) r(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, i // {rows} AS band,
+             md5(string_agg(h, '|' ORDER BY i)) AS bucket
+      FROM mh GROUP BY doc_id, i // {rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3
+    ), sized AS (
+      SELECT doc_id, len(ws) AS n, ws FROM t
+    ), rejected AS (
+      SELECT DISTINCT doc_new FROM cand
+      JOIN sized x ON doc_new = x.doc_id
+      JOIN sized y ON doc_old = y.doc_id
+      WHERE CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+            / (x.n + y.n - len(list_intersect(x.ws, y.ws))) >= 0.9
+    ), gated AS (
+      SELECT doc_id, lang, text FROM t
+      WHERE doc_id % 10 = 3
+        AND doc_id NOT IN (SELECT doc_new FROM rejected)
+        AND len({_W}) >= 5 AND {duck_in_set(STOPWORDS, _W)} >= 1
+    ), corpus_chunks AS (
+      SELECT DISTINCT md5(array_to_string(
+               w[idx * {k} + 1 : idx * {k} + {k}], ' ')) AS h
+      FROM (
+        SELECT string_split(text, ' ') AS w,
+               UNNEST(generate_series(
+                 0, CAST((len(string_split(text, ' ')) - 1) // {k}
+                         AS INT))) AS idx
+        FROM documents
+        WHERE doc_id % 10 <> 3 AND len(string_split(text, ' ')) > 0
+      )
+    ), idxed AS (
+      SELECT doc_id, lang,
+             UNNEST(generate_series(
+               0, CAST((len(w) - 1) // {k} AS INT))) AS idx,
+             w
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+            FROM gated) WHERE len(w) > 0
+    ), chunks AS (
+      SELECT doc_id, lang, idx,
+             array_to_string(
+               w[idx * {k} + 1 : idx * {k} + {k}], ' ') AS txt
+      FROM idxed
+    ), flagged AS (
+      SELECT doc_id, lang, idx, txt,
+             md5(txt) NOT IN (SELECT h FROM corpus_chunks)
+             AND idx = MIN(idx) OVER (PARTITION BY doc_id, md5(txt))
+               AS keep
+      FROM chunks
+    ), rewritten AS (
+      SELECT doc_id, lang,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             COALESCE(string_agg(txt, ' ' ORDER BY idx)
+                        FILTER (WHERE keep), '') AS clean_text
+      FROM flagged
+      GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_kept) AS BIGINT) AS n_kept,
+           CAST(SUM(n_kept) AS DOUBLE) / CAST(SUM(n_chunks) AS BIGINT)
+             AS kept_rate,
+           CAST(SUM(LENGTH(clean_text)) AS BIGINT) AS clean_chars
+    FROM rewritten
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@REG.add(
+    "c26_crawl_ingest_pipeline",
+    _c26_oracle(),
+    doc="The FULL training-data crawl-ingest DAG as one streaming "
+    "query — the composition the round-9 verdict mandated (#5): c22's "
+    "near-dup gate feeding q98's quality + chunk-dedup + rollup "
+    "chain. The document corpus (doc_id % 10 <> 3) is MinHash-banded "
+    "once into the bucketed doc index AND its chunk md5 set is "
+    "derived once (corpus_chunk_hashes); new documents stream in 3 "
+    "micro-batches and every foreachBatch (1) probes the index "
+    "(incremental_doc_neardup — batch bands only itself, corpus side "
+    "bucket-aligned) and REJECTS docs with exact word-set Jaccard >= "
+    "0.9 against the corpus, (2) drops low-quality survivors (the "
+    "q30/q98 integer gates: >= 5 words, >= 1 stopword), (3) REWRITES "
+    "each surviving doc against the corpus chunk set "
+    "(chunk_dedup_rewrite_vs: drop every 10-word chunk already in "
+    "the corpus and every within-doc repeat — decisions depend only "
+    "on (doc, static corpus), so the stream is micro-batch-order-"
+    "invariant), and (4) lands (doc, n_chunks, n_kept, clean_text) "
+    "replay-idempotently under its batch partition. After the drain "
+    "the landed docs are ADMITTED to the doc index "
+    "(append_doc_band_index) so the next crawl cycle dedups against "
+    "the grown corpus. Returns the per-language rollup (q98's shape) "
+    "over the landed docs — hash-exact against ONE composed SQL "
+    "oracle: the c22 NOT-EXISTS gate CTEs feeding the q98 CTE chain "
+    "with the corpus-chunk NOT-IN rewrite. Per-cycle cost is "
+    "O(|batch|) probe + O(|batch| chunks) hash join + O(|survivors|) "
+    "append — never O(corpus).",
+    tags=("streaming", "dedup", "text", "pipeline", "index"),
+)
+def c26_crawl_ingest_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hcdc_spark.catalog import table_path
+    from hcdc_spark.functions.text import (
+        STOPWORDS,
+        count_in_set,
+        distinct_words,
+        word_count,
+    )
+    from hcdc_spark.operators import dedup as D
+    from hcdc_spark.operators.text import (
+        chunk_dedup_rewrite_vs,
+        corpus_chunk_hashes,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", "lang", "text", distinct_words("text").alias("ws")
+    ).where(F.size("ws") > 0)
+    corpus_t = t.where(F.col("doc_id") % 10 != 3)
+    delta_t = t.where(F.col("doc_id") % 10 == 3)
+    corpus_docs = docs.where(F.col("doc_id") % 10 != 3)
+    table = "hcdc_doc_band_index_c26"
+    work = tempfile.mkdtemp(prefix="hcdc_c26_")
+    try:
+        D.write_doc_band_index(
+            spark, corpus_t.select("doc_id", "ws"), table,
+            os.path.join(work, "doc_index"),
+        )
+        # the corpus chunk set is per-corpus-version, derived once and
+        # pinned locally (small: 16 bytes/distinct chunk) so the three
+        # micro-batches don't re-derive it
+        ref = corpus_chunk_hashes(corpus_docs)
+        ref = spark.createDataFrame(ref.collect(), ref.schema)
+        delta_dir = os.path.join(work, "delta")
+        delta_t.repartition(3).write.parquet(delta_dir)
+        clean_dir = os.path.join(work, "clean")
+
+        def gate(batch_df: DataFrame, batch_id: int) -> None:
+            hits = (
+                D.incremental_doc_neardup(
+                    spark, batch_df.select("doc_id", "ws"), table,
+                    corpus_t.select("doc_id", "ws"), threshold=0.9,
+                )
+                .select(F.col("doc_new").alias("doc_id"))
+                .distinct()
+            )
+            surv = batch_df.join(hits, "doc_id", "left_anti").where(
+                (word_count("text") >= 5)
+                & (count_in_set("text", STOPWORDS) >= 1)
+            )
+            (
+                chunk_dedup_rewrite_vs(surv, ref, carry=("lang",))
+                .withColumn("batch", F.lit(str(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(clean_dir)
+            )
+
+        with _small_shuffle(spark):
+            q = (
+                spark.readStream.schema(delta_t.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+                .writeStream.foreachBatch(gate)
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_drained(q, "c26_crawl_ingest_pipeline")
+        landed = spark.read.parquet(clean_dir)
+        # close the loop: the ingested docs join the corpus index so
+        # the next crawl cycle dedups against them
+        admitted = delta_t.join(
+            landed.select("doc_id"), "doc_id", "left_semi"
+        )
+        D.append_doc_band_index(
+            spark, admitted.select("doc_id", "ws"), table
+        )
+        out = (
+            landed.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chunks").cast("long").alias("n_chunks"),
+                F.sum("n_kept").cast("long").alias("n_kept"),
+                (
+                    F.sum("n_kept").cast("double") / F.sum("n_chunks")
+                ).alias("kept_rate"),
+                F.sum(F.length("clean_text").cast("long"))
+                .cast("long")
+                .alias("clean_chars"),
+            )
+            .orderBy("lang")
+        )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -1014,6 +1014,86 @@ def chunk_dedup_rewrite(
     )
 
 
+def corpus_chunk_hashes(docs: DataFrame, k: int = DEDUP_CHUNK_WORDS) -> DataFrame:
+    """The DISTINCT md5 keys of a corpus's non-overlapping k-word
+    chunks — the static reference set the ingest-time rewrite
+    (chunk_dedup_rewrite_vs) drops against. Built once per corpus
+    version; at 100 TB this is a persisted/bucketed artifact like the
+    band indexes (16 bytes per distinct chunk), here a frame the
+    caller may cache across micro-batches."""
+    return (
+        docs.select(F.split(F.col("text"), " ").alias("w"))
+        .where(F.size("w") > 0)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(w)-1) div {k} AS "
+                    f"INT)), i -> md5(concat_ws(' ', slice(w, i*{k}+1, "
+                    f"{k}))))"
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+
+
+def chunk_dedup_rewrite_vs(
+    docs: DataFrame,
+    ref_hashes: DataFrame,
+    k: int = DEDUP_CHUNK_WORDS,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Ingest-time chunk-dedup REWRITE against a STATIC reference set:
+    (doc_id, text) → (doc_id, n_chunks, n_kept, clean_text), dropping
+    every k-word chunk whose md5 occurs in ``ref_hashes`` (the
+    already-ingested corpus) and every repeat within the document
+    itself (keep the first occurrence by idx). Unlike q94's corpus-
+    global keep-first window, decisions depend ONLY on (document,
+    reference set) — so a streamed ingest is micro-batch-order-
+    INVARIANT and a static SQL oracle mirrors it exactly (c26). Plan
+    shape: one join on the 16-byte chunk hash against the reference
+    (broadcastable when the corpus fits, else a shuffle on the hash),
+    one narrow window within (doc_id, hash), one regroup per doc."""
+    from pyspark.sql import Window
+
+    chunks = (
+        docs.select(
+            "doc_id", *carry, F.split(F.col("text"), " ").alias("w")
+        )
+        .where(F.size("w") > 0)
+        .select(
+            "doc_id",
+            *carry,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(w)-1) div {k} AS "
+                    f"INT)), i -> concat_ws(' ', slice(w, i*{k}+1, {k})))"
+                )
+            ).alias("idx", "txt"),
+        )
+        .withColumn("h", F.md5("txt"))
+    )
+    hit = ref_hashes.select(F.col("h"), F.lit(True).alias("__in_ref"))
+    first_in_doc = F.col("idx") == F.min("idx").over(
+        Window.partitionBy("doc_id", "h")
+    )
+    flagged = chunks.join(hit, "h", "left").withColumn(
+        "keep", F.col("__in_ref").isNull() & first_in_doc
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("idx", "txt"))
+    return flagged.groupBy("doc_id", *carry).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["txt"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
 #: Learned-vocabulary size for q95 — deliberately SMALLER than this
 #: corpus's 31-word vocabulary so OOV is a real, varying signal.
 VOCAB_TOP_V = 16

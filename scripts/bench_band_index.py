@@ -129,12 +129,24 @@ def main() -> None:
                 rebuilt, cand_rebuilt = probe_as(
                     meta["n_bands"], meta["bits"]
                 )
+                # keep-latest compaction cost at the big point: re-ingest
+                # 1/20th of the corpus as generation 1, fold it back —
+                # one groupBy(id) + one join over (id, band, bucket)
+                # rows, corpus-linear like the build
+                upd = corpus.where(F.col("vec_id") % 20 == 14)
+                S.append_band_index(
+                    spark, upd, table, n_bands=meta["n_bands"],
+                    bits=meta["bits"], geometry="hyperplane", batch_id=1,
+                )
+                t0 = time.time()
+                S.compact_band_index(spark, table)
                 out[sf].update(
                     probe_stale=round(stale, 3),
                     cand_stale=cand_stale,
                     rebuild=round(rebuild, 3),
                     probe_rebuilt=round(rebuilt, 3),
                     cand_rebuilt=cand_rebuilt,
+                    compact=round(time.time() - t0, 3),
                 )
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -1,13 +1,13 @@
 """Gate the driver-budget registry ordering.
 
 The external correctness harness checks exactly the first 50 registry
-entries per round (flat count — observed in rounds 1-8). These tests pin
-the round-9 contract: every query whose implementation or oracle is new
+entries per round (flat count — observed in rounds 1-9). These tests pin
+the round-10 contract: every query whose implementation or oracle is new
 or changed sits inside that prefix (a green row that predates the code
-is not evidence), plus the currency-rotation blocks (all 24 r6-dated
-greens and the 12 oldest r7-dated greens) and the spine. If the round-9
-window goes green, every oracle-bearing query's latest driver green is
-r7 or newer — steady-state rotation (~30 rows/round).
+is not evidence), plus the currency-rotation block (all 32 r7-dated
+greens) and the spine. If the round-10 window goes green, every
+oracle-bearing query's latest driver green is r8 or newer —
+steady-state rotation (~30 rows/round).
 """
 
 from __future__ import annotations
@@ -17,50 +17,49 @@ import pathlib
 
 import __spark_entry__ as E
 
-#: Round-9 must-verify set: queries whose CODE changed this round —
-#: q99 (fixed-point sums now accumulate as DECIMAL so they can't wrap
-#: where DuckDB promotes to HUGEINT), q100 (band count now grows with
-#: the corpus-sized bit width to hold recall; optional stats-artifact
-#: n_rows), q101 (refactored onto the shared _ivfpq_coarse/_ivfpq_codes
-#: helpers — same plan, but moved code needs fresh evidence), and the
-#: NEW q102/q103/q104/c20/c21 (the materialized, bucketed, upserted
-#: and stream-maintained index family).
+#: Round-10 must-verify set: queries whose CODE changed this round —
+#: the band indexes gained generation rows + catalog geometry/n_rows
+#: statistics and a loud index/corpus-drift guard (q103/c21/c22), the
+#: corpus-stats artifact gained the source fingerprint (q100) — plus
+#: the NEW rows: c23 (T23 backlog), c24 (T27 state GC), c25 (IVF-PQ
+#: index compaction with re-ingest), c26 (the composed crawl-ingest
+#: DAG), c27 (band-index compaction / ghost removal).
 CHANGED_THIS_ROUND = {
-    "q99_kmeans_step",
     "q100_neardup_scaled",
-    "q101_ivfpq_ann",
-    "q102_ivfpq_index_ann",
     "q103_incremental_neardup",
-    "q104_ivfpq_index_upsert",
-    "c20_stream_index_upsert",
     "c21_stream_ingest_dedup",
     "c22_stream_doc_ingest_dedup",
+    "c23_backlog_replay",
+    "c24_state_gc",
+    "c25_index_compaction",
+    "c26_crawl_ingest_pipeline",
+    "c27_band_compaction",
 }
 
-#: The 24 queries whose latest driver green still dates to round 6 —
-#: the round-8 verdict's rotation mandate #1 (its enumerated queue,
-#: judge-verified against the CORRECTNESS files).
-R6_DATED = {
-    "q18_datetime_functions", "q19_conditional", "q20_json_extract",
-    "q23_scalar_subquery", "q27_dedup_exact", "q30_text_quality",
-    "q31_token_count", "q32_lang_id", "q33_fingerprint",
-    "q34_knn_brute_force", "q37_centroid_by_label", "q39_csv_roundtrip",
-    "q39_json_roundtrip", "q39_orc_roundtrip",
-    "q40_partitioned_write_prune", "q46_null_safe_eq", "q50_pivot",
-    "q59_contamination", "q60_stratified_sample", "q65_map_json_functions",
-    "q66_hybrid_search", "q67_bm25_search", "q68_semantic_dedup",
-    "q86_unpivot",
+#: The 32 queries whose latest driver green still dates to round 7 —
+#: the round-9 verdict's rotation queue #3 (judge-verified against the
+#: CORRECTNESS files).
+R7_DATED = {
+    "q10_agg_distinct", "q11_rollup", "q16_set_ops",
+    "q22_explode_wordcount", "q24_latest_per_key", "q25_sessionization",
+    "q26_interval_merge", "q28_jaccard_pairs", "q35_embedding_neardup",
+    "q42_media_analyze", "q43_media_embed_knn", "q44_grouping_sets",
+    "q45_collect_sets", "q47_asof_join", "q48_range_join",
+    "q49_percentiles", "q63_sequence_packing",
+    "q64_embedding_quantization", "q69_ngram_topk",
+    "q70_salted_join_agg", "q71_media_resize", "q72_skew_safe_distinct",
+    "q89_ann_lsh_md5", "q90_chunk_dedup", "q91_simhash_md5",
+    "q92_embedding_neardup_md5", "q93_ivf_ann_fixed",
+    "q94_chunk_dedup_rewrite", "q95_vocab_oov", "q96_bigram_dup_rate",
+    "q97_pq_ann_adc", "q98_ingest_pipeline",
 }
 
-#: The oldest r7-dated rows that take the 12 leftover slots — the
-#: whole r7 streaming/CDC block plus the relational head — starting
-#: the steady-state rotation (round 10 inherits 32 r7-dated rows).
-R7_ROTATION = {
-    "c02_cdc_error_channel", "c03_cdc_change_set", "c04_stream_reconcile",
-    "c06_snapshot_bootstrap", "c07_materialize_pipeline",
-    "c08_cdc_pipeline", "c17_watermark_late_drop", "c19_stream_doc_dedup",
-    "q02_filter_project", "q03_join_topn_revenue", "q07_anti_join",
-    "q08_theta_join",
+#: The oldest r8-dated rows that take the 4 leftover slots — the head
+#: of round 11's queue (the r8 block is 42 rows; steady state keeps
+#: nibbling the oldest).
+R8_HEAD = {
+    "q04_left_outer_join", "q06_semi_join", "q09_cross_join",
+    "q13_window_rank",
 }
 
 #: Long-green canaries that must stay in the prefix as regression
@@ -85,7 +84,7 @@ ROWS_ONLY_BY_DESIGN = {
     # the scale-regime near-dup — its banding geometry adapts to a
     # runtime corpus count, so no STATIC SQL can mirror it; shape twin
     # q92 (fixed-parameter, hash-exact). Inside the prefix again this
-    # round because its code changed (recall-holding band count).
+    # round because its code changed (stats-artifact fingerprint).
     "q100_neardup_scaled",
 }
 
@@ -105,7 +104,7 @@ def test_changed_and_spine_inside_first_50():
     names = list(E.queries().keys())
     first = set(names[:50])
     missing = (
-        CHANGED_THIS_ROUND | R6_DATED | R7_ROTATION | SPINE
+        CHANGED_THIS_ROUND | R7_DATED | R8_HEAD | SPINE
     ) - first
     assert not missing, f"starved of driver signal: {sorted(missing)}"
 
@@ -137,10 +136,10 @@ def test_new_queries_land_inside_first_50():
 
 
 def test_no_green_older_than_two_rounds_after_this_window():
-    """The round-9 currency bar (tightened from round 8's r6 per the
+    """The round-10 currency bar (tightened from round 9's r7 per the
     verdict): assuming the window goes green, every oracle-bearing
-    query's latest green must be r7 or newer — i.e. the set of queries
-    whose latest green predates r7 must be a subset of the verified
+    query's latest green must be r8 or newer — i.e. the set of queries
+    whose latest green predates r8 must be a subset of the verified
     prefix."""
     latest: dict[str, int] = {}
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -149,7 +148,7 @@ def test_no_green_older_than_two_rounds_after_this_window():
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 latest[name] = max(latest.get(name, 0), rnd)
-    stale = {n for n, r in latest.items() if r < 7}
+    stale = {n for n, r in latest.items() if r < 8}
     names = list(E.queries().keys())
     first = set(names[:50])
     left_out = stale - first
@@ -171,13 +170,11 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 129
+    assert len(qs) >= 134
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 9: q102 (materialized IVF-PQ index), q103 (incremental
-    # near-dup over the bucketed band index), q104 (IVF-PQ index
-    # upsert), c20 (the streaming upsert), c21 (the streaming
-    # ingest-dedup gate) and c22 (its TEXT twin) join the
-    # oracle-bearing set — 123/129 (q100 + the r3 five are rows-only
-    # by structure)
-    assert len(oracles) >= 123
+    # round 10: c23 (T23 backlog), c24 (T27 state GC), c25 (IVF-PQ
+    # index compaction), c26 (composed crawl-ingest DAG) and c27
+    # (band-index compaction) join the oracle-bearing set — 128/134
+    # (q100 + the r3 five are rows-only by structure)
+    assert len(oracles) >= 128
