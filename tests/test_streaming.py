@@ -616,3 +616,124 @@ def test_stream_index_upsert_survives_mid_drain_kill(spark, tmp_path):
         .collect()
     ]
     assert got == expected
+
+
+def test_crawl_ingest_gate_survives_mid_drain_kill(spark, tmp_path):
+    """End-to-end certification of the c26 claim: kill the composed
+    crawl-ingest gate DURING its drain (after >=2 committed batches,
+    most delta files unread), cold-restart from the checkpoint — the
+    in-flight batch replays and its dynamic partition overwrite makes
+    the replay a no-op — and the landed corpus must equal a one-shot
+    run of the same gate over the whole delta (legal because every
+    decision depends only on (doc, static corpus): near-dup probe vs
+    the pre-stream index, quality gate, chunk rewrite vs the corpus
+    chunk set)."""
+    import time
+
+    from pyspark.sql import functions as SF
+
+    from hcdc_spark.functions.text import (
+        STOPWORDS,
+        count_in_set,
+        distinct_words,
+        word_count,
+    )
+    from hcdc_spark.operators import dedup as D
+    from hcdc_spark.operators.text import (
+        chunk_dedup_rewrite_vs,
+        corpus_chunk_hashes,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = docs.select(
+        "doc_id", "lang", "text", distinct_words("text").alias("ws")
+    ).where(SF.size("ws") > 0)
+    corpus_t = t.where(SF.col("doc_id") % 10 != 3)
+    delta_t = t.where(SF.col("doc_id") % 10 == 3)
+    corpus_docs = docs.where(SF.col("doc_id") % 10 != 3)
+    table = "hcdc_doc_band_index_chaos"
+    try:
+        D.write_doc_band_index(
+            spark, corpus_t.select("doc_id", "ws"), table,
+            str(tmp_path / "doc_index"),
+        )
+        ref_hashes = corpus_chunk_hashes(corpus_docs)
+        ref_hashes = spark.createDataFrame(
+            ref_hashes.collect(), ref_hashes.schema
+        )
+
+        def gate_into(clean_dir):
+            def gate(batch_df, batch_id):
+                hits = (
+                    D.incremental_doc_neardup(
+                        spark, batch_df.select("doc_id", "ws"), table,
+                        corpus_t.select("doc_id", "ws"), threshold=0.9,
+                    )
+                    .select(SF.col("doc_new").alias("doc_id"))
+                    .distinct()
+                )
+                surv = batch_df.join(hits, "doc_id", "left_anti").where(
+                    (word_count("text") >= 5)
+                    & (count_in_set("text", STOPWORDS) >= 1)
+                )
+                (
+                    chunk_dedup_rewrite_vs(surv, ref_hashes,
+                                           carry=("lang",))
+                    .withColumn("batch", SF.lit(str(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch")
+                    .parquet(clean_dir)
+                )
+
+            return gate
+
+        # reference: the whole delta through the gate as ONE batch
+        ref_clean = str(tmp_path / "ref_clean")
+        gate_into(ref_clean)(delta_t, 0)
+        cols = ["doc_id", "lang", "n_chunks", "n_kept", "clean_text"]
+        expected = sorted(
+            tuple(r)
+            for r in spark.read.parquet(ref_clean).select(*cols).collect()
+        )
+
+        delta_dir = str(tmp_path / "delta")
+        delta_t.repartition(12).write.parquet(delta_dir)
+        clean_dir = str(tmp_path / "clean")
+        ckpt = str(tmp_path / "ckpt")
+
+        def start():
+            return (
+                spark.readStream.schema(delta_t.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+                .writeStream.foreachBatch(gate_into(clean_dir))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        deadline = time.time() + 120
+        while (
+            time.time() < deadline and len(_commits(ckpt)) < 2
+            and q.isActive
+        ):
+            time.sleep(0.05)
+        q.stop()  # the kill, mid-drain
+        try:
+            q.awaitTermination(60)
+        except Exception:  # noqa: BLE001 — interrupted batch may surface
+            pass
+        assert len(_commits(ckpt)) < 12, "drain finished before the kill"
+
+        q2 = start()  # recovery: replay in-flight batch, finish the rest
+        q2.awaitTermination(120)
+
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(clean_dir).select(*cols).collect()
+        )
+        assert got == expected and got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
