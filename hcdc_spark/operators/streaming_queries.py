@@ -1090,8 +1090,10 @@ def _c26_oracle() -> str:
     "query — the composition the round-9 verdict mandated (#5): c22's "
     "near-dup gate feeding q98's quality + chunk-dedup + rollup "
     "chain. The document corpus (doc_id % 10 <> 3) is MinHash-banded "
-    "once into the bucketed doc index AND its chunk md5 set is "
-    "derived once (corpus_chunk_hashes); new documents stream in 3 "
+    "once into the bucketed doc index AND its chunk md5 set is built "
+    "once as a table BUCKETED on the hash (write_chunk_index — the "
+    "rewrite join reads the corpus side bucket-aligned, no corpus "
+    "exchange per batch, plan-gated); new documents stream in 3 "
     "micro-batches and every foreachBatch (1) probes the index "
     "(incremental_doc_neardup — batch bands only itself, corpus side "
     "bucket-aligned) and REJECTS docs with exact word-set Jaccard >= "
@@ -1126,7 +1128,7 @@ def c26_crawl_ingest_pipeline(
     from hcdc_spark.operators import dedup as D
     from hcdc_spark.operators.text import (
         chunk_dedup_rewrite_vs,
-        corpus_chunk_hashes,
+        write_chunk_index,
     )
 
     docs = spark.read.parquet(table_path(sf_dir, "documents"))
@@ -1137,17 +1139,22 @@ def c26_crawl_ingest_pipeline(
     delta_t = t.where(F.col("doc_id") % 10 == 3)
     corpus_docs = docs.where(F.col("doc_id") % 10 != 3)
     table = "hcdc_doc_band_index_c26"
+    chunk_table = "hcdc_chunk_index_c26"
     work = tempfile.mkdtemp(prefix="hcdc_c26_")
     try:
         D.write_doc_band_index(
             spark, corpus_t.select("doc_id", "ws"), table,
             os.path.join(work, "doc_index"),
         )
-        # the corpus chunk set is per-corpus-version, derived once and
-        # pinned locally (small: 16 bytes/distinct chunk) so the three
-        # micro-batches don't re-derive it
-        ref = corpus_chunk_hashes(corpus_docs)
-        ref = spark.createDataFrame(ref.collect(), ref.schema)
+        # the corpus chunk set is per-corpus-version, built ONCE as a
+        # table bucketed on the hash (16 bytes/distinct chunk) — each
+        # micro-batch's rewrite join reads it bucket-aligned, no
+        # corpus-side exchange (plan-gated in tests/test_plans.py)
+        write_chunk_index(
+            spark, corpus_docs, chunk_table,
+            os.path.join(work, "chunk_index"),
+        )
+        ref = spark.table(chunk_table)
         delta_dir = os.path.join(work, "delta")
         delta_t.repartition(3).write.parquet(delta_dir)
         clean_dir = os.path.join(work, "clean")
@@ -1214,4 +1221,5 @@ def c26_crawl_ingest_pipeline(
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {chunk_table}")
         shutil.rmtree(work, ignore_errors=True)

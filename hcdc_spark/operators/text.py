@@ -1037,6 +1037,32 @@ def corpus_chunk_hashes(docs: DataFrame, k: int = DEDUP_CHUNK_WORDS) -> DataFram
     )
 
 
+def write_chunk_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+    k: int = DEDUP_CHUNK_WORDS,
+) -> None:
+    """Persist the corpus chunk-hash set as a table BUCKETED on the
+    hash — the chunk-dedup analogue of the LSH band indexes: built
+    once per corpus version, and every ingest batch's rewrite join
+    (chunk_dedup_rewrite_vs over ``spark.table(table)``) reads the
+    corpus side bucket-aligned with NO exchange; only the batch's own
+    chunks shuffle. 16 bytes per distinct corpus chunk."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        corpus_chunk_hashes(docs, k)
+        .write.bucketBy(n_buckets, "h")
+        .sortBy("h")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def chunk_dedup_rewrite_vs(
     docs: DataFrame,
     ref_hashes: DataFrame,

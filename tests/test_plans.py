@@ -681,3 +681,41 @@ def test_q103_band_index_probe_joins_bucket_aligned(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set(bcast, prev)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_chunk_index_rewrite_join_is_bucket_aligned(spark, sf_dir,
+                                                    tmp_path):
+    """The crawl gate's chunk-rewrite reference (c26): the corpus
+    chunk-hash set is a table BUCKETED on the hash, so the per-batch
+    rewrite join must read it with NO corpus-side exchange — the whole
+    chunk_dedup_rewrite_vs plan carries exactly TWO exchanges with
+    broadcast disabled: the batch chunks shuffled to the bucket layout
+    on h (the within-doc window then rides that clustering — h alone
+    satisfies ClusteredDistribution(doc_id, h) — paying only a sort)
+    and the per-doc regroup; an unbucketed reference would add a
+    third, the 100 TB corpus re-shuffling on every ingest batch."""
+    from hcdc_spark.operators.text import (
+        chunk_dedup_rewrite_vs,
+        write_chunk_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 10 != 3)
+    batch = docs.where(F.col("doc_id") % 10 == 3)
+    table = "hcdc_chunk_index_gate"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bcast)
+    try:
+        write_chunk_index(
+            spark, corpus, table, str(tmp_path / "chunk_index")
+        )
+        spark.conf.set(bcast, "-1")
+        rewritten = chunk_dedup_rewrite_vs(batch, spark.table(table))
+        p = I.plan(rewritten, "formatted")
+        assert "Bucketed: true" in p
+        assert I.count_exchanges(rewritten) == 2, I.simple_plan(rewritten)
+        # and it still computes: every batch doc comes back rewritten
+        assert rewritten.count() == batch.count()
+    finally:
+        spark.conf.set(bcast, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
