@@ -47,8 +47,12 @@ from hcdc_spark.registry import Registry
 # output equals q103's rectangle over the updated corpus only if the
 # stale generation is gone; 292 ghost pairs pre-compaction at
 # sf0.01); (d) the regression spine (c01 relational-fold family, q73
-# md5-twin family); (e) the 4 leftover slots start round 11's queue
-# with the oldest r8-dated relational rows (q04, q06, q09, q13). The
+# md5-twin family); (e) the 4 leftover slots carry q101/q102/q104/c20
+# -- changed LATE in the round when the IVF-PQ growth policy
+# (ivfpq_scaled_cells + the meta statistic) touched
+# write_ivfpq_index/_ivfpq_coarse, the builder/quantizer all four run
+# through (this displaced the planned round-11 queue prefetch of
+# q04/q06/q09/q13: changed-code evidence outranks prefetch). The
 # five xxhash64-based LSH queries (q29/q36/q38/q52/q53) stay
 # rows-only by design past 50 with their rows-only status on record
 # (r3) -- every SHAPE has a hash-exact twin: q29<->q73, q36<->q89,
@@ -107,11 +111,12 @@ _FIRST_50: tuple[str, ...] = (
     "q12_cube",
     "q73_minhash_lsh_md5",
     "c01_cdc_file_state",
-    # E: head start on round 11's queue -- oldest r8-dated rows
-    "q04_left_outer_join",
-    "q06_semi_join",
-    "q09_cross_join",
-    "q13_window_rank",
+    # E: changed late in the round -- the IVF-PQ growth policy touched
+    # the builder/quantizer these four run through
+    "q101_ivfpq_ann",
+    "q102_ivfpq_index_ann",
+    "q104_ivfpq_index_upsert",
+    "c20_stream_index_upsert",
 )
 
 

@@ -1572,17 +1572,22 @@ def _ivfpq_oracle(quantizer_extra: str = "", data_v: str | None = None) -> str:
     """
 
 
-def _ivfpq_coarse(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _ivfpq_coarse(
+    e: DataFrame, n_cells: int = 16
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """q93's fixed deterministic coarse quantizer over an
     (vec_id, label, v) frame: (cents(ccid, c), cscored(vec_id, ccid,
     cs), cells(vec_id, cell)) — centroids broadcast, assignment one
-    narrow window with the (cs DESC, ccid) tiebreak."""
+    narrow window with the (cs DESC, ccid) tiebreak. ``n_cells``
+    defaults to the q93/q101 oracle constant; the scale path sizes it
+    from the corpus (ivfpq_scaled_cells) so per-query probe reads stay
+    n_probe/n_cells of the codes as the corpus grows."""
     from pyspark.sql import Window
 
     cents = (
         e.where(F.col("vec_id") % 7 == 1)
         .orderBy("vec_id")
-        .limit(16)
+        .limit(n_cells)
         .select(F.col("vec_id").alias("ccid"), F.col("v").alias("c"))
     )
     cs = _dot(F.col("v"), F.col("c")) / (
@@ -1688,7 +1693,96 @@ def q101_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------ materialized IVF-PQ index (q102)
 
 
-def write_ivfpq_index(spark: SparkSession, emb: DataFrame, path: str) -> None:
+def ivfpq_scaled_cells(n_rows: int, min_cells: int = 16) -> int:
+    """Coarse-cell count sized to the corpus: ~sqrt(n) cells (the
+    standard IVF sizing — per-cell occupancy and cell count grow
+    together), rounded up to a power of two for stable growth steps.
+    With FIXED cells a probe reads n_probe/16ths of the corpus —
+    linear in n; with sqrt sizing the probed fraction shrinks as the
+    corpus grows and per-query reads grow only ~sqrt(n). The IVF
+    twin of neardup_scaled_bits."""
+    import math as _math
+
+    if n_rows <= min_cells * min_cells:
+        return min_cells
+    return 1 << _math.ceil(_math.log2(_math.sqrt(n_rows)))
+
+
+def read_ivfpq_meta(spark: SparkSession, path: str) -> dict | None:
+    """(n_rows, n_cells) from the index's meta row, or None for a
+    pre-metadata index (rebuild it to adopt the growth policy)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{path}/meta").collect()
+    except AnalysisException:
+        return None
+    if not rows:
+        return None
+    return {"n_rows": int(rows[0]["n_rows"]),
+            "n_cells": int(rows[0]["n_cells"])}
+
+
+def _write_ivfpq_meta(
+    spark: SparkSession, path: str, n_rows: int, n_cells: int
+) -> None:
+    spark.createDataFrame(
+        [(int(n_rows), int(n_cells))], "n_rows long, n_cells int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivfpq_index_needs_rebuild(spark: SparkSession, path: str) -> bool:
+    """True when the corpus has outgrown the cell count the index was
+    built with (ivfpq_scaled_cells(n_now) > n_cells_built): per-cell
+    occupancy — and so every query's pruned read — has drifted past
+    the sized curve. The IVF twin of band_index_needs_rebuild; check
+    after upsert cycles, rebuild via rebuild_ivfpq_index. A catalog
+    read, not a scan. Pre-metadata indexes return False (unknown
+    geometry — rebuild once to adopt the policy)."""
+    meta = read_ivfpq_meta(spark, path)
+    if meta is None:
+        return False
+    return ivfpq_scaled_cells(meta["n_rows"]) > meta["n_cells"]
+
+
+def rebuild_ivfpq_index(
+    spark: SparkSession, emb: DataFrame, path: str
+) -> dict:
+    """Re-quantize the (grown) corpus at the cell count its size calls
+    for — the rebuild leg ivfpq_index_needs_rebuild points at. Unlike
+    the O(|delta|) upsert this is a full re-encode (cells change, so
+    every stored cell assignment is stale); it runs OFFLINE next to
+    the live index and swaps by rename (build to path.rebuild, rename
+    live to path.old, rebuild into place, drop old — the
+    compact_ivfpq_index crash discipline: an interrupted swap is
+    finished by the guard here on the next call). Returns the new
+    meta."""
+    import os
+    import shutil
+
+    tmp, old = path + ".rebuild", path + ".old"
+    if not os.path.isdir(path) and os.path.isdir(tmp):
+        os.rename(tmp, path)  # finish an interrupted swap
+        shutil.rmtree(old, ignore_errors=True)
+        return read_ivfpq_meta(spark, path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    n = emb.count()
+    n_cells = ivfpq_scaled_cells(n)
+    write_ivfpq_index(spark, emb, tmp, n_cells=n_cells)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: the live index survives
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return read_ivfpq_meta(spark, path)
+
+
+def write_ivfpq_index(
+    spark: SparkSession, emb: DataFrame, path: str, n_cells: int = 16
+) -> None:
     """Materialize the IVF-PQ index q101 computes inline.
 
     Three artifacts under ``path`` (the FAISS-IVFADC on-disk shape,
@@ -1719,7 +1813,7 @@ def write_ivfpq_index(spark: SparkSession, emb: DataFrame, path: str) -> None:
     from pyspark.sql import Window
 
     e = emb.select("vec_id", "label", _emb().alias("v"))
-    cents, _cscored, cells = _ivfpq_coarse(e)
+    cents, _cscored, cells = _ivfpq_coarse(e, n_cells=n_cells)
     cbsub, _scored, codes = _ivfpq_codes(e)
     dense = cbsub.withColumn(
         "code",
@@ -1750,6 +1844,11 @@ def write_ivfpq_index(spark: SparkSession, emb: DataFrame, path: str) -> None:
     ).write.mode("overwrite").partitionBy("batch", "cell").parquet(
         f"{path}/codes"
     )
+    # growth-policy statistic (the band-index n_rows pattern): the
+    # corpus size and cell count the index was built for; upserts
+    # maintain n_rows, ivfpq_index_needs_rebuild compares
+    n_rows = spark.read.parquet(f"{path}/codes").count()
+    _write_ivfpq_meta(spark, path, n_rows, n_cells)
 
 
 def ivfpq_index_search(
@@ -1782,7 +1881,9 @@ def ivfpq_index_search(
             _dot(qarr, F.col("c"))
             / (F.sqrt(_norm2(qarr)) * F.sqrt(_norm2(F.col("c"))))
         ).alias("cs"),
-    ).collect()  # bounded: 16 centroid scores
+    ).collect()  # bounded artifact: n_cells centroid scores (16 for
+    # the oracle geometry; ~sqrt(n) under ivfpq_scaled_cells — 32k
+    # rows at a billion vectors, still a driver-side triviality)
     probes = [
         r["ccid"] for r in sorted(qcs, key=lambda r: (-r["cs"], r["ccid"]))
     ][:n_probe]
@@ -2275,6 +2376,18 @@ def append_ivfpq_delta(
         .partitionBy("batch", "cell")
         .parquet(f"{path}/codes")
     )
+    # maintain the growth-policy statistic (conservative on re-ingest
+    # AND on at-least-once replay: over-counts until compaction
+    # recounts from the exact fold — rebuilds fire earlier, never
+    # later; the CODE table itself stays replay-idempotent via the
+    # dynamic partition overwrite); pre-metadata indexes skip it
+    meta = read_ivfpq_meta(spark, path)
+    if meta is not None:
+        _write_ivfpq_meta(
+            spark, path,
+            meta["n_rows"] + delta.select("vec_id").distinct().count(),
+            meta["n_cells"],
+        )
 
 
 @REG.add(
@@ -2402,6 +2515,11 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
         os.rename(old, codes_path)  # roll back: the live table survives
         raise
     shutil.rmtree(old, ignore_errors=True)
+    meta = read_ivfpq_meta(spark, path)
+    if meta is not None:
+        # refresh the growth statistic from the exact fold (corrects
+        # any re-ingest over-count the appends accumulated)
+        _write_ivfpq_meta(spark, path, n, meta["n_cells"])
     return n
 
 

@@ -81,6 +81,52 @@ def main() -> None:
                 "search": round(search, 3),
                 "win": round(inline / search, 2),
             }
+            if sf == big:
+                # the growth policy's read-side claim: at the 40x
+                # point the FIXED 16-cell geometry probes 4/16 of the
+                # corpus, sqrt-sized cells (ivfpq_scaled_cells) probe
+                # 4/n_cells — the probed code rows shrink from a
+                # constant corpus fraction to ~sqrt-tracking
+                n = S.read_ivfpq_meta(spark, idx)["n_rows"]
+                cells = S.ivfpq_scaled_cells(n)
+                sized = f"{work}/ivfpq_sized"
+                S.write_ivfpq_index(spark, emb, sized, n_cells=cells)
+
+                def probed_rows(path: str, nc: int) -> int:
+                    cents = spark.read.parquet(f"{path}/centroids")
+                    qarr = F.array(
+                        *[F.lit(float(x)).cast("double") for x in qv]
+                    )
+                    dot = F.aggregate(
+                        F.zip_with(qarr, F.col("c"),
+                                   lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    qcs = cents.select("ccid", dot.alias("cs")).collect()
+                    probes = [
+                        r["ccid"]
+                        for r in sorted(qcs,
+                                        key=lambda r: (-r["cs"], r["ccid"]))
+                    ][:4]
+                    return (
+                        spark.read.parquet(f"{path}/codes")
+                        .where(F.col("cell").isin(probes))
+                        .count()
+                    )
+
+                search_sized = _best(
+                    lambda: S.ivfpq_index_search(
+                        spark, sized, qv, exclude_id=0
+                    ).collect(),
+                    passes,
+                )
+                out[sf].update(
+                    n_cells_sized=cells,
+                    probed_rows_16=probed_rows(idx, 16),
+                    probed_rows_sized=probed_rows(sized, cells),
+                    search_sized=round(search_sized, 3),
+                )
         finally:
             shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))

@@ -25,6 +25,12 @@ import __spark_entry__ as E
 #: index compaction with re-ingest), c26 (the composed crawl-ingest
 #: DAG), c27 (band-index compaction / ghost removal).
 CHANGED_THIS_ROUND = {
+    # late-round: the IVF-PQ growth policy (scaled cells + meta
+    # statistic) touched write_ivfpq_index/_ivfpq_coarse
+    "q101_ivfpq_ann",
+    "q102_ivfpq_index_ann",
+    "q104_ivfpq_index_upsert",
+    "c20_stream_index_upsert",
     "q100_neardup_scaled",
     "q103_incremental_neardup",
     "c21_stream_ingest_dedup",
@@ -54,13 +60,10 @@ R7_DATED = {
     "q97_pq_ann_adc", "q98_ingest_pipeline",
 }
 
-#: The oldest r8-dated rows that take the 4 leftover slots — the head
-#: of round 11's queue (the r8 block is 42 rows; steady state keeps
-#: nibbling the oldest).
-R8_HEAD = {
-    "q04_left_outer_join", "q06_semi_join", "q09_cross_join",
-    "q13_window_rank",
-}
+#: (round 11 queue prefetch was displaced by the late-round IVF-PQ
+#: growth-policy changes — those four slots now carry the changed
+#: q101/q102/q104/c20 instead.)
+R8_HEAD: set[str] = set()
 
 #: Long-green canaries that must stay in the prefix as regression
 #: tripwires (c01 carries the relational-fold oracle family, q73 the

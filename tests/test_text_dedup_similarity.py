@@ -1438,3 +1438,128 @@ def test_band_swap_recovery_guard(spark, sf_dir, tmp_path):
     finally:
         for t2 in (tbl, f"{tbl}__stage"):
             spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_ivfpq_scaled_cells_math():
+    """sqrt-sizing with a power-of-two step and a floor at the oracle
+    geometry's 16 cells."""
+    assert similarity.ivfpq_scaled_cells(100) == 16
+    assert similarity.ivfpq_scaled_cells(256) == 16
+    assert similarity.ivfpq_scaled_cells(257) == 32
+    assert similarity.ivfpq_scaled_cells(1024) == 32
+    assert similarity.ivfpq_scaled_cells(80_000) == 512
+    assert similarity.ivfpq_scaled_cells(10**9) == 1 << 15
+
+
+def test_ivfpq_rebuild_policy(spark, sf_dir, tmp_path):
+    """The IVF twin of the band-index growth loop: upserts maintain the
+    index's n_rows statistic, ivfpq_index_needs_rebuild fires exactly
+    when the corpus outgrows the built cell count
+    (ivfpq_scaled_cells(n_now) > n_cells), and rebuild_ivfpq_index
+    re-quantizes at the sized count with search results equal to a
+    fresh build at that geometry."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 200)
+    grow = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350))
+    corpus = emb.where(F.col("vec_id") < 350)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    assert similarity.ivfpq_scaled_cells(200) == 16
+    assert similarity.ivfpq_scaled_cells(350) == 32
+
+    idx = str(tmp_path / "live")
+    similarity.write_ivfpq_index(spark, base, idx)
+    meta = similarity.read_ivfpq_meta(spark, idx)
+    assert meta == {"n_rows": 200, "n_cells": 16}
+    assert not similarity.ivfpq_index_needs_rebuild(spark, idx)
+
+    similarity.append_ivfpq_delta(spark, grow, idx, batch_id=1)
+    meta = similarity.read_ivfpq_meta(spark, idx)
+    assert meta["n_rows"] == 350
+    assert similarity.ivfpq_index_needs_rebuild(spark, idx)
+
+    new_meta = similarity.rebuild_ivfpq_index(spark, corpus, idx)
+    assert new_meta == {"n_rows": 350, "n_cells": 32}
+    assert not similarity.ivfpq_index_needs_rebuild(spark, idx)
+
+    ref = str(tmp_path / "ref")
+    similarity.write_ivfpq_index(spark, corpus, ref, n_cells=32)
+    want = [
+        tuple(r)
+        for r in similarity.ivfpq_index_search(spark, ref, qv,
+                                               exclude_id=0).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in similarity.ivfpq_index_search(spark, idx, qv,
+                                               exclude_id=0).collect()
+    ]
+    assert got == want and got
+
+    # compaction refreshes the statistic from the exact fold
+    similarity.append_ivfpq_delta(spark, grow, idx, batch_id=2)  # re-ingest
+    assert similarity.read_ivfpq_meta(spark, idx)["n_rows"] == 500
+    n = similarity.compact_ivfpq_index(spark, idx)
+    assert n == 350
+    assert similarity.read_ivfpq_meta(spark, idx)["n_rows"] == 350
+
+
+def test_ivfpq_rebuild_recovers_interrupted_swap(spark, sf_dir, tmp_path):
+    """A crash between the rebuild's two renames leaves the live index
+    path missing with the fully-built rebuild staged — the next call
+    finishes the swap."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") < 350)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = str(tmp_path / "live")
+    similarity.write_ivfpq_index(spark, corpus, idx)
+    meta = similarity.rebuild_ivfpq_index(spark, corpus, idx)
+    want = [
+        tuple(r)
+        for r in similarity.ivfpq_index_search(spark, idx, qv,
+                                               exclude_id=0).collect()
+    ]
+    os.rename(idx, idx + ".rebuild")  # simulate the mid-swap crash
+    os.makedirs(idx + ".old")
+    meta2 = similarity.rebuild_ivfpq_index(spark, corpus, idx)
+    assert meta2 == meta
+    assert not os.path.isdir(idx + ".rebuild")
+    assert not os.path.isdir(idx + ".old")
+    got = [
+        tuple(r)
+        for r in similarity.ivfpq_index_search(spark, idx, qv,
+                                               exclude_id=0).collect()
+    ]
+    assert got == want
+
+
+def test_append_band_index_rejects_negative_batch_id(spark, sf_dir,
+                                                     tmp_path):
+    """-1 is the build-generation sentinel on both modalities: an
+    append stamped with it (or below) would corrupt keep-latest
+    ordering — refused before any write."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 == 0)
+    tbl = "hcdc_bi_negbatch"
+    try:
+        similarity.write_band_index(spark, corpus, tbl,
+                                    str(tmp_path / "bi"))
+        with pytest.raises(ValueError, match="batch_id must be >= 0"):
+            similarity.append_band_index(spark, corpus, tbl, batch_id=-1)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    from hcdc_spark.functions.text import distinct_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", distinct_words("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    dtbl = "hcdc_dbi_negbatch"
+    try:
+        dedup.write_doc_band_index(spark, t, dtbl, str(tmp_path / "dbi"))
+        with pytest.raises(ValueError, match="batch_id must be >= 0"):
+            dedup.append_doc_band_index(spark, t, dtbl, batch_id=-1)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {dtbl}")
