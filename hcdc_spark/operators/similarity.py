@@ -2739,6 +2739,7 @@ def rebuild_band_index(
     files), so a crash mid-rebuild leaves the live index serving; an
     interrupted swap is finished by the guard on the next
     compact/rebuild call. Returns the new meta dict."""
+    _finish_interrupted_band_swap(spark, table)
     meta = read_band_index_meta(spark, table)
     if meta["geometry"] != "hyperplane":
         raise ValueError(

@@ -1079,7 +1079,10 @@ def chunk_dedup_rewrite_vs(
     INVARIANT and a static SQL oracle mirrors it exactly (c26). Plan
     shape: one join on the 16-byte chunk hash against the reference
     (broadcastable when the corpus fits, else a shuffle on the hash),
-    one narrow window within (doc_id, hash), one regroup per doc."""
+    one narrow window within (doc_id, hash), one regroup per doc.
+    ``ref_hashes`` must be DISTINCT on ``h`` (corpus_chunk_hashes and
+    write_chunk_index both guarantee it) — duplicate reference rows
+    would fan out the left join and inflate every per-doc count."""
     from pyspark.sql import Window
 
     chunks = (

@@ -1435,6 +1435,24 @@ def test_band_swap_recovery_guard(spark, sf_dir, tmp_path):
         assert n == want
         assert spark.catalog.tableExists(tbl)
         assert not spark.catalog.tableExists(f"{tbl}__stage")
+        # the rebuild path runs the same guard (hyperplane geometry so
+        # the rebuild itself is legal)
+        emb2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        corpus2 = emb2.where(F.col("vec_id") % 10 == 0)
+        tbl2 = "hcdc_bi_swaprec_h"
+        try:
+            similarity.write_band_index(
+                spark, corpus2, tbl2, str(tmp_path / "bih"),
+                n_bands=4, bits=4, geometry="hyperplane",
+            )
+            spark.sql(f"ALTER TABLE {tbl2} RENAME TO {tbl2}__stage")
+            meta = similarity.rebuild_band_index(spark, corpus2, tbl2)
+            assert meta["geometry"] == "hyperplane"
+            assert spark.catalog.tableExists(tbl2)
+            assert not spark.catalog.tableExists(f"{tbl2}__stage")
+        finally:
+            for t2 in (tbl2, f"{tbl2}__stage"):
+                spark.sql(f"DROP TABLE IF EXISTS {t2}")
     finally:
         for t2 in (tbl, f"{tbl}__stage"):
             spark.sql(f"DROP TABLE IF EXISTS {t2}")
