@@ -1105,9 +1105,11 @@ def _c26_oracle() -> str:
     "on (doc, static corpus), so the stream is micro-batch-order-"
     "invariant), and (4) lands (doc, n_chunks, n_kept, clean_text) "
     "replay-idempotently under its batch partition. After the drain "
-    "the landed docs are ADMITTED to the doc index "
-    "(append_doc_band_index) so the next crawl cycle dedups against "
-    "the grown corpus. Returns the per-language rollup (q98's shape) "
+    "the landed docs are ADMITTED to BOTH corpus artifacts — the doc "
+    "band index (append_doc_band_index: next cycle's near-dup gate) "
+    "and, via their KEPT chunks, the chunk index (append_chunk_index: "
+    "next cycle's rewrite) — so the crawl loop closes with no "
+    "rebuild. Returns the per-language rollup (q98's shape) "
     "over the landed docs — hash-exact against ONE composed SQL "
     "oracle: the c22 NOT-EXISTS gate CTEs feeding the q98 CTE chain "
     "with the corpus-chunk NOT-IN rewrite. Per-cycle cost is "
@@ -1127,6 +1129,7 @@ def c26_crawl_ingest_pipeline(
     )
     from hcdc_spark.operators import dedup as D
     from hcdc_spark.operators.text import (
+        append_chunk_index,
         chunk_dedup_rewrite_vs,
         write_chunk_index,
     )
@@ -1195,13 +1198,22 @@ def c26_crawl_ingest_pipeline(
             )
             _await_drained(q, "c26_crawl_ingest_pipeline")
         landed = spark.read.parquet(clean_dir)
-        # close the loop: the ingested docs join the corpus index so
-        # the next crawl cycle dedups against them
+        # close the loop on BOTH corpus artifacts: the ingested docs
+        # join the band index (next cycle's near-dup gate sees them)
+        # and their KEPT chunks join the chunk index (next cycle's
+        # rewrite drops what this cycle already ingested)
         admitted = delta_t.join(
             landed.select("doc_id"), "doc_id", "left_semi"
         )
         D.append_doc_band_index(
             spark, admitted.select("doc_id", "ws"), table
+        )
+        append_chunk_index(
+            spark,
+            landed.where(F.col("clean_text") != "").select(
+                F.col("clean_text").alias("text")
+            ),
+            chunk_table,
         )
         out = (
             landed.groupBy("lang")

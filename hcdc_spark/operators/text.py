@@ -1063,6 +1063,34 @@ def write_chunk_index(
     )
 
 
+def append_chunk_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    k: int = DEDUP_CHUNK_WORDS,
+) -> None:
+    """Admit ingested documents' chunks into the persisted chunk index
+    — the write half that closes the crawl loop for the chunk
+    reference (the band indexes' append, applied here): pass the
+    survivors' REWRITTEN text (clean_text — re-chunking a
+    concatenation of kept chunks reproduces exactly the kept chunks,
+    since every kept chunk except a doc's final partial is exactly k
+    words), so the next cycle's rewrite drops chunks the corpus
+    ALREADY ingested. The reference must stay DISTINCT on ``h``
+    (chunk_dedup_rewrite_vs's left join fans out on duplicates), so
+    the batch's hashes are deduped within themselves
+    (corpus_chunk_hashes) and anti-joined against the table —
+    bucket-aligned, only the small batch side shuffles — before the
+    bucket-preserving insertInto. Idempotent by construction: a
+    replayed admit finds all its hashes present and appends nothing."""
+    fresh = corpus_chunk_hashes(docs, k).join(
+        spark.table(table), "h", "left_anti"
+    )
+    fresh.select(*spark.table(table).columns).write.insertInto(
+        table, overwrite=False
+    )
+
+
 def chunk_dedup_rewrite_vs(
     docs: DataFrame,
     ref_hashes: DataFrame,

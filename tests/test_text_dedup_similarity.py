@@ -1581,3 +1581,96 @@ def test_append_band_index_rejects_negative_batch_id(spark, sf_dir,
             dedup.append_doc_band_index(spark, t, dtbl, batch_id=-1)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {dtbl}")
+
+
+def test_append_chunk_index_grows_reference(spark, sf_dir, tmp_path):
+    """The chunk index's write half (the crawl loop's third artifact):
+    after admitting cycle-1 survivors' KEPT chunks, cycle 2's rewrite
+    must equal a fresh chunk index built over (corpus + cycle-1 clean
+    text), the table must stay DISTINCT on h (a duplicate would fan
+    out the rewrite join), the admit must be idempotent, and the
+    grown table's probe plan must stay bucket-aligned."""
+    from hcdc_spark.operators.text import (
+        append_chunk_index,
+        chunk_dedup_rewrite_vs,
+        write_chunk_index,
+    )
+    from hcdc_spark.plans import inspect as I
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 10 == 0)
+    batch1 = docs.where(F.col("doc_id") % 10 == 3)
+    batch2 = docs.where(F.col("doc_id") % 10 == 7)
+
+    grown_tbl, fresh_tbl = "hcdc_ci_grown", "hcdc_ci_fresh"
+    try:
+        write_chunk_index(spark, corpus, grown_tbl,
+                          str(tmp_path / "grown"))
+        clean1 = chunk_dedup_rewrite_vs(
+            batch1, spark.table(grown_tbl)
+        ).where(F.col("clean_text") != "").select(
+            F.col("clean_text").alias("text")
+        )
+        clean1 = spark.createDataFrame(clean1.collect(), clean1.schema)
+        append_chunk_index(spark, clean1, grown_tbl)
+        n_after = spark.table(grown_tbl).count()
+        # distinct on h held
+        assert n_after == spark.table(grown_tbl).select("h").distinct().count()
+        # idempotent: replaying the admit appends nothing
+        append_chunk_index(spark, clean1, grown_tbl)
+        assert spark.table(grown_tbl).count() == n_after
+
+        # fresh build over corpus + cycle-1 clean text
+        union = corpus.select("text").unionByName(clean1)
+        write_chunk_index(spark, union, fresh_tbl,
+                          str(tmp_path / "fresh"))
+        assert (
+            spark.table(fresh_tbl).count() == n_after
+        ), "grown reference diverged from fresh build"
+
+        def rewrite(tbl):
+            return sorted(
+                tuple(r)
+                for r in chunk_dedup_rewrite_vs(
+                    batch2, spark.table(tbl)
+                ).collect()
+            )
+
+        got, want = rewrite(grown_tbl), rewrite(fresh_tbl)
+        assert got == want and got
+
+        bcast = "spark.sql.autoBroadcastJoinThreshold"
+        prev = spark.conf.get(bcast)
+        try:
+            spark.conf.set(bcast, "-1")
+            r = chunk_dedup_rewrite_vs(batch2, spark.table(grown_tbl))
+            assert "Bucketed: true" in I.plan(r, "formatted")
+            assert I.count_exchanges(r) == 2, I.simple_plan(r)
+        finally:
+            spark.conf.set(bcast, prev)
+    finally:
+        for tbl in (grown_tbl, fresh_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_doc_band_index_never_flags_rebuild(spark, sf_dir, tmp_path):
+    """The MinHash doc index's md5 bucket keys never saturate (2^128
+    space) — the rebuild flag must stay off no matter how large the
+    n_rows statistic grows (a spurious True would trigger pointless
+    full re-bandings of a 100 TB doc corpus)."""
+    from hcdc_spark.functions.text import distinct_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", distinct_words("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    tbl = "hcdc_dbi_norebuild"
+    try:
+        dedup.write_doc_band_index(spark, t, tbl, str(tmp_path / "dbi"))
+        assert not similarity.band_index_needs_rebuild(spark, tbl)
+        # even with a statistic far past any 2^bits geometry's crossing
+        similarity._set_band_index_props(spark, tbl,
+                                         {"n_rows": 10**12})
+        assert not similarity.band_index_needs_rebuild(spark, tbl)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
