@@ -894,8 +894,8 @@ def append_doc_band_index(
     storage only, reclaimed by compaction. Updates the hcdc.n_rows
     statistic the rebuild policy reads."""
     from hcdc_spark.operators.similarity import (
+        _checked_band_geometry,
         _set_band_index_props,
-        read_band_index_meta,
     )
 
     if batch_id < 0:
@@ -903,13 +903,20 @@ def append_doc_band_index(
             f"append_doc_band_index: batch_id must be >= 0, got "
             f"{batch_id} (-1 is the build-generation sentinel)"
         )
+    # validates metadata presence up front (a pre-metadata table would
+    # otherwise half-complete: the positional select drops gen, the
+    # insert lands, then the stats read raises) and pins the table to
+    # the one geometry this module bands with
+    meta = _checked_band_geometry(
+        spark, table, Q73_BANDS, Q73_HASHES // Q73_BANDS, "minhash-md5",
+        "append_doc_band_index",
+    )
     exploded = _doc_band_explode(new_t).withColumn(
         "gen", F.lit(int(batch_id)).cast("long")
     )
     exploded.select(*spark.table(table).columns).write.insertInto(
         table, overwrite=False
     )
-    meta = read_band_index_meta(spark, table)
     n_new = new_t.select("doc_id").distinct().count()
     _set_band_index_props(spark, table, {"n_rows": meta["n_rows"] + n_new})
 

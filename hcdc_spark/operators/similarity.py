@@ -1307,8 +1307,15 @@ def _dir_fingerprint(src_dir: str) -> str | None:
         for f in files:
             if f.startswith(("_", ".")):
                 continue
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                # a file vanished mid-walk: the corpus is being
+                # rewritten under us — exactly the staleness this
+                # fingerprint exists to catch. None never equals a
+                # stored marker, so the reader falls back to count().
+                return None
             n += 1
-            total += os.path.getsize(os.path.join(root, f))
     return f"{n}:{total}"
 
 
@@ -1762,9 +1769,12 @@ def rebuild_ivfpq_index(
 
     tmp, old = path + ".rebuild", path + ".old"
     if not os.path.isdir(path) and os.path.isdir(tmp):
-        os.rename(tmp, path)  # finish an interrupted swap
-        shutil.rmtree(old, ignore_errors=True)
-        return read_ivfpq_meta(spark, path)
+        # finish an interrupted swap so the live path serves again —
+        # then STILL rebuild below: the staged generation reflects the
+        # corpus as of the crashed call, not the ``emb`` this caller
+        # passed (round-10 review: returning it here would silently
+        # serve a rebuild of an older snapshot)
+        os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     n = emb.count()
@@ -2167,7 +2177,15 @@ def incremental_neardup_pairs(
     corpus row cannot be cosine-verified; silently dropping it would
     under-reject near-dups, so the verify join is LEFT and a missing
     vector raises at execution time (drift fails loudly, not quietly).
+    The caller's geometry is validated against the index metadata up
+    front (a stale post-rebuild value would band the batch into
+    buckets the index never populated — every probe would silently
+    come back empty).
     """
+    _checked_band_geometry(
+        spark, index_table, n_bands, bits, geometry,
+        "incremental_neardup_pairs",
+    )
     nbx = _band_explode(
         new_batch, n_bands=n_bands, bits=bits, geometry=geometry
     ).select(F.col("vec_id").alias("vec_new"), "band", "bucket")
@@ -2689,21 +2707,64 @@ def append_band_index(
     geometry exists to prevent. A RE-ingest (updating ids already
     indexed) over-counts the statistic until compact_band_index
     refreshes it from a distinct count — drift in the conservative
-    direction (rebuilds fire earlier, never later)."""
+    direction (rebuilds fire earlier, never later).
+
+    The caller's geometry must MATCH the index's persisted metadata —
+    a mismatch (e.g. still threading the pre-rebuild bits) would band
+    the batch into buckets no probe at the live geometry ever reads,
+    silently un-indexing every admitted vector — so it is validated
+    up front and refused loudly."""
     if batch_id < 0:
         raise ValueError(
             f"append_band_index: batch_id must be >= 0, got {batch_id} "
             "(-1 is the build-generation sentinel)"
         )
+    meta = _checked_band_geometry(
+        spark, table, n_bands, bits, geometry, "append_band_index"
+    )
     exploded = _band_explode(
         new_batch, n_bands=n_bands, bits=bits, geometry=geometry
     ).withColumn("gen", F.lit(int(batch_id)).cast("long"))
     exploded.select(*spark.table(table).columns).write.insertInto(
         table, overwrite=False
     )
-    meta = read_band_index_meta(spark, table)
     n_new = new_batch.select(meta["id_col"]).distinct().count()
     _set_band_index_props(spark, table, {"n_rows": meta["n_rows"] + n_new})
+
+
+def _checked_band_geometry(
+    spark: SparkSession,
+    table: str,
+    n_bands: int,
+    bits: int,
+    geometry: str,
+    caller: str,
+) -> dict:
+    """Validate a caller-supplied banding geometry against the index's
+    persisted metadata (the round-10 review seam: every admit/probe
+    takes geometry parameters, and a stale value — typically the
+    pre-rebuild bits — silently writes or reads buckets the live
+    geometry never touches). Raises with both geometries named;
+    a pre-metadata table (built before the catalog-stats round) raises
+    a clear rebuild-first error instead of a KeyError mid-write."""
+    try:
+        meta = read_band_index_meta(spark, table)
+    except KeyError as exc:
+        raise ValueError(
+            f"{caller}: index {table} carries no hcdc.* metadata "
+            "(built before the generation/statistics layout) — rebuild "
+            "it with write_band_index before appending/probing"
+        ) from exc
+    want = (meta["n_bands"], meta["bits"], meta["geometry"])
+    got = (n_bands, bits, geometry)
+    if want != got:
+        raise ValueError(
+            f"{caller}: geometry mismatch against index {table} — "
+            f"caller passed (n_bands, bits, geometry)={got} but the "
+            f"index was built/rebuilt at {want}; re-read the index "
+            "metadata (read_band_index_meta) after any rebuild"
+        )
+    return meta
 
 
 def band_index_needs_rebuild(spark: SparkSession, table: str) -> bool:
@@ -2716,13 +2777,17 @@ def band_index_needs_rebuild(spark: SparkSession, table: str) -> bool:
     missing #2). Check after every admission cycle; the statistic read
     is a catalog lookup, not a scan.
 
-    Applies to the 2^bits-bounded geometries (sign/hyperplane). The
-    MinHash doc index ('minhash-md5') always returns False: its bucket
-    keys are md5 digests of whole signature bands — a 2^128 space that
-    never saturates, so occupancy tracks true duplication groups, not
-    corpus size."""
+    Only the 'hyperplane' (scale) geometry participates: it is the one
+    rebuild_band_index can re-size, so the flag and the fix agree. The
+    other two return False by design — 'minhash-md5' bucket keys are
+    md5 digests of whole signature bands (a 2^128 space that never
+    saturates; occupancy tracks true duplication groups, not corpus
+    size), and 'sign' is the capped oracle-twin geometry whose queries
+    bound their input by explicit vec_id caps instead of re-sizing
+    (q35/q103's contract) — flagging it would point at a rebuild that
+    is correctly refused."""
     meta = read_band_index_meta(spark, table)
-    if meta["geometry"] == "minhash-md5":
+    if meta["geometry"] != "hyperplane":
         return False
     return (
         neardup_scaled_bits(meta["n_rows"], meta["target_bucket_rows"])
@@ -2831,17 +2896,30 @@ def compact_band_index(spark: SparkSession, table: str) -> int:
     longer exists and the dedup gate rejects against ghosts (round-9
     verdict missing #3). Compaction keeps only each id's latest
     generation (same-generation replay duplicates collapse via
-    distinct), rewrites through the same stage-and-swap the rebuild
-    uses (bucket spec preserved — probes stay exchange-free), and
-    refreshes the n_rows statistic. Returns the compacted row count."""
+    distinct), FOLDS the survivors back to the base generation
+    (gen=-1, exactly compact_ivfpq_index's batch=base reset — so
+    post-compaction any batch_id >= 0 wins keep-latest again and the
+    default-0 admission loop stays correct across cycles), rewrites
+    through the same stage-and-swap the rebuild uses (bucket spec
+    preserved — probes stay exchange-free), and refreshes the n_rows
+    statistic. Returns the compacted row count.
+
+    BATCH-ID DISCIPLINE between compactions: two admissions of the
+    SAME id at the SAME generation tie in keep-latest and both
+    survive — when re-ingests are possible, stamp each admission
+    cycle with a strictly increasing batch_id (c20's pattern: the
+    stream's own micro-batch id) or compact between cycles."""
     _finish_interrupted_band_swap(spark, table)
     meta = read_band_index_meta(spark, table)
     id_col = meta["id_col"]
     rows = spark.table(table)
     latest = rows.groupBy(id_col).agg(F.max("gen").alias("gen"))
-    survivors = rows.join(latest, [id_col, "gen"]).select(
-        *rows.columns
-    ).distinct()
+    survivors = (
+        rows.join(latest, [id_col, "gen"])
+        .select(*rows.columns)
+        .distinct()
+        .withColumn("gen", F.lit(-1).cast("long"))
+    )
 
     def write_stage(stage_table: str, stage_path: str) -> None:
         write_band_index_rows(

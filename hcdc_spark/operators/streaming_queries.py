@@ -995,7 +995,7 @@ def c22_stream_doc_ingest_dedup(
 def _c26_oracle() -> str:
     from hcdc_spark.functions.text import STOPWORDS, duck_in_set
     from hcdc_spark.operators.dedup import _DW, Q73_BANDS, Q73_HASHES
-    from hcdc_spark.operators.text import _W, CHUNK_ENC, DEDUP_CHUNK_WORDS
+    from hcdc_spark.operators.text import _W, DEDUP_CHUNK_WORDS
 
     rows = Q73_HASHES // Q73_BANDS
     k = DEDUP_CHUNK_WORDS

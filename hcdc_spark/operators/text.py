@@ -969,6 +969,34 @@ def q94_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup_rewrite(docs)
 
 
+def _chunk_explode(
+    docs: DataFrame,
+    k: int = DEDUP_CHUNK_WORDS,
+    carry: tuple[str, ...] = (),
+    with_id: bool = True,
+) -> DataFrame:
+    """(text, ...) → one row per non-overlapping k-word chunk
+    (idx, txt) — THE chunk-identity expression, shared by the q94
+    corpus rewrite, the ingest-time rewrite and the chunk-index
+    builder so the three can never chunk differently (the _band_explode
+    discipline applied to chunking). Docs with no words are excluded
+    on every path."""
+    cols = (["doc_id"] if with_id else []) + list(carry)
+    return (
+        docs.select(*cols, F.split(F.col("text"), " ").alias("w"))
+        .where(F.size("w") > 0)
+        .select(
+            *cols,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST((size(w)-1) div {k} AS "
+                    f"INT)), i -> concat_ws(' ', slice(w, i*{k}+1, {k})))"
+                )
+            ).alias("idx", "txt"),
+        )
+    )
+
+
 def chunk_dedup_rewrite(
     docs: DataFrame,
     k: int = DEDUP_CHUNK_WORDS,
@@ -981,22 +1009,7 @@ def chunk_dedup_rewrite(
     changes no group."""
     from pyspark.sql import Window
 
-    chunks = (
-        docs.select(
-            "doc_id", *carry, F.split(F.col("text"), " ").alias("w")
-        )
-        .where(F.size("w") > 0)
-        .select(
-            "doc_id",
-            *carry,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, CAST((size(w)-1) div {k} AS "
-                    f"INT)), i -> concat_ws(' ', slice(w, i*{k}+1, {k})))"
-                )
-            ).alias("idx", "txt"),
-        )
-    )
+    chunks = _chunk_explode(docs, k, carry)
     enc = F.col("doc_id") * CHUNK_ENC + F.col("idx")
     first = F.min(enc).over(Window.partitionBy(F.md5("txt")))
     flagged = chunks.withColumn("keep", enc == first)
@@ -1022,17 +1035,8 @@ def corpus_chunk_hashes(docs: DataFrame, k: int = DEDUP_CHUNK_WORDS) -> DataFram
     band indexes (16 bytes per distinct chunk), here a frame the
     caller may cache across micro-batches."""
     return (
-        docs.select(F.split(F.col("text"), " ").alias("w"))
-        .where(F.size("w") > 0)
-        .select(
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, CAST((size(w)-1) div {k} AS "
-                    f"INT)), i -> md5(concat_ws(' ', slice(w, i*{k}+1, "
-                    f"{k}))))"
-                )
-            ).alias("h")
-        )
+        _chunk_explode(docs, k, with_id=False)
+        .select(F.md5("txt").alias("h"))
         .distinct()
     )
 
@@ -1113,23 +1117,7 @@ def chunk_dedup_rewrite_vs(
     would fan out the left join and inflate every per-doc count."""
     from pyspark.sql import Window
 
-    chunks = (
-        docs.select(
-            "doc_id", *carry, F.split(F.col("text"), " ").alias("w")
-        )
-        .where(F.size("w") > 0)
-        .select(
-            "doc_id",
-            *carry,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, CAST((size(w)-1) div {k} AS "
-                    f"INT)), i -> concat_ws(' ', slice(w, i*{k}+1, {k})))"
-                )
-            ).alias("idx", "txt"),
-        )
-        .withColumn("h", F.md5("txt"))
-    )
+    chunks = _chunk_explode(docs, k, carry).withColumn("h", F.md5("txt"))
     hit = ref_hashes.select(F.col("h"), F.lit(True).alias("__in_ref"))
     first_in_doc = F.col("idx") == F.min("idx").over(
         Window.partitionBy("doc_id", "h")

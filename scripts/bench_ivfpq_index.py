@@ -93,17 +93,29 @@ def main() -> None:
                 S.write_ivfpq_index(spark, emb, sized, n_cells=cells)
 
                 def probed_rows(path: str, nc: int) -> int:
+                    # probe selection must be ivfpq_index_search's
+                    # EXACT cosine ranking (dot / (|q||c|)) — raw dot
+                    # would pick different cells whenever a large-norm
+                    # centroid out-dots a better-aligned one, and the
+                    # row count would describe partitions the measured
+                    # search never reads
                     cents = spark.read.parquet(f"{path}/centroids")
                     qarr = F.array(
                         *[F.lit(float(x)).cast("double") for x in qv]
                     )
-                    dot = F.aggregate(
-                        F.zip_with(qarr, F.col("c"),
-                                   lambda a, b: a * b),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
+
+                    def dot(a, b):
+                        return F.aggregate(
+                            F.zip_with(a, b, lambda x, y: x * y),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+
+                    cs = dot(qarr, F.col("c")) / (
+                        F.sqrt(dot(qarr, qarr))
+                        * F.sqrt(dot(F.col("c"), F.col("c")))
                     )
-                    qcs = cents.select("ccid", dot.alias("cs")).collect()
+                    qcs = cents.select("ccid", cs.alias("cs")).collect()
                     probes = [
                         r["ccid"]
                         for r in sorted(qcs,

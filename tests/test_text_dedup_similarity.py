@@ -1238,12 +1238,45 @@ def test_band_index_keep_latest_ghost_removal(spark, sf_dir, tmp_path):
         gens = {
             r["gen"]
             for r in spark.table(live_tbl)
-            .where(F.col("vec_id") % 20 == 0)
             .select("gen").distinct().collect()
         }
-        assert gens == {1}, "stale generation survived compaction"
+        # survivors fold back to the base generation (the ivfpq
+        # batch=base reset) so the default-0 admission loop stays
+        # correct across cycles
+        assert gens == {-1}, "compaction left non-base generations"
         assert n == spark.table(live_tbl).count()
         assert pairs(live_tbl) == want, "ghosts survived compaction"
+
+        # the reset enables the default-batch_id cycle: re-ingest the
+        # same ids AGAIN (back to the original embeddings) at the
+        # default gen 0 — 0 > -1 wins keep-latest — compact, and the
+        # probe matches a fresh build over the original corpus
+        similarity.append_band_index(
+            spark,
+            updated.withColumn("embedding", F.reverse("embedding")),
+            live_tbl,
+        )
+        similarity.compact_band_index(spark, live_tbl)
+        back = {
+            (r["vec_new"], r["vec_old"])
+            for r in similarity.incremental_neardup_pairs(
+                spark, batch, live_tbl, corpus0, threshold=None
+            ).collect()
+        }
+        fresh0_tbl = "hcdc_bi_ghost_fresh0"
+        try:
+            similarity.write_band_index(
+                spark, corpus0, fresh0_tbl, str(tmp_path / "fresh0")
+            )
+            want0 = {
+                (r["vec_new"], r["vec_old"])
+                for r in similarity.incremental_neardup_pairs(
+                    spark, batch, fresh0_tbl, corpus0, threshold=None
+                ).collect()
+            }
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {fresh0_tbl}")
+        assert back == want0, "default-gen re-ingest cycle diverged"
 
         bcast = "spark.sql.autoBroadcastJoinThreshold"
         prev = spark.conf.get(bcast)
