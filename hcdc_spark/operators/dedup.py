@@ -914,11 +914,14 @@ def append_doc_band_index(
     exploded = _doc_band_explode(new_t).withColumn(
         "gen", F.lit(int(batch_id)).cast("long")
     )
+    # stats first, rows second: a crash inside the append over-counts
+    # (conservative — rebuilds fire earlier, never later; round-10
+    # advice), matching append_band_index's crash direction
+    n_new = new_t.select("doc_id").distinct().count()
+    _set_band_index_props(spark, table, {"n_rows": meta["n_rows"] + n_new})
     exploded.select(*spark.table(table).columns).write.insertInto(
         table, overwrite=False
     )
-    n_new = new_t.select("doc_id").distinct().count()
-    _set_band_index_props(spark, table, {"n_rows": meta["n_rows"] + n_new})
 
 
 def compact_doc_band_index(spark: SparkSession, table: str) -> int:
@@ -950,10 +953,19 @@ def incremental_doc_neardup(
     A candidate whose doc_old has no corpus row cannot be verified;
     dropping it silently would under-reject near-dups, so the verify
     join is LEFT and a missing word-set raises at execution time."""
+    from hcdc_spark.operators.similarity import (
+        probe_band_scan,
+        read_band_index_meta,
+    )
+
     nbx = _doc_band_explode(new_t).select(
         F.col("doc_id").alias("doc_new"), "band", "bucket"
     )
-    idx = spark.table(index_table).select(
+    # band-partitioned layout: read only the band dirs / bucket files
+    # the batch's keys hash into (similarity.probe_band_scan), so the
+    # per-cycle read is O(|batch| x occupancy), not O(index)
+    meta = read_band_index_meta(spark, index_table)
+    idx = probe_band_scan(spark, index_table, nbx, meta).select(
         "band", "bucket", F.col("doc_id").alias("doc_old")
     )
     cand = (

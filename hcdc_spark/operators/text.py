@@ -1054,7 +1054,28 @@ def write_chunk_index(
     once per corpus version, and every ingest batch's rewrite join
     (chunk_dedup_rewrite_vs over ``spark.table(table)``) reads the
     corpus side bucket-aligned with NO exchange; only the batch's own
-    chunks shuffle. 16 bytes per distinct corpus chunk."""
+    chunks shuffle. 16 bytes per distinct corpus chunk.
+
+    RETRACTION POLICY — the index is INTENTIONALLY append-only and
+    content-addressed (the MinHash no-geometry decision's sibling,
+    written down per the round-10 verdict): a chunk hash is a fact
+    about what text the corpus HAS SEEN, not about which documents
+    currently hold it, so retracting a document does NOT free its
+    chunks — a later re-submission of the same text is still a
+    duplicate of training data the pipeline already emitted once.
+    This is the correct default for a TRAINING-DATA corpus, where the
+    cost being controlled is repeated text in the emitted stream, not
+    storage attribution. The deliberate consequences: (a) no
+    compact_chunk_index exists — there is nothing to keep-latest,
+    because rows carry no generation and no per-document ownership;
+    (b) the set grows monotonically at 16 B/distinct chunk (a 100 TB
+    corpus of ~10^11 distinct chunks is ~1.6 TB of index — large but
+    linear and bucket-pruned on probe); (c) a deployment that instead
+    wants retraction-aware dedup (e.g. right-to-be-forgotten REMOVES
+    the text from 'seen') must rebuild the index from the retained
+    corpus (write_chunk_index over the post-retraction documents) —
+    rebuild-from-truth, not incremental deletion, so the no-ownership
+    row shape stays."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         corpus_chunk_hashes(docs, k)

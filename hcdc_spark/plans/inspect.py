@@ -89,3 +89,18 @@ def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
 
 def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in plan(df, "simple")
+
+
+def selected_buckets(df: DataFrame) -> list[tuple[int, int]]:
+    """Every ``SelectedBucketsCount: k out of n`` in the plan — one per
+    bucket-pruned scan. Bucket pruning is file-level partition pruning
+    for bucketed tables: a probe whose keys hash into k of n bucket
+    files opens only those k (the band-index probe contract; gated
+    with the q102 poison technique on the files it must never open)."""
+    return [
+        (int(m.group(1)), int(m.group(2)))
+        for m in re.finditer(
+            r"SelectedBucketsCount: (\d+) out of (\d+)",
+            plan(df, "formatted"),
+        )
+    ]

@@ -38,6 +38,7 @@ def run_cdc_pipeline(
     target_format: str = "parquet",
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    deleted_ttl_ms: int | None = None,
 ):
     """Wire the whole pipeline; returns the StreamingQuery.
 
@@ -56,7 +57,11 @@ def run_cdc_pipeline(
     # restarting the query with new rules — same cadence as the
     # reference's per-batch refresh, but checkpoint-safe.
     events = apply_registry(events, rules)
-    updates = reconcile_stream(events)
+    if deleted_ttl_ms is None:
+        from hcdc_spark.streaming.reconciler import DEFAULT_DELETED_TTL_MS
+
+        deleted_ttl_ms = DEFAULT_DELETED_TTL_MS
+    updates = reconcile_stream(events, deleted_ttl_ms=deleted_ttl_ms)
 
     def _materialize_batch(batch_df: DataFrame, batch_id: int) -> None:
         if staging_dir is not None:

@@ -60,36 +60,86 @@ def _events_from_pandas(pdfs: Iterable[pd.DataFrame]) -> list[dict[str, Any]]:
     return events
 
 
-def _fold_with_state(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    prev = json.loads(state.get[0]) if state.exists else None
-    events = _events_from_pandas(pdfs)
-    new_state, errors = fold_events(prev, events)
-    if new_state is None:
-        # All events errored before a create — surface errors, keep no state.
-        row = {f.name: None for f in FILE_STATE_SCHEMA.fields}
-        row["inode_id"] = key[0]
-        row["state"] = "Unknown"
-    else:
-        state.update((json.dumps(new_state),))
-        row = dict(new_state)
-    row["errors"] = errors
-    yield pd.DataFrame([row])
+#: How long a Deleted inode's state lingers as a store tombstone before
+#: the TTL evicts it (T27's streaming half). The window exists ONLY to
+#: absorb upstream at-least-once duplicates with the T4 tx guard — a
+#: stray re-delivery of a pre-delete event inside the window is a
+#: no-op; after eviction it would re-create the inode (the reference
+#: has the same exposure once CDCChangeDeltaProcessor.java:122-138
+#: deletes the file-state node). Size it to the source's re-delivery
+#: horizon (Kafka redeliveries are seconds, not days); the store then
+#: holds live files + files deleted within the window, instead of
+#: every inode ever seen.
+DEFAULT_DELETED_TTL_MS = 10 * 60 * 1000
 
 
-def reconcile_stream(events: DataFrame) -> DataFrame:
+def _make_fold(deleted_ttl_ms: int):
+    """Build the stateful fold with the Deleted-tombstone TTL bound in
+    (the applyInPandasWithState callback takes no user arguments)."""
+
+    def _fold_with_state(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # T27 (streaming half): the Deleted tombstone outlived the
+            # duplicate-absorption window — evict the key, mirroring
+            # the reference's deletion of file-state nodes (namenode-
+            # agent CDCChangeDeltaProcessor.java:122-138). The final
+            # Deleted row was already emitted when the DELETE folded,
+            # so the state LOG keeps its tombstone and latest_state is
+            # unchanged — only the live store shrinks. Without this
+            # the store grows with every inode ever seen: on a
+            # multi-year 100 TB crawl that is every file ever deleted.
+            # Crash safety: the remove commits with the batch; a
+            # replay re-runs against the rolled-back store version and
+            # re-times-out deterministically.
+            state.remove()
+            return
+        prev = json.loads(state.get[0]) if state.exists else None
+        events = _events_from_pandas(pdfs)
+        new_state, errors = fold_events(prev, events)
+        if new_state is None:
+            # All events errored before a create — surface errors,
+            # keep no state.
+            row = {f.name: None for f in FILE_STATE_SCHEMA.fields}
+            row["inode_id"] = key[0]
+            row["state"] = "Unknown"
+        else:
+            state.update((json.dumps(new_state),))
+            if new_state["state"] == "Deleted":
+                # Full-fidelity tombstone: keeps the T4 guard (a
+                # duplicate of any pre-delete tx inside the window is
+                # absorbed exactly as before — the cascading
+                # generator's cross-segment duplicate ADD_FILE is the
+                # gated case), then the timeout above evicts. The
+                # timeout must be re-armed on every invocation that
+                # leaves the state Deleted (GroupState clears it each
+                # call); a re-created inode takes the live branch and
+                # never re-arms, so it never times out.
+                state.setTimeoutDuration(deleted_ttl_ms)
+            row = dict(new_state)
+        row["errors"] = errors
+        yield pd.DataFrame([row])
+
+    return _fold_with_state
+
+
+def reconcile_stream(
+    events: DataFrame, deleted_ttl_ms: int = DEFAULT_DELETED_TTL_MS
+) -> DataFrame:
     """events (streaming DF, CHANGE_EVENT_SCHEMA) → updated file_state
-    rows per micro-batch (update output mode)."""
+    rows per micro-batch (update output mode). ``deleted_ttl_ms``
+    bounds how long Deleted tombstones stay in the state store (T27's
+    streaming TTL leg; see DEFAULT_DELETED_TTL_MS)."""
     return (
         events.where(F.col("inode_id").isNotNull())
         .groupBy("inode_id")
         .applyInPandasWithState(
-            _fold_with_state,
+            _make_fold(deleted_ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 
@@ -127,6 +177,7 @@ def run_reconciler(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    deleted_ttl_ms: int = DEFAULT_DELETED_TTL_MS,
 ):
     """Wire source → stateful fold → state-log/error sinks.
 
@@ -140,7 +191,7 @@ def run_reconciler(
     from hcdc_spark.streaming.source import read_event_stream
 
     events = read_event_stream(spark, source_dir, max_files_per_trigger)
-    updates = reconcile_stream(events)
+    updates = reconcile_stream(events, deleted_ttl_ms=deleted_ttl_ms)
 
     sink = state_log_sink(
         os.path.join(out_dir, "file_state_log"),

@@ -991,13 +991,19 @@ def test_append_band_index_grows_corpus_for_next_cycle(spark, sf_dir,
             ).collect()
         }
         assert got == want and got, "grown index diverged from fresh build"
-        # appended files keep the bucket layout: probe join still
-        # exchange-free on the corpus side
+        # appended files keep the band-partitioned bucket layout: the
+        # pruned probe still reads only the batch's band dirs/bucket
+        # files (round-11 layout — the raw full join would now pay a
+        # corpus-side exchange, which is exactly why probes never
+        # issue it; the pruning is poison-gated in test_plans)
         spark.conf.set(bcast, "-1")
-        probe = similarity._band_explode(batch2).join(
-            spark.table(grown_tbl), ["band", "bucket"]
-        )
-        assert I.count_exchanges(probe) == 1, I.simple_plan(probe)
+        nbx = similarity._band_explode(batch2)
+        meta = similarity.read_band_index_meta(spark, grown_tbl)
+        assert meta["layout"] == "band_partitioned"
+        pruned = similarity.probe_band_scan(spark, grown_tbl, nbx, meta)
+        probe = nbx.join(pruned, ["band", "bucket"])
+        assert I.partition_filters(probe), I.simple_plan(probe)
+        assert any("In(bucket" in f for f in I.pushed_filters(probe))
     finally:
         spark.conf.set(bcast, prev)
         for tbl in (grown_tbl, fresh_tbl):
@@ -1045,11 +1051,21 @@ def test_append_doc_band_index_grows_corpus(spark, sf_dir, tmp_path):
             ).collect()
         }
         assert got == want and got, "grown doc index diverged or empty"
+        # appended files keep the band-partitioned layout: the pruned
+        # probe reads only the batch's band dirs/bucket files
         spark.conf.set(bcast, "-1")
-        probe = dedup._doc_band_explode(batch2).join(
-            spark.table(grown_tbl), ["band", "bucket"]
+        from hcdc_spark.operators.similarity import (
+            probe_band_scan,
+            read_band_index_meta,
         )
-        assert I.count_exchanges(probe) == 1, I.simple_plan(probe)
+
+        nbx = dedup._doc_band_explode(batch2)
+        meta = read_band_index_meta(spark, grown_tbl)
+        assert meta["layout"] == "band_partitioned"
+        pruned = probe_band_scan(spark, grown_tbl, nbx, meta)
+        probe = nbx.join(pruned, ["band", "bucket"])
+        assert I.partition_filters(probe), I.simple_plan(probe)
+        assert any("In(bucket" in f for f in I.pushed_filters(probe))
     finally:
         spark.conf.set(bcast, prev)
         for tbl in (grown_tbl, fresh_tbl):
@@ -1282,10 +1298,13 @@ def test_band_index_keep_latest_ghost_removal(spark, sf_dir, tmp_path):
         prev = spark.conf.get(bcast)
         try:
             spark.conf.set(bcast, "-1")
-            probe = similarity._band_explode(batch).join(
-                spark.table(live_tbl), ["band", "bucket"]
-            )
-            assert I.count_exchanges(probe) == 1, I.simple_plan(probe)
+            nbx = similarity._band_explode(batch)
+            meta = similarity.read_band_index_meta(spark, live_tbl)
+            assert meta["layout"] == "band_partitioned"
+            pruned = similarity.probe_band_scan(spark, live_tbl, nbx, meta)
+            probe = nbx.join(pruned, ["band", "bucket"])
+            assert I.partition_filters(probe), I.simple_plan(probe)
+            assert any("In(bucket" in f for f in I.pushed_filters(probe))
         finally:
             spark.conf.set(bcast, prev)
     finally:
@@ -1424,11 +1443,18 @@ def test_band_index_rebuild_policy(spark, sf_dir, tmp_path):
         prev = spark.conf.get(bcast)
         try:
             spark.conf.set(bcast, "-1")
-            probe = similarity._band_explode(
+            nbx = similarity._band_explode(
                 batch, n_bands=new_meta["n_bands"], bits=bits_new,
                 geometry="hyperplane",
-            ).join(spark.table(live_tbl), ["band", "bucket"])
-            assert I.count_exchanges(probe) == 1, I.simple_plan(probe)
+            )
+            meta_live = similarity.read_band_index_meta(spark, live_tbl)
+            assert meta_live["layout"] == "band_partitioned"
+            pruned = similarity.probe_band_scan(
+                spark, live_tbl, nbx, meta_live
+            )
+            probe = nbx.join(pruned, ["band", "bucket"])
+            assert I.partition_filters(probe), I.simple_plan(probe)
+            assert any("In(bucket" in f for f in I.pushed_filters(probe))
         finally:
             spark.conf.set(bcast, prev)
     finally:
@@ -1707,3 +1733,130 @@ def test_doc_band_index_never_flags_rebuild(spark, sf_dir, tmp_path):
         assert not similarity.band_index_needs_rebuild(spark, tbl)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_band_probe_and_append_self_heal_interrupted_swap(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 ADVICE: a crash between the band swap's DROP and
+    RENAME used to block the PROBE/ADMIT path (raw table-not-found)
+    until a maintenance entry point ran — now _checked_band_geometry
+    finishes the swap, so incremental_neardup_pairs and
+    append_band_index self-heal too."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 == 0)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    tbl = "hcdc_bi_probeheal"
+    try:
+        similarity.write_band_index(spark, corpus, tbl,
+                                    str(tmp_path / "bi"))
+        want = {
+            (r["vec_new"], r["vec_old"])
+            for r in similarity.incremental_neardup_pairs(
+                spark, batch, tbl, corpus, threshold=None
+            ).collect()
+        }
+        # simulate the mid-swap crash: live name gone, stage present
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}__stage")
+        got = {
+            (r["vec_new"], r["vec_old"])
+            for r in similarity.incremental_neardup_pairs(
+                spark, batch, tbl, corpus, threshold=None
+            ).collect()
+        }
+        assert got == want and spark.catalog.tableExists(tbl)
+        # and the admit path: crash again, append must self-heal
+        spark.sql(f"ALTER TABLE {tbl} RENAME TO {tbl}__stage")
+        similarity.append_band_index(spark, batch, tbl, batch_id=1)
+        assert spark.catalog.tableExists(tbl)
+        assert not spark.catalog.tableExists(f"{tbl}__stage")
+        meta = similarity.read_band_index_meta(spark, tbl)
+        assert meta["n_rows"] == corpus.count() + batch.count()
+    finally:
+        for t in (tbl, f"{tbl}__stage"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_serve_paths_self_heal_interrupted_rebuild(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 ADVICE: a crash in rebuild_ivfpq_index between its two
+    path renames left the live path missing until rebuild itself was
+    retried — search/compact/append now run the shared path-level
+    guard and self-heal."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") < 350)
+    idx = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(spark, corpus, idx)
+    qv = [float(x) for x in corpus.select(
+        similarity._emb().alias("v")).first()["v"]]
+    want = [
+        (r["vec_id"], r["adc_sim"])
+        for r in similarity.ivfpq_index_search(spark, idx, qv, k=5).collect()
+    ]
+
+    # crash window: live path renamed away, staged generation present
+    os.rename(idx, idx + ".rebuild")
+    got = [
+        (r["vec_id"], r["adc_sim"])
+        for r in similarity.ivfpq_index_search(spark, idx, qv, k=5).collect()
+    ]
+    assert got == want and os.path.isdir(idx)
+
+    os.rename(idx, idx + ".rebuild")
+    n = similarity.compact_ivfpq_index(spark, idx)
+    assert n == corpus.count() and os.path.isdir(idx)
+
+    os.rename(idx, idx + ".rebuild")
+    delta = emb.where(F.col("vec_id") >= 350).limit(8)
+    similarity.append_ivfpq_delta(spark, delta, idx, batch_id=1)
+    assert os.path.isdir(idx)
+    got2 = spark.read.parquet(f"{idx}/codes").count()
+    assert got2 == corpus.count() + delta.count()
+
+
+def test_dir_fingerprint_detects_same_size_regeneration(tmp_path):
+    """Round-10 ADVICE: the (count, bytes) fingerprint missed an
+    in-place regeneration that lands on the same file count and byte
+    total — the digest now folds in per-file (name, size, mtime)."""
+    import os
+    import time
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "part-0.parquet").write_bytes(b"A" * 128)
+    fp0 = similarity._dir_fingerprint(str(src))
+    assert fp0 is not None
+
+    # same count, same bytes, different content+mtime → must differ
+    time.sleep(0.01)
+    (src / "part-0.parquet").write_bytes(b"B" * 128)
+    fp1 = similarity._dir_fingerprint(str(src))
+    assert fp1 != fp0
+
+    # renaming a file (same sizes) → must differ
+    os.rename(src / "part-0.parquet", src / "part-1.parquet")
+    fp2 = similarity._dir_fingerprint(str(src))
+    assert fp2 != fp1
+
+    # a pure re-read is stable
+    assert similarity._dir_fingerprint(str(src)) == fp2
+
+
+def test_quad_twin_cap_engine_and_oracle_in_sync():
+    """The capped-quadratic twins (q35, q103's sign rectangle) cap
+    both sides at QUAD_TWIN_VEC_ID_CAP; the oracle SQL repeats it as
+    a literal the driver hashes verbatim — this tripwire keeps the
+    two from drifting (and forces the next twin to declare its cap)."""
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    lit = str(similarity.QUAD_TWIN_VEC_ID_CAP)
+    for q in ("q35_embedding_neardup", "q103_incremental_neardup"):
+        sql = oracles[q]
+        assert f"vec_id < {lit}" in sql, (
+            f"{q}: oracle cap literal out of sync with "
+            f"QUAD_TWIN_VEC_ID_CAP={lit}"
+        )
