@@ -1235,3 +1235,191 @@ def c26_crawl_ingest_pipeline(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {chunk_table}")
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _c28_oracle() -> str:
+    # The admitted set is banding-INVARIANT by construction (see the
+    # registry doc): planted rejects are EXACT vector copies, which
+    # collide with their source in every band of every geometry, and
+    # fresh synthetic vectors never reach the 0.99 verify threshold
+    # (the corpus' max cross-cosine is < 0.9 — the q100 doc's measured
+    # property). So the oracle is pure slice arithmetic over the same
+    # relative splits the engine computes.
+    return """
+    WITH n AS (SELECT COUNT(*) AS c FROM embeddings),
+         p AS (
+           -- FLOOR, not CAST: CAST rounds in DuckDB while the engine's
+           -- int() truncates; both sides must floor the same double
+           SELECT CAST(FLOOR(0.48 * c) AS BIGINT) AS n0,
+                  CAST(FLOOR(0.16 * c) AS BIGINT) AS g
+           FROM n
+         )
+    SELECT CAST(1 + (vec_id - n0) // g AS INT) AS cycle, vec_id
+    FROM embeddings, p
+    WHERE vec_id >= n0 AND vec_id < n0 + 3 * g
+    ORDER BY vec_id
+    """
+
+
+@REG.add(
+    "c28_stream_rebuild_cycle",
+    _c28_oracle(),
+    doc="The index GROWTH LOOP closed end-to-end inside the ingest "
+    "stream (round-10 verdict next #4): a hyperplane (scale-geometry) "
+    "band index serves a 3-cycle dedup-on-ingest loop in which the "
+    "admitted corpus DOUBLES (0.48N -> 0.96N), so the "
+    "neardup_scaled_bits crossing fires EXACTLY once mid-loop — a "
+    "factor-2 growth window always contains one ceil(log2) increment, "
+    "making the trigger scale-factor-independent by construction — "
+    "and rebuild_band_index re-bands the live index at the geometry "
+    "the grown corpus calls for while the stream keeps ingesting "
+    "against it. Each cycle drains one availableNow micro-batch "
+    "(shared checkpoint), probes via incremental_neardup_pairs (the "
+    "pruned band-partitioned read), rejects verified near-dups, lands "
+    "survivors idempotently, admits them via append_band_index "
+    "(n_rows statistic feeds the policy), checks "
+    "band_index_needs_rebuild, and rebuilds when it fires. The "
+    "deltas plant EXACT COPIES of (a) pre-stream corpus vectors and "
+    "(b) cycle-1 ADMITTED vectors re-delivered in cycle 3 — the "
+    "post-rebuild index must still reject text admitted before the "
+    "rebuild, proving the re-banded artifact serves, not a stale "
+    "generation. Copies collide in EVERY band of EVERY geometry "
+    "(identical vector -> identical bucket), so admissions are "
+    "banding-invariant and the oracle is static slice arithmetic "
+    "even though bits/bands are runtime-sized. Engine-side invariants "
+    "RAISE on violation (driver would record err): the rebuild fired "
+    "exactly once, the policy is quiet at end-of-run, and a final "
+    "keep-latest compaction lands on exactly n_bands_final x "
+    "|corpus_final| rows. Per-cycle cost is O(|batch|) probe + "
+    "O(|survivors|) append; the rebuild is corpus-linear and "
+    "explicitly OFFLINE-priced (c27/COVERAGE scale table).",
+    tags=("streaming", "dedup", "lsh", "index", "pipeline",
+          "maintenance"),
+)
+def c28_stream_rebuild_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hcdc_spark.catalog import table_path
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    n_total = emb.count()
+    n0 = int(0.48 * n_total)
+    g = int(0.16 * n_total)
+    corpus0 = emb.where(F.col("vec_id") < n0)
+    slices = [
+        emb.where((F.col("vec_id") >= n0 + k * g)
+                  & (F.col("vec_id") < n0 + (k + 1) * g))
+        for k in range(3)
+    ]
+    # planted rejects: exact copies under shifted ids — (a) of the
+    # pre-stream corpus (every cycle), (b) of cycle-1's FRESH vectors,
+    # re-delivered in cycle 3 (post-rebuild rejection proof)
+    def copies(src: DataFrame, modulus: int, shift: int) -> DataFrame:
+        return src.where(F.col("vec_id") % modulus == 0).select(
+            (F.col("vec_id") + shift).alias("vec_id"), "label", "embedding"
+        )
+
+    deltas = [
+        slices[0].unionByName(copies(corpus0, 7, 1_000_000)),
+        slices[1].unionByName(copies(corpus0, 11, 1_100_000)),
+        slices[2]
+        .unionByName(copies(corpus0, 13, 1_200_000))
+        .unionByName(copies(slices[0], 3, 2_000_000)),
+    ]
+
+    table = "hcdc_band_index_c28"
+    work = tempfile.mkdtemp(prefix="hcdc_c28_")
+    try:
+        bits = S.neardup_scaled_bits(n0)
+        bands = S.neardup_scaled_bands(bits)
+        S.write_band_index(
+            spark, corpus0, table, os.path.join(work, "band_index"),
+            n_bands=bands, bits=bits, geometry="hyperplane",
+        )
+        clean_dir = os.path.join(work, "clean")
+        delta_dir = os.path.join(work, "delta")
+        rebuilds: list[int] = []
+        corpus_now = corpus0
+
+        with _small_shuffle(spark):
+            for cycle, delta in enumerate(deltas, start=1):
+                delta.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(delta_dir, f"cycle_{cycle}")
+                )
+                meta = S.read_band_index_meta(spark, table)
+                corpus_ref = corpus_now  # pin for the closure
+
+                def gate(batch_df: DataFrame, batch_id: int,
+                         _cy=cycle, _meta=meta, _corpus=corpus_ref) -> None:
+                    hits = (
+                        S.incremental_neardup_pairs(
+                            spark, batch_df, table, _corpus,
+                            threshold=0.99,
+                            n_bands=_meta["n_bands"], bits=_meta["bits"],
+                            geometry="hyperplane",
+                        )
+                        .select(F.col("vec_new").alias("vec_id"))
+                        .distinct()
+                    )
+                    (
+                        batch_df.join(hits, "vec_id", "left_anti")
+                        .select("vec_id", "label", "embedding")
+                        .withColumn("cycle", F.lit(_cy))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("cycle")
+                        .parquet(clean_dir)
+                    )
+
+                q = (
+                    spark.readStream.schema(delta.schema)
+                    .parquet(os.path.join(delta_dir, f"cycle_{cycle}"))
+                    .writeStream.foreachBatch(gate)
+                    .option(
+                        "checkpointLocation",
+                        os.path.join(work, f"ckpt_{cycle}"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                _await_drained(q, "c28_stream_rebuild_cycle")
+
+                survivors = spark.read.parquet(clean_dir).where(
+                    F.col("cycle") == cycle
+                ).select("vec_id", "label", "embedding")
+                S.append_band_index(
+                    spark, survivors, table,
+                    n_bands=meta["n_bands"], bits=meta["bits"],
+                    geometry="hyperplane", batch_id=cycle,
+                )
+                corpus_now = corpus_now.unionByName(survivors)
+                if S.band_index_needs_rebuild(spark, table):
+                    S.rebuild_band_index(spark, corpus_now, table)
+                    rebuilds.append(cycle)
+
+        # engine-side invariants: violations raise -> driver records err
+        if len(rebuilds) != 1:
+            raise AssertionError(
+                f"c28: expected exactly one bits crossing in a 2x "
+                f"growth window, got rebuilds at cycles {rebuilds}"
+            )
+        if S.band_index_needs_rebuild(spark, table):
+            raise AssertionError("c28: policy still firing at end-of-run")
+        final_meta = S.read_band_index_meta(spark, table)
+        n_rows = S.compact_band_index(spark, table)
+        n_final = corpus_now.count()
+        if n_rows != final_meta["n_bands"] * n_final:
+            raise AssertionError(
+                f"c28: compacted index has {n_rows} rows, want "
+                f"n_bands({final_meta['n_bands']}) x corpus({n_final})"
+            )
+
+        out = (
+            spark.read.parquet(clean_dir)
+            .select(F.col("cycle").cast("int").alias("cycle"), "vec_id")
+            .orderBy("vec_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__stage")
+        shutil.rmtree(work, ignore_errors=True)
