@@ -963,8 +963,13 @@ def incremental_doc_neardup(
     )
     # band-partitioned layout: read only the band dirs / bucket files
     # the batch's keys hash into (similarity.probe_band_scan), so the
-    # per-cycle read is O(|batch| x occupancy), not O(index)
-    meta = read_band_index_meta(spark, index_table)
+    # per-cycle read is O(|batch| x occupancy), not O(index). A
+    # pre-metadata table (this probe historically accepted them) reads
+    # as the legacy flat layout: correct, full-scan cost.
+    try:
+        meta = read_band_index_meta(spark, index_table)
+    except KeyError:
+        meta = {"layout": "flat"}
     idx = probe_band_scan(spark, index_table, nbx, meta).select(
         "band", "bucket", F.col("doc_id").alias("doc_old")
     )

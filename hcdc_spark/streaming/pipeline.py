@@ -57,10 +57,10 @@ def run_cdc_pipeline(
     # restarting the query with new rules — same cadence as the
     # reference's per-batch refresh, but checkpoint-safe.
     events = apply_registry(events, rules)
-    if deleted_ttl_ms is None:
-        from hcdc_spark.streaming.reconciler import DEFAULT_DELETED_TTL_MS
-
-        deleted_ttl_ms = DEFAULT_DELETED_TTL_MS
+    # None = NoTimeout fold (drain mode; compact_state_log is the GC
+    # leg). Continuous deployments pass a TTL and get T27's streaming
+    # eviction — see reconciler.DEFAULT_DELETED_TTL_MS for the
+    # measured availableNow-spin caveat behind the opt-in.
     updates = reconcile_stream(events, deleted_ttl_ms=deleted_ttl_ms)
 
     def _materialize_batch(batch_df: DataFrame, batch_id: int) -> None:

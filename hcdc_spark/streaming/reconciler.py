@@ -60,22 +60,42 @@ def _events_from_pandas(pdfs: Iterable[pd.DataFrame]) -> list[dict[str, Any]]:
     return events
 
 
-#: How long a Deleted inode's state lingers as a store tombstone before
-#: the TTL evicts it (T27's streaming half). The window exists ONLY to
-#: absorb upstream at-least-once duplicates with the T4 tx guard — a
-#: stray re-delivery of a pre-delete event inside the window is a
-#: no-op; after eviction it would re-create the inode (the reference
-#: has the same exposure once CDCChangeDeltaProcessor.java:122-138
-#: deletes the file-state node). Size it to the source's re-delivery
-#: horizon (Kafka redeliveries are seconds, not days); the store then
-#: holds live files + files deleted within the window, instead of
-#: every inode ever seen.
+#: Suggested Deleted-tombstone TTL for CONTINUOUS deployments (T27's
+#: streaming half): how long a Deleted inode's state lingers in the
+#: store before the ProcessingTimeTimeout evicts it. The window exists
+#: ONLY to absorb upstream at-least-once duplicates with the T4 tx
+#: guard — a stray re-delivery of a pre-delete event inside the window
+#: is a no-op; after eviction it would re-create the inode (the
+#: reference has the same exposure once
+#: CDCChangeDeltaProcessor.java:122-138 deletes the file-state node).
+#: Size it to the source's re-delivery horizon (Kafka redeliveries are
+#: seconds, not days); the store then holds live files + files deleted
+#: within the window, instead of every inode ever seen.
+#:
+#: DRAIN-MODE CAVEAT (measured, not guessed): with
+#: ProcessingTimeTimeout registered, an ``availableNow`` drain NEVER
+#: self-terminates in this Spark — it keeps committing no-data
+#: micro-batches indefinitely, and not only until pending timeouts
+#: fire (A/B on the 40-file log: NoTimeout drain 8.3 s / 4 batches;
+#: with a ttl=3 s tombstone the drain evicted correctly ~3 s in and
+#: was STILL spinning no-data batches at 240 s, hundreds of batches
+#: past the fire). So eviction is OPT-IN: ``deleted_ttl_ms=None``
+#: (the default) keeps the NoTimeout fold — right for drains and
+#: backfills, where compact_state_log (c24) is the GC leg — and a
+#: continuous deployment (the production crawl shape: the query stays
+#: up, batches keep coming, the operator stops it explicitly) passes
+#: a real TTL and gets the store bound for free. The TTL tests run
+#: exactly that way: default-trigger queries polled to condition,
+#: then stopped.
 DEFAULT_DELETED_TTL_MS = 10 * 60 * 1000
 
 
-def _make_fold(deleted_ttl_ms: int):
+def _make_fold(deleted_ttl_ms: int | None):
     """Build the stateful fold with the Deleted-tombstone TTL bound in
-    (the applyInPandasWithState callback takes no user arguments)."""
+    (the applyInPandasWithState callback takes no user arguments).
+    ``None`` = no eviction (NoTimeout fold — timeout APIs untouched,
+    which the runtime enforces: setTimeoutDuration raises under
+    NoTimeout)."""
 
     def _fold_with_state(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -106,7 +126,10 @@ def _make_fold(deleted_ttl_ms: int):
             row["state"] = "Unknown"
         else:
             state.update((json.dumps(new_state),))
-            if new_state["state"] == "Deleted":
+            if (
+                deleted_ttl_ms is not None
+                and new_state["state"] == "Deleted"
+            ):
                 # Full-fidelity tombstone: keeps the T4 guard (a
                 # duplicate of any pre-delete tx inside the window is
                 # absorbed exactly as before — the cascading
@@ -125,12 +148,15 @@ def _make_fold(deleted_ttl_ms: int):
 
 
 def reconcile_stream(
-    events: DataFrame, deleted_ttl_ms: int = DEFAULT_DELETED_TTL_MS
+    events: DataFrame, deleted_ttl_ms: int | None = None
 ) -> DataFrame:
     """events (streaming DF, CHANGE_EVENT_SCHEMA) → updated file_state
     rows per micro-batch (update output mode). ``deleted_ttl_ms``
     bounds how long Deleted tombstones stay in the state store (T27's
-    streaming TTL leg; see DEFAULT_DELETED_TTL_MS)."""
+    streaming TTL leg — pass it in continuous deployments; ``None``
+    keeps the NoTimeout fold for availableNow drains, whose GC leg is
+    compact_state_log. See DEFAULT_DELETED_TTL_MS for the drain-mode
+    spin measurement behind the split)."""
     return (
         events.where(F.col("inode_id").isNotNull())
         .groupBy("inode_id")
@@ -139,7 +165,11 @@ def reconcile_stream(
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if deleted_ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 
@@ -177,7 +207,7 @@ def run_reconciler(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
-    deleted_ttl_ms: int = DEFAULT_DELETED_TTL_MS,
+    deleted_ttl_ms: int | None = None,
 ):
     """Wire source → stateful fold → state-log/error sinks.
 

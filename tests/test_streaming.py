@@ -739,15 +739,18 @@ def test_crawl_ingest_gate_survives_mid_drain_kill(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
-
 # --------------------------------------------------------------------------
 # T27 streaming half: TTL eviction of Deleted state from the state store.
 # The reference deletes file-state nodes on Deleted (namenode-agent
 # CDCChangeDeltaProcessor.java:122-138); here the tombstone lingers for
 # deleted_ttl_ms so the T4 guard still absorbs upstream at-least-once
 # duplicates (the cascading generator's cross-segment duplicate
-# ADD_FILE), then the ProcessingTimeTimeout evicts — without it the
-# store grows with every inode ever seen.
+# ADD_FILE), then the ProcessingTimeTimeout evicts. Eviction is the
+# CONTINUOUS-deployment mode (deleted_ttl_ms opt-in): an availableNow
+# drain with pending processing-time timeouts never self-terminates
+# (measured — see reconciler.DEFAULT_DELETED_TTL_MS), so these tests
+# run default-trigger queries, poll to condition, and stop them — the
+# production operating shape.
 # --------------------------------------------------------------------------
 
 
@@ -762,76 +765,80 @@ def _store_inodes(spark, ckpt: str) -> set[int]:
     }
 
 
-def _tick_segment(spark, src: str, log: list[dict], name: str) -> None:
-    """A no-op segment (IGNORE on a live inode, stale tx) that forces
-    one micro-batch so expired tombstone timeouts get processed; the
-    T4 guard makes the event itself a no-op."""
-    tmpl = next(e for e in log if e["op"] == "ADD_FILE")
-    tick = {**{k: None for k in tmpl}, "op": "IGNORE",
-            "inode_id": tmpl["inode_id"], "tx_id": tmpl["tx_id"],
-            "ts": tmpl.get("ts"), "path": tmpl["path"]}
-    write_event_segment(spark, [tick], src, name)
+def _poll(predicate, deadline_s: float, what: str):
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < deadline_s:
+        try:
+            if predicate():
+                return
+        except Exception:  # noqa: BLE001 — log/store mid-write
+            pass
+        time.sleep(0.5)
+    raise AssertionError(f"timed out waiting for: {what}")
+
+
+def _log_rows(spark, out: str) -> int:
+    import pathlib
+
+    p = pathlib.Path(out, "file_state_log")
+    if not p.exists():
+        return 0
+    return spark.read.parquet(str(p)).count()
 
 
 def test_stream_evicts_deleted_state_after_ttl(spark, tmp_path, event_log):
-    """Deleting files mid-stream must (a) keep the state LOG equal to
-    the batch fold — the final Deleted row is emitted before eviction,
-    so latest_state keeps the tombstone; (b) hold the tombstone in the
-    STORE inside the TTL (the T4 duplicate-absorption window is real);
-    (c) evict it once a batch runs past the TTL — only live inodes
-    stay keyed."""
-    import time
-
-    src = str(tmp_path / "segments")
-    out = str(tmp_path / "out")
-    ckpt = str(tmp_path / "ckpt")
-    _write_segments(spark, event_log, src, 4)
-
-    q = run_reconciler(
-        spark, src, out, ckpt, max_files_per_trigger=1,
-        available_now=True, deleted_ttl_ms=1000,
-    )
-    q.awaitTermination(120)
-
+    """Continuous mode with a TTL: the final Deleted row reaches the
+    state LOG (latest_state == batch fold — the tombstone row is
+    permanent), and the STORE drops the deleted inodes once the TTL
+    fires — only live inodes stay keyed. The drain default (ttl=None)
+    keeps the historical NoTimeout contract: nothing evicts."""
     batch_state = reconcile_batch(
         events_df(spark, event_log), expand_dirs=False
     ).drop("errors")
-    assert _comparable(latest_state(spark, out)) == _comparable(batch_state)
-
+    n_states = batch_state.count()
     all_inodes = {e["inode_id"] for e in event_log if e["inode_id"]}
     deleted = {
         r.inode_id
         for r in batch_state.where(F.col("state") == "Deleted").collect()
     }
     assert deleted, "fixture log has no deletes — eviction untested"
-    # inside the TTL: tombstones still keyed (duplicates would be
-    # absorbed by the T4 guard, full fidelity)
-    assert _store_inodes(spark, ckpt) == all_inodes
 
-    time.sleep(1.5)  # > deleted_ttl_ms
-    _tick_segment(spark, src, event_log, "edits_0000099_tick")
-    q2 = run_reconciler(
-        spark, src, out, ckpt, max_files_per_trigger=1,
-        available_now=True, deleted_ttl_ms=1000,
+    # (a) continuous query, short TTL: eviction observable
+    src = str(tmp_path / "segments")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_segments(spark, event_log, src, 4)
+    q = run_reconciler(
+        spark, src, out, ckpt, available_now=False, deleted_ttl_ms=1500
     )
-    q2.awaitTermination(120)
-
-    assert _store_inodes(spark, ckpt) == all_inodes - deleted
-    # the log's tombstone rows survive eviction: latest_state unchanged
+    try:
+        _poll(lambda: _log_rows(spark, out) >= n_states, 120,
+              "all file states logged")
+        _poll(lambda: _store_inodes(spark, ckpt) == all_inodes - deleted,
+              120, "deleted inodes evicted from the store")
+    finally:
+        q.stop()
+    # the log keeps its tombstone rows: latest_state unchanged
     assert _comparable(latest_state(spark, out)) == _comparable(batch_state)
+
+    # (b) drain default (ttl=None): NoTimeout, store retains everything
+    out2 = str(tmp_path / "out2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    q2 = run_reconciler(spark, src, out2, ckpt2, available_now=True)
+    q2.awaitTermination(180)
+    assert _store_inodes(spark, ckpt2) == all_inodes
 
 
 def test_stream_tombstone_absorbs_duplicates_then_evicts(spark, tmp_path):
-    """The T4 contract across the TTL boundary. Inside the window a
-    re-delivered pre-delete event is a no-op (the tombstone's tx guard
-    absorbs it — same as before eviction existed). After eviction a
-    re-delivered create-prefix transiently resurrects the inode — the
-    documented window, same exposure as the reference after its node
-    delete — and once the duplicated range finishes arriving (the
-    DELETE re-delivers), the fold lands back on Deleted and the final
-    state re-converges."""
-    import time
-
+    """The T4 contract across the TTL boundary, in continuous mode.
+    Inside the window a re-delivered pre-delete event is a no-op (the
+    tombstone's tx guard absorbs it). After eviction a re-delivered
+    create-prefix transiently resurrects the inode — the documented
+    window, same exposure as the reference after its node delete — and
+    once the duplicated range finishes arriving (the DELETE
+    re-delivers), the fold lands back on Deleted and re-converges."""
     from hcdc_spark.cdc.generator import generate_events as gen
 
     log = gen(n_files=12, seed=7, with_dir_ops=False, with_duplicates=False)
@@ -845,57 +852,74 @@ def test_stream_tombstone_absorbs_duplicates_then_evicts(spark, tmp_path):
     src = str(tmp_path / "segments")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    ttl = dict(max_files_per_trigger=None, available_now=True,
-               deleted_ttl_ms=1500)
+    n_states = reconcile_batch(
+        events_df(spark, log), expand_dirs=False
+    ).count()
 
+    # phase 1: LONG ttl — the tombstone window. Duplicate prefix is
+    # absorbed; the victim stays keyed the whole time.
     write_event_segment(spark, log, src, "edits_0000001")
-    q = run_reconciler(spark, src, out, ckpt, **ttl)
-    q.awaitTermination(120)
-    truth = _comparable(latest_state(spark, out))
-    assert victim in _store_inodes(spark, ckpt)  # tombstoned, not gone
+    q = run_reconciler(
+        spark, src, out, ckpt, available_now=False,
+        deleted_ttl_ms=300_000,
+    )
+    try:
+        _poll(lambda: _log_rows(spark, out) >= n_states, 120,
+              "initial log complete")
+        truth = _comparable(latest_state(spark, out))
+        assert victim in _store_inodes(spark, ckpt)
+        rows_before = _log_rows(spark, out)
+        write_event_segment(spark, prefix, src, "edits_0000001_dup_a")
+        _poll(lambda: _log_rows(spark, out) > rows_before, 120,
+              "dup prefix processed")
+        assert _comparable(latest_state(spark, out)) == truth  # T4 no-op
+        assert victim in _store_inodes(spark, ckpt)  # still tombstoned
+    finally:
+        q.stop()
 
-    # 1) duplicate the pre-delete prefix INSIDE the TTL: absorbed
-    write_event_segment(spark, prefix, src, "edits_0000001_dup_a")
-    q2 = run_reconciler(spark, src, out, ckpt, **ttl)
-    q2.awaitTermination(120)
-    assert _comparable(latest_state(spark, out)) == truth
+    # phase 2: SHORT ttl — re-deliver the DELETE (T4 no-op that re-arms
+    # the timeout at the short ttl), wait out the eviction, then the
+    # post-eviction resurrection + convergence.
+    q2 = run_reconciler(
+        spark, src, out, ckpt, available_now=False, deleted_ttl_ms=1000
+    )
+    try:
+        write_event_segment(spark, suffix, src, "edits_0000001_rearm")
+        _poll(lambda: victim not in _store_inodes(spark, ckpt), 120,
+              "victim evicted after short ttl")
+        assert _comparable(latest_state(spark, out)) == truth
 
-    # the dup touched the tombstone, re-arming its TTL — wait it out
-    time.sleep(2.0)
-    _tick_segment(spark, src, log, "edits_0000098_tick")
-    q3 = run_reconciler(spark, src, out, ckpt, **ttl)
-    q3.awaitTermination(120)
-    assert victim not in _store_inodes(spark, ckpt)  # evicted
+        rows_before = _log_rows(spark, out)
+        write_event_segment(spark, prefix, src, "edits_0000001_dup_b")
+        _poll(lambda: _log_rows(spark, out) > rows_before, 120,
+              "post-eviction dup prefix processed")
+        live_now = {
+            r.inode_id
+            for r in latest_state(spark, out)
+            .where(F.col("state") != "Deleted")
+            .collect()
+        }
+        assert victim in live_now  # the documented transient window
 
-    # 2) duplicate the prefix AFTER eviction: transiently live
-    write_event_segment(spark, prefix, src, "edits_0000001_dup_b")
-    q4 = run_reconciler(spark, src, out, ckpt, **ttl)
-    q4.awaitTermination(120)
-    live_now = {
-        r.inode_id
-        for r in latest_state(spark, out)
-        .where(F.col("state") != "Deleted")
-        .collect()
-    }
-    assert victim in live_now  # the documented post-TTL window
-    # 3) the duplicated range finishes arriving: re-converges
-    write_event_segment(spark, suffix, src, "edits_0000001_dup_c")
-    q5 = run_reconciler(spark, src, out, ckpt, **ttl)
-    q5.awaitTermination(120)
-    assert _comparable(latest_state(spark, out)) == truth
+        write_event_segment(spark, suffix, src, "edits_0000001_dup_c")
+        _poll(
+            lambda: _comparable(latest_state(spark, out)) == truth,
+            120, "re-delivered DELETE re-converges",
+        )
+        _poll(lambda: victim not in _store_inodes(spark, ckpt), 120,
+              "victim re-evicted")
+    finally:
+        q2.stop()
 
 
 @pytest.mark.parametrize("provider", ["default", "rocksdb"])
 def test_stream_evict_survives_lost_commit(spark, tmp_path, provider):
-    """Chaos: crash BETWEEN the timeout-driven state.remove() and the
-    checkpoint commit. Simulated by expiring the tombstones, forcing
-    the evicting batch, then removing that batch's commit marker — the
-    restarted query re-executes it against the rolled-back store
-    version (tombstones back in place, timestamps still expired), so
-    the eviction must re-apply deterministically. Final latest_state
-    == batch fold, store holds live inodes only."""
+    """Chaos: crash AFTER the eviction committed, losing the last
+    commit marker — the restarted query re-executes that batch against
+    the rolled-back store version, so whatever it held (the eviction
+    itself, or a trailing batch) must re-apply deterministically.
+    Final latest_state == batch fold, store holds live inodes only."""
     import os as _os
-    import time
 
     from hcdc_spark.cdc.generator import generate_events as gen
 
@@ -912,31 +936,45 @@ def test_stream_evict_survives_lost_commit(spark, tmp_path, provider):
     ckpt = str(tmp_path / "ckpt")
     log = gen(n_files=12, seed=7, with_dir_ops=False, with_duplicates=False)
     deletes = {e["inode_id"] for e in log if e["op"] == "DELETE"}
+    all_inodes = {e["inode_id"] for e in log if e["inode_id"]}
     assert deletes, "seed produced no deletes — pick another seed"
-    ttl = dict(available_now=True, deleted_ttl_ms=500)
     try:
         write_event_segment(spark, log, src, "edits_0000001")
-        q = run_reconciler(spark, src, out, ckpt, **ttl)
-        q.awaitTermination(120)
+        q = run_reconciler(
+            spark, src, out, ckpt, available_now=False,
+            deleted_ttl_ms=1000,
+        )
+        try:
+            _poll(
+                lambda: _store_inodes(spark, ckpt)
+                == all_inodes - deletes,
+                120, "eviction committed",
+            )
+        finally:
+            q.stop()
 
-        time.sleep(1.0)
-        _tick_segment(spark, src, log, "edits_0000099_tick")
-        q2 = run_reconciler(spark, src, out, ckpt, **ttl)
-        q2.awaitTermination(120)
-
-        all_inodes = {e["inode_id"] for e in log if e["inode_id"]}
-        assert _store_inodes(spark, ckpt) == all_inodes - deletes
-
-        # crash window: the evicting batch committed its store but we
-        # drop its commit marker — restart re-executes it
         last = max(_commits(ckpt))
         _os.remove(f"{ckpt}/commits/{last}")
         crc = f"{ckpt}/commits/.{last}.crc"
         if _os.path.exists(crc):
             _os.remove(crc)
 
-        q3 = run_reconciler(spark, src, out, ckpt, **ttl)
-        q3.awaitTermination(120)
+        q2 = run_reconciler(
+            spark, src, out, ckpt, available_now=False,
+            deleted_ttl_ms=1000,
+        )
+        try:
+            _poll(
+                lambda: max(_commits(ckpt)) >= last,
+                120, "lost batch re-committed",
+            )
+            _poll(
+                lambda: _store_inodes(spark, ckpt)
+                == all_inodes - deletes,
+                120, "eviction state re-converged",
+            )
+        finally:
+            q2.stop()
     finally:
         if prev is None:
             spark.conf.unset(key)
@@ -947,4 +985,3 @@ def test_stream_evict_survives_lost_commit(spark, tmp_path, provider):
         events_df(spark, log), expand_dirs=False
     ).drop("errors")
     assert _comparable(latest_state(spark, out)) == _comparable(batch_state)
-    assert _store_inodes(spark, ckpt) == all_inodes - deletes
