@@ -954,29 +954,26 @@ def incremental_doc_neardup(
     dropping it silently would under-reject near-dups, so the verify
     join is LEFT and a missing word-set raises at execution time."""
     from hcdc_spark.operators.similarity import (
-        probe_band_scan,
+        _band_candidates,
         read_band_index_meta,
     )
 
     nbx = _doc_band_explode(new_t).select(
         F.col("doc_id").alias("doc_new"), "band", "bucket"
     )
-    # band-partitioned layout: read only the band dirs / bucket files
-    # the batch's keys hash into (similarity.probe_band_scan), so the
-    # per-cycle read is O(|batch| x occupancy), not O(index). A
+    # band-partitioned layout: per-band legs, exchange-free on the
+    # index side, with bucket-file pruning when the batch's keys are
+    # sparse enough to bite (similarity._band_candidates) — the
+    # per-cycle read is O(|batch| x occupancy) for micro-batches. A
     # pre-metadata table (this probe historically accepted them) reads
     # as the legacy flat layout: correct, full-scan cost.
     try:
         meta = read_band_index_meta(spark, index_table)
     except KeyError:
-        meta = {"layout": "flat"}
-    idx = probe_band_scan(spark, index_table, nbx, meta).select(
-        "band", "bucket", F.col("doc_id").alias("doc_old")
-    )
-    cand = (
-        nbx.join(idx, ["band", "bucket"])
-        .select("doc_new", "doc_old")
-        .distinct()
+        meta = {"layout": "flat", "id_col": "doc_id"}
+    meta = {**meta, "id_col": "doc_id"}
+    cand = _band_candidates(
+        spark, index_table, nbx, meta, "doc_new", "doc_old"
     )
     a = new_t.select(F.col("doc_id").alias("doc_new"),
                      F.col("ws").alias("ws_a"))

@@ -2264,7 +2264,13 @@ def probe_band_scan(
     KB worst case), the same class as the IVF probe's centroid pull.
     Batches banding into more keys than the cap fall back to the full
     scan, as do legacy ``flat``-layout tables (correct, linear read —
-    rebuild/compact migrates them)."""
+    rebuild/compact migrates them).
+
+    This is the SCAN utility (diagnostics, band-restricted reads, the
+    poison gates); the production probes go through
+    ``_band_candidates``, which additionally keeps the candidate JOIN
+    exchange-free on the index side and applies the IN-list only when
+    it can actually prune files."""
     full = spark.table(table)
     if meta.get("layout") != "band_partitioned":
         return full
@@ -2289,6 +2295,83 @@ def probe_band_scan(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def _band_candidates(
+    spark: SparkSession,
+    table: str,
+    nbx: DataFrame,
+    meta: dict,
+    new_col: str,
+    old_col: str,
+) -> DataFrame:
+    """Candidate (new, old) id pairs between a banded batch ``nbx``
+    ((new_col, band, bucket) rows) and a persisted band index — the
+    probe core shared by the embedding and MinHash-doc dedup gates.
+
+    On the band-partitioned layout the join runs as ONE LEG PER BAND,
+    each leg pinned to its band DIRECTORY (partition pruning) and
+    joined on ``bucket`` ALONE — exactly the leg table's bucket
+    column, so every leg's index side reads bucket-aligned with NO
+    exchange (``Bucketed: true``; only the batch side shuffles,
+    per-band). When the batch's keys for a band are sparse relative
+    to the bucket-file count (< n_buckets/4 — below that an IN-list
+    hits nearly every file and prunes nothing, measured at sf16:
+    200-key lists over 32 files read everything and the leg overhead
+    made the probe 2.8x SLOWER), the leg also pushes the bucket
+    IN-list: Spark's bucket pruning then opens only the files those
+    keys hash to (``SelectedBucketsCount``; poison-gated). So:
+    micro-batch probes (the streaming ingest loop — the 100 TB case
+    that must not scan the index) read O(|batch| x occupancy); bulk
+    probes degrade to the flat layout's cost — one full index read,
+    still shuffle-free on the corpus side.
+
+    Legacy flat tables keep the original single (band, bucket)
+    bucket-aligned join."""
+    id_col = meta.get("id_col", "vec_id")
+    if meta.get("layout") != "band_partitioned":
+        idx = spark.table(table).select(
+            "band", "bucket", F.col(id_col).alias(old_col)
+        )
+        return (
+            nbx.join(idx, ["band", "bucket"])
+            .select(new_col, old_col)
+            .distinct()
+        )
+    keys = (
+        nbx.select("band", "bucket")
+        .distinct()
+        .limit(BAND_PROBE_KEY_CAP + 1)
+        .collect()
+    )
+    overflow = len(keys) > BAND_PROBE_KEY_CAP
+    if not overflow and not keys:
+        return (
+            nbx.select(new_col)
+            .withColumn(old_col, F.col(new_col))
+            .where(F.lit(False))
+        )
+    by_band: dict[int, list[str]] = {}
+    for r in keys:
+        by_band.setdefault(r["band"], []).append(r["bucket"])
+    bands = (
+        sorted(by_band)
+        if not overflow
+        else [r["band"] for r in nbx.select("band").distinct().collect()]
+    )
+    n_buckets = int(meta.get("n_buckets", 32))
+    legs = []
+    for b in bands:
+        idx = spark.table(table).where(F.col("band") == b)
+        if not overflow and len(by_band[b]) * 4 <= n_buckets:
+            idx = idx.where(F.col("bucket").isin(by_band[b]))
+        idx = idx.select("bucket", F.col(id_col).alias(old_col))
+        nb = nbx.where(F.col("band") == b).select(new_col, "bucket")
+        legs.append(nb.join(idx, "bucket").select(new_col, old_col))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.distinct()
 
 
 def incremental_neardup_pairs(
@@ -2334,13 +2417,8 @@ def incremental_neardup_pairs(
     nbx = _band_explode(
         new_batch, n_bands=n_bands, bits=bits, geometry=geometry
     ).select(F.col("vec_id").alias("vec_new"), "band", "bucket")
-    idx = probe_band_scan(spark, index_table, nbx, meta).select(
-        "band", "bucket", F.col("vec_id").alias("vec_old")
-    )
-    cand = (
-        nbx.join(idx, ["band", "bucket"])
-        .select("vec_new", "vec_old")
-        .distinct()
+    cand = _band_candidates(
+        spark, index_table, nbx, meta, "vec_new", "vec_old"
     )
     ea = new_batch.select(
         F.col("vec_id").alias("vec_new"), _emb().alias("ea")

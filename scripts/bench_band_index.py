@@ -140,13 +140,46 @@ def main() -> None:
                 )
                 t0 = time.time()
                 S.compact_band_index(spark, table)
+                compact_s = round(time.time() - t0, 3)
+
+                # round-11 pruning point: the same 200-vec micro-batch
+                # against the band-partitioned index bucketed FINELY
+                # enough that the per-band IN-legs engage (keys/band x
+                # 4 <= n_buckets) — file-level bucket pruning + the
+                # pushed IN-list. This is the regime a streaming
+                # ingest probe lives in at 100 TB (batch keys tiny vs
+                # bucket-file count); the default-32 measurement above
+                # is the bulk regime (legs read whole band dirs,
+                # exchange-free).
+                nb_fine = 1024
+                S.write_band_index(
+                    spark, corpus, table, f"{work}/bi_fine",
+                    n_bands=bands, bits=bits, geometry="hyperplane",
+                    n_buckets=nb_fine,
+                )
+
+                def probe_fine() -> float:
+                    best = float("inf")
+                    for _ in range(passes):
+                        t0 = time.time()
+                        S.incremental_neardup_pairs(
+                            spark, batch, table, corpus, threshold=None,
+                            n_bands=bands, bits=bits,
+                            geometry="hyperplane",
+                        ).count()
+                        best = min(best, time.time() - t0)
+                    return best
+
+                probe_fine()  # warmup
+                fine = probe_fine()
                 out[sf].update(
                     probe_stale=round(stale, 3),
                     cand_stale=cand_stale,
                     rebuild=round(rebuild, 3),
                     probe_rebuilt=round(rebuilt, 3),
                     cand_rebuilt=cand_rebuilt,
-                    compact=round(time.time() - t0, 3),
+                    compact=compact_s,
+                    probe_pruned_1024=round(fine, 3),
                 )
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -676,20 +676,47 @@ def test_q103_band_index_probe_prunes_bands_and_buckets(
         spark.conf.set(bcast, "-1")
         meta = S.read_band_index_meta(spark, table)
         assert meta["layout"] == "band_partitioned"
-        nbx = S._band_explode(new_batch)
-        pruned = S.probe_band_scan(spark, table, nbx, meta)
-        probe = nbx.join(pruned, ["band", "bucket"])
-        # each leg pinned to its band dir; bucket IN-list reaches parquet
-        pf = I.partition_filters(probe)
-        assert any("band" in f for f in pf), I.simple_plan(probe)
-        assert any("In(bucket" in f for f in I.pushed_filters(probe))
+
+        # MICRO-BATCH regime (keys/band < n_buckets/4): per-band legs
+        # with the bucket IN-list pushed — dir pruning + file pruning
+        small = new_batch.limit(3)
+        nbx_s = S._band_explode(small).select(
+            F.col("vec_id").alias("vec_new"), "band", "bucket"
+        )
+        cand_s = S._band_candidates(
+            spark, table, nbx_s, meta, "vec_new", "vec_old"
+        )
+        pf = I.partition_filters(cand_s)
+        assert any("band" in f for f in pf), I.simple_plan(cand_s)
+        assert any("In(bucket" in f for f in I.pushed_filters(cand_s))
         # bucket-FILE pruning, made visible by forcing bucketed scans
         # (the file skip itself also happens under the default conf —
         # that is what the poison test below proves behaviorally)
         spark.conf.set(abs_key, "false")
-        sel = I.selected_buckets(probe)
+        sel = I.selected_buckets(cand_s)
         assert sel and all(k < n for k, n in sel), sel
-        spark.conf.unset(abs_key) if prev_abs is None else None
+        if prev_abs is None:
+            spark.conf.unset(abs_key)
+        else:
+            spark.conf.set(abs_key, prev_abs)
+
+        # BULK regime (IN-list would hit every file): the legs drop the
+        # IN but each leg's index side stays bucket-aligned — Bucketed:
+        # true on every band leg, NO corpus-side exchange (only the
+        # batch's per-band shuffles + the distinct)
+        nbx_b = S._band_explode(new_batch).select(
+            F.col("vec_id").alias("vec_new"), "band", "bucket"
+        )
+        cand_b = S._band_candidates(
+            spark, table, nbx_b, meta, "vec_new", "vec_old"
+        )
+        p = I.plan(cand_b, "formatted")
+        n_bands = meta["n_bands"]
+        assert p.count("Bucketed: true") == n_bands, p[:2000]
+        # batch-side shuffle per leg + the final distinct; nothing else
+        assert I.count_exchanges(cand_b) <= n_bands + 1, I.simple_plan(
+            cand_b
+        )
         # end-to-end: the full pair pipeline stays cartesian-free and
         # UDF-free on the same plan
         full = S.incremental_neardup_pairs(spark, new_batch, table, corpus)
@@ -729,7 +756,10 @@ def test_band_index_probe_never_opens_unprobed_files(
     table = "hcdc_band_poison_gate"
     path = str(tmp_path / "band_poison")
     try:
-        S.write_band_index(spark, corpus, table, path, n_buckets=8)
+        # 32 bucket files: a 3-key probe is well under the n_buckets/4
+        # prune threshold, so the IN-list legs engage (the production
+        # micro-batch regime)
+        S.write_band_index(spark, corpus, table, path, n_buckets=32)
         meta = S.read_band_index_meta(spark, table)
         nbx = S._band_explode(new_batch)
         keys = nbx.select("band", "bucket").distinct().collect()
@@ -741,16 +771,24 @@ def test_band_index_probe_never_opens_unprobed_files(
         for b, bs in by_band.items():
             rows = spark.createDataFrame(
                 [(x,) for x in bs], "bucket string"
-            ).select(F.expr("pmod(hash(bucket), 8)").alias("i")).collect()
+            ).select(F.expr("pmod(hash(bucket), 32)").alias("i")).collect()
             probed[b] = {r.i for r in rows}
         band0 = sorted(by_band)[0]
-        unprobed = [i for i in range(8) if i not in probed[band0]]
+        unprobed = [i for i in range(32) if i not in probed[band0]]
         assert unprobed, "probe covered all buckets — shrink the batch"
-        victim = unprobed[0]
-        files = glob.glob(
-            os.path.join(path, f"band={band0}", f"*_{victim:05d}*.parquet")
-        )
-        assert files, "no bucket file found to poison"
+        # pick an unprobed bucket id that actually HAS a file (empty
+        # buckets write none)
+        victim, files = None, []
+        for cand_id in unprobed:
+            files = glob.glob(
+                os.path.join(
+                    path, f"band={band0}", f"*_{cand_id:05d}*.parquet"
+                )
+            )
+            if files:
+                victim = cand_id
+                break
+        assert victim is not None, "no unprobed bucket file to poison"
         for f in files:
             with open(f, "wb") as fh:
                 fh.write(b"GARBAGE NOT PARQUET")
@@ -788,7 +826,7 @@ def test_band_index_probe_never_opens_unprobed_files(
         )
         # find a synthetic bucket string that hashes into the victim file
         hit = probing_victim.select(
-            "bucket", F.expr("pmod(hash(bucket), 8)").alias("i")
+            "bucket", F.expr("pmod(hash(bucket), 32)").alias("i")
         ).where(F.col("i") == victim).limit(1).collect()
         assert hit, "no synthetic key hit the victim bucket — widen range"
         needs_victim = spark.createDataFrame(

@@ -991,19 +991,21 @@ def test_append_band_index_grows_corpus_for_next_cycle(spark, sf_dir,
             ).collect()
         }
         assert got == want and got, "grown index diverged from fresh build"
-        # appended files keep the band-partitioned bucket layout: the
-        # pruned probe still reads only the batch's band dirs/bucket
-        # files (round-11 layout — the raw full join would now pay a
-        # corpus-side exchange, which is exactly why probes never
-        # issue it; the pruning is poison-gated in test_plans)
+        # appended files keep the band-partitioned bucket layout: a
+        # micro-batch probe reads only its band dirs/bucket files
+        # (IN-pruned legs), and even this bulk probe keeps every leg's
+        # index side bucket-aligned (poison-gated in test_plans)
         spark.conf.set(bcast, "-1")
-        nbx = similarity._band_explode(batch2)
         meta = similarity.read_band_index_meta(spark, grown_tbl)
         assert meta["layout"] == "band_partitioned"
-        pruned = similarity.probe_band_scan(spark, grown_tbl, nbx, meta)
-        probe = nbx.join(pruned, ["band", "bucket"])
-        assert I.partition_filters(probe), I.simple_plan(probe)
-        assert any("In(bucket" in f for f in I.pushed_filters(probe))
+        nbx_s = similarity._band_explode(batch2.limit(3)).select(
+            F.col("vec_id").alias("vec_new"), "band", "bucket"
+        )
+        cand_s = similarity._band_candidates(
+            spark, grown_tbl, nbx_s, meta, "vec_new", "vec_old"
+        )
+        assert I.partition_filters(cand_s), I.simple_plan(cand_s)
+        assert any("In(bucket" in f for f in I.pushed_filters(cand_s))
     finally:
         spark.conf.set(bcast, prev)
         for tbl in (grown_tbl, fresh_tbl):
@@ -1051,21 +1053,24 @@ def test_append_doc_band_index_grows_corpus(spark, sf_dir, tmp_path):
             ).collect()
         }
         assert got == want and got, "grown doc index diverged or empty"
-        # appended files keep the band-partitioned layout: the pruned
-        # probe reads only the batch's band dirs/bucket files
+        # appended files keep the band-partitioned layout: a
+        # micro-batch probe reads only its band dirs/bucket files
         spark.conf.set(bcast, "-1")
         from hcdc_spark.operators.similarity import (
-            probe_band_scan,
+            _band_candidates,
             read_band_index_meta,
         )
 
-        nbx = dedup._doc_band_explode(batch2)
         meta = read_band_index_meta(spark, grown_tbl)
         assert meta["layout"] == "band_partitioned"
-        pruned = probe_band_scan(spark, grown_tbl, nbx, meta)
-        probe = nbx.join(pruned, ["band", "bucket"])
-        assert I.partition_filters(probe), I.simple_plan(probe)
-        assert any("In(bucket" in f for f in I.pushed_filters(probe))
+        nbx_s = dedup._doc_band_explode(batch2.limit(2)).select(
+            F.col("doc_id").alias("doc_new"), "band", "bucket"
+        )
+        cand_s = _band_candidates(
+            spark, grown_tbl, nbx_s, meta, "doc_new", "doc_old"
+        )
+        assert I.partition_filters(cand_s), I.simple_plan(cand_s)
+        assert any("In(bucket" in f for f in I.pushed_filters(cand_s))
     finally:
         spark.conf.set(bcast, prev)
         for tbl in (grown_tbl, fresh_tbl):
@@ -1298,13 +1303,16 @@ def test_band_index_keep_latest_ghost_removal(spark, sf_dir, tmp_path):
         prev = spark.conf.get(bcast)
         try:
             spark.conf.set(bcast, "-1")
-            nbx = similarity._band_explode(batch)
             meta = similarity.read_band_index_meta(spark, live_tbl)
             assert meta["layout"] == "band_partitioned"
-            pruned = similarity.probe_band_scan(spark, live_tbl, nbx, meta)
-            probe = nbx.join(pruned, ["band", "bucket"])
-            assert I.partition_filters(probe), I.simple_plan(probe)
-            assert any("In(bucket" in f for f in I.pushed_filters(probe))
+            nbx_s = similarity._band_explode(batch.limit(3)).select(
+                F.col("vec_id").alias("vec_new"), "band", "bucket"
+            )
+            cand_s = similarity._band_candidates(
+                spark, live_tbl, nbx_s, meta, "vec_new", "vec_old"
+            )
+            assert I.partition_filters(cand_s), I.simple_plan(cand_s)
+            assert any("In(bucket" in f for f in I.pushed_filters(cand_s))
         finally:
             spark.conf.set(bcast, prev)
     finally:
@@ -1443,18 +1451,17 @@ def test_band_index_rebuild_policy(spark, sf_dir, tmp_path):
         prev = spark.conf.get(bcast)
         try:
             spark.conf.set(bcast, "-1")
-            nbx = similarity._band_explode(
-                batch, n_bands=new_meta["n_bands"], bits=bits_new,
-                geometry="hyperplane",
-            )
             meta_live = similarity.read_band_index_meta(spark, live_tbl)
             assert meta_live["layout"] == "band_partitioned"
-            pruned = similarity.probe_band_scan(
-                spark, live_tbl, nbx, meta_live
+            nbx_s = similarity._band_explode(
+                batch.limit(3), n_bands=new_meta["n_bands"],
+                bits=bits_new, geometry="hyperplane",
+            ).select(F.col("vec_id").alias("vec_new"), "band", "bucket")
+            cand_s = similarity._band_candidates(
+                spark, live_tbl, nbx_s, meta_live, "vec_new", "vec_old"
             )
-            probe = nbx.join(pruned, ["band", "bucket"])
-            assert I.partition_filters(probe), I.simple_plan(probe)
-            assert any("In(bucket" in f for f in I.pushed_filters(probe))
+            assert I.partition_filters(cand_s), I.simple_plan(cand_s)
+            assert any("In(bucket" in f for f in I.pushed_filters(cand_s))
         finally:
             spark.conf.set(bcast, prev)
     finally:
