@@ -961,10 +961,11 @@ def incremental_doc_neardup(
     nbx = _doc_band_explode(new_t).select(
         F.col("doc_id").alias("doc_new"), "band", "bucket"
     )
-    # band-partitioned layout: per-band legs, exchange-free on the
-    # index side, with bucket-file pruning when the batch's keys are
-    # sparse enough to bite (similarity._band_candidates) — the
-    # per-cycle read is O(|batch| x occupancy) for micro-batches. A
+    # band-partitioned layout: one band-dir-pruned scan joined on the
+    # bucket key alone (exchange-free on the index side), with
+    # bucket-file pruning when the batch's keys are sparse enough to
+    # bite (similarity._band_candidates) — the per-cycle read is
+    # O(|batch| x occupancy x n_bands) for micro-batches. A
     # pre-metadata table (this probe historically accepted them) reads
     # as the legacy flat layout: correct, full-scan cost.
     try:

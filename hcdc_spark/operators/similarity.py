@@ -2155,15 +2155,17 @@ def write_band_index_rows(
     THE LAYOUT IS THE PROBE'S READ BOUND (round-10 verdict missing
     #3: the probe's wall term was a linear columnar scan of the whole
     index). A probe knows exactly which (band, bucket) keys its batch
-    hashes into, so probe_band_scan reads, per band directory, only
-    the bucket FILES those keys hash-route to (Spark's bucket pruning
-    — ``SelectedBucketsCount`` in the plan) with the bucket IN-list
-    pushed into parquet (sorted row-group skip). Read cost per probe
-    is O(|batch| x occupancy), not O(index); poison-gated in
-    test_plans (a corrupted unprobed bucket file / band dir is never
-    opened). The flat bucketBy(band, bucket) layout from earlier
-    rounds reads back via the same probes at full-scan cost (meta
-    ``layout`` missing → 'flat'); rebuild/compact migrate it.
+    hashes into, so it scans ONCE with the band dirs partition-pruned
+    and — when the key set is sparse — the global bucket IN-list
+    pushed: Spark's bucket pruning opens only the FILES those values
+    hash-route to (``SelectedBucketsCount`` in the plan) and parquet
+    skips row groups via the sortBy(bucket) stats. Read cost per
+    sparse probe is O(|batch| x occupancy x n_bands), not O(index);
+    poison-gated in test_plans (a bucket file no probed key hashes
+    into / an unprobed band dir is never opened). The flat
+    bucketBy(band, bucket) layout from earlier rounds reads back via
+    the same probes at full-scan cost (meta ``layout`` missing →
+    'flat'); rebuild/compact migrate it.
 
     Every row carries a GENERATION column (``gen`` = -1 for the build;
     appends stamp their batch id) so a re-ingested id's superseded band
@@ -2228,13 +2230,12 @@ def read_band_index_meta(spark: SparkSession, table: str) -> dict:
     return out
 
 
-#: Above this many distinct (band, bucket) probe keys the pruned read
-#: stops being worth its planning cost (per-band IN-lists collected to
-#: the driver, one scan leg per band) and a probe falls back to the
-#: full-table scan — the large-batch regime where the corpus read
-#: amortizes over the batch anyway. 8192 keys x ~40 B ≈ 320 KB on the
-#: driver: bounded by the LIMIT pushed into the collect, never by
-#: trusting the caller's batch size.
+#: Above this many distinct (band, bucket) probe keys the key list
+#: stops being worth collecting to the driver and a probe keeps only
+#: the band-dir pruning — the large-batch regime where the corpus
+#: read amortizes over the batch anyway. 8192 keys x ~40 B ≈ 320 KB
+#: on the driver: bounded by the LIMIT pushed into the collect, never
+#: by trusting the caller's batch size.
 BAND_PROBE_KEY_CAP = 8192
 
 
@@ -2244,33 +2245,31 @@ def probe_band_scan(
     """The probe-side read of a band index: returns the index rows
     that can possibly match the banded batch ``nbx`` ((id, band,
     bucket) rows), reading as little of the index as the layout
-    allows.
+    allows. May return a SUPERSET (rows whose band is probed and
+    whose bucket matches ANY probed band's key) — callers re-filter
+    via the candidate join's band equality.
 
-    On the ``band_partitioned`` layout this is the round-10 verdict's
-    missing piece #3 made real: one scan leg per band the batch
-    populates, each leg pinned to its band DIRECTORY (partition
-    pruning) with the batch's bucket IN-list for that band pushed
-    down — Spark's bucket pruning then opens only the bucket FILES
-    the keys hash-route to (``SelectedBucketsCount`` in the plan) and
-    parquet skips row groups via the sortBy(bucket) stats. Read cost
-    is O(|batch| x bucket occupancy) instead of O(index); the join
-    downstream exchanges only these survivors, so the corpus is
-    neither re-shuffled nor (any longer) linearly re-scanned per
-    ingest batch. Poison-gated: a corrupted unprobed bucket file or
-    band directory is never opened (test_plans).
+    On the ``band_partitioned`` layout this is ONE pruned scan:
+    ``band IN (bands the batch populates)`` is directory-level
+    partition pruning, and the batch's GLOBAL bucket IN-list — when
+    sparse enough to bite — is file-level bucket pruning (Spark's
+    bucket hash routes each value to one of n_buckets files;
+    ``SelectedBucketsCount`` in the plan) plus parquet row-group
+    skipping via the sortBy(bucket) stats. Poison-gated: a bucket
+    file no probed key hashes into, and a band directory no probed
+    band touches, are never opened (test_plans).
 
-    The per-band key lists live on the driver for plan construction —
-    a bounded collect (LIMIT ``BAND_PROBE_KEY_CAP`` + 1, ~hundreds of
+    The key list lives on the driver for plan construction — a
+    bounded collect (LIMIT ``BAND_PROBE_KEY_CAP`` + 1, ~hundreds of
     KB worst case), the same class as the IVF probe's centroid pull.
-    Batches banding into more keys than the cap fall back to the full
-    scan, as do legacy ``flat``-layout tables (correct, linear read —
-    rebuild/compact migrates them).
+    Batches banding into more keys than the cap keep only the
+    band-dir pruning; legacy ``flat``-layout tables read at full-scan
+    cost (correct — rebuild/compact migrates them).
 
     This is the SCAN utility (diagnostics, band-restricted reads, the
     poison gates); the production probes go through
     ``_band_candidates``, which additionally keeps the candidate JOIN
-    exchange-free on the index side and applies the IN-list only when
-    it can actually prune files."""
+    exchange-free on the index side."""
     full = spark.table(table)
     if meta.get("layout") != "band_partitioned":
         return full
@@ -2280,20 +2279,19 @@ def probe_band_scan(
         .limit(BAND_PROBE_KEY_CAP + 1)
         .collect()
     )
-    if len(keys) > BAND_PROBE_KEY_CAP:
-        return full
-    by_band: dict[int, list[str]] = {}
-    for r in keys:
-        by_band.setdefault(r["band"], []).append(r["bucket"])
-    if not by_band:
+    if not keys:
         return full.where(F.lit(False))
-    legs = [
-        full.where((F.col("band") == b) & F.col("bucket").isin(buckets))
-        for b, buckets in sorted(by_band.items())
-    ]
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
+    if len(keys) > BAND_PROBE_KEY_CAP:
+        bands = [
+            r["band"] for r in nbx.select("band").distinct().collect()
+        ]
+        return full.where(F.col("band").isin(bands))
+    bands = sorted({r["band"] for r in keys})
+    buckets = sorted({r["bucket"] for r in keys})
+    out = full.where(F.col("band").isin(bands))
+    n_buckets = int(meta.get("n_buckets", 32))
+    if len(buckets) < n_buckets:
+        out = out.where(F.col("bucket").isin(buckets))
     return out
 
 
@@ -2309,22 +2307,34 @@ def _band_candidates(
     ((new_col, band, bucket) rows) and a persisted band index — the
     probe core shared by the embedding and MinHash-doc dedup gates.
 
-    On the band-partitioned layout the join runs as ONE LEG PER BAND,
-    each leg pinned to its band DIRECTORY (partition pruning) and
-    joined on ``bucket`` ALONE — exactly the leg table's bucket
-    column, so every leg's index side reads bucket-aligned with NO
-    exchange (``Bucketed: true``; only the batch side shuffles,
-    per-band). When the batch's keys for a band are sparse relative
-    to the bucket-file count (< n_buckets/4 — below that an IN-list
-    hits nearly every file and prunes nothing, measured at sf16:
-    200-key lists over 32 files read everything and the leg overhead
-    made the probe 2.8x SLOWER), the leg also pushes the bucket
-    IN-list: Spark's bucket pruning then opens only the files those
-    keys hash to (``SelectedBucketsCount``; poison-gated). So:
-    micro-batch probes (the streaming ingest loop — the 100 TB case
-    that must not scan the index) read O(|batch| x occupancy); bulk
-    probes degrade to the flat layout's cost — one full index read,
-    still shuffle-free on the corpus side.
+    On the band-partitioned layout this is ONE pruned scan and ONE
+    join. The scan: ``band IN (bands the batch populates)`` prunes
+    band DIRECTORIES, and when the batch's GLOBAL distinct bucket
+    values number fewer than the bucket files (past that an IN-list
+    selects nearly every file and prunes nothing, measured at sf16:
+    200-key lists over 32 files read everything)
+    the bucket IN-list is pushed too: Spark's bucket pruning opens
+    only the files those values hash to (``SelectedBucketsCount``;
+    poison-gated) and parquet skips row groups via sortBy(bucket)
+    stats. The join: keyed on ``bucket`` ALONE — the table's
+    bucketing column, so the index side reads bucket-aligned with NO
+    exchange (``Bucketed: true``) — with band equality expressed as
+    the residual ``n.band <= i.band AND n.band >= i.band`` ON
+    PURPOSE: written as ``==`` Catalyst would lift band into the
+    join keys and the (band, bucket)-keyed exchange would re-shuffle
+    the index side; as two inequalities it stays an SMJ residual
+    filter and the plan gate pins it (test_plans).
+
+    WHY one scan and not one leg per band (the first cut of this
+    layout): n_bands separate scan+join legs cost O(n_bands) in
+    driver planning/codegen PER PROBE — measured 39-43 s at sf16's
+    sized geometry (26 bands) against 9-10 s for the single join,
+    with identical candidates — and a streaming ingest pays that
+    driver tax every micro-batch. The trade: file pruning uses the
+    GLOBAL bucket list, so a dir can open a file only another band's
+    key hashes into — bounded at |batch| x occupancy x n_bands rows
+    read, still ~1e-5 of a 100 TB index, and the residual band
+    filter drops the cross-band rows before they leave the join.
 
     Legacy flat tables keep the original single (band, bucket)
     bucket-aligned join."""
@@ -2351,27 +2361,38 @@ def _band_candidates(
             .withColumn(old_col, F.col(new_col))
             .where(F.lit(False))
         )
-    by_band: dict[int, list[str]] = {}
-    for r in keys:
-        by_band.setdefault(r["band"], []).append(r["bucket"])
-    bands = (
-        sorted(by_band)
-        if not overflow
-        else [r["band"] for r in nbx.select("band").distinct().collect()]
-    )
+    if overflow:
+        bands = [
+            r["band"] for r in nbx.select("band").distinct().collect()
+        ]
+        buckets: list[str] | None = None
+    else:
+        bands = sorted({r["band"] for r in keys})
+        buckets = sorted({r["bucket"] for r in keys})
+    idx = spark.table(table).where(F.col("band").isin(bands))
     n_buckets = int(meta.get("n_buckets", 32))
-    legs = []
-    for b in bands:
-        idx = spark.table(table).where(F.col("band") == b)
-        if not overflow and len(by_band[b]) * 4 <= n_buckets:
-            idx = idx.where(F.col("bucket").isin(by_band[b]))
-        idx = idx.select("bucket", F.col(id_col).alias(old_col))
-        nb = nbx.where(F.col("band") == b).select(new_col, "bucket")
-        legs.append(nb.join(idx, "bucket").select(new_col, old_col))
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out.distinct()
+    # engage file pruning only while there are fewer distinct values
+    # than bucket files — past that the IN selects (nearly) every file
+    # and prunes nothing (measured at sf16: 200-value lists over 32
+    # files read everything and paid the predicate)
+    if buckets is not None and len(buckets) < n_buckets:
+        idx = idx.where(F.col("bucket").isin(buckets))
+    i, n = idx.alias("i"), nbx.alias("n")
+    cond = (
+        (F.col("n.bucket") == F.col("i.bucket"))
+        # band equality as a residual (see docstring) — do NOT "fix"
+        # this to ==: that re-keys the join and re-shuffles the index
+        & (F.col("n.band") <= F.col("i.band"))
+        & (F.col("n.band") >= F.col("i.band"))
+    )
+    return (
+        n.join(i, cond)
+        .select(
+            F.col(f"n.{new_col}").alias(new_col),
+            F.col(f"i.{id_col}").alias(old_col),
+        )
+        .distinct()
+    )
 
 
 def incremental_neardup_pairs(

@@ -142,36 +142,40 @@ def main() -> None:
                 S.compact_band_index(spark, table)
                 compact_s = round(time.time() - t0, 3)
 
-                # round-11 pruning point: the same 200-vec micro-batch
-                # against the band-partitioned index bucketed FINELY
-                # enough that the per-band IN-legs engage (keys/band x
-                # 4 <= n_buckets) — file-level bucket pruning + the
-                # pushed IN-list. This is the regime a streaming
-                # ingest probe lives in at 100 TB (batch keys tiny vs
-                # bucket-file count); the default-32 measurement above
-                # is the bulk regime (legs read whole band dirs,
-                # exchange-free).
-                nb_fine = 1024
-                S.write_band_index(
-                    spark, corpus, table, f"{work}/bi_fine",
-                    n_bands=bands, bits=bits, geometry="hyperplane",
-                    n_buckets=nb_fine,
-                )
+                # round-11 pruning point: a 20-vec micro-batch (the
+                # streaming-ingest shape) against the band-partitioned
+                # index bucketed FINELY enough that the global bucket
+                # IN-list engages (|distinct values| < n_buckets) —
+                # file-level bucket pruning + the pushed IN-list. The
+                # same micro-batch at the default 32 buckets (IN
+                # refused: 20 vecs x n_bands values >= 32) isolates
+                # the file-pruning win; the 200-vec "probe" above is
+                # the bulk regime (dir-pruned scan, exchange-free).
+                micro = emb.where(F.col("vec_id") < 20)
 
-                def probe_fine() -> float:
+                def probe_micro() -> float:
                     best = float("inf")
                     for _ in range(passes):
                         t0 = time.time()
                         S.incremental_neardup_pairs(
-                            spark, batch, table, corpus, threshold=None,
+                            spark, micro, table, corpus, threshold=None,
                             n_bands=bands, bits=bits,
                             geometry="hyperplane",
                         ).count()
                         best = min(best, time.time() - t0)
                     return best
 
-                probe_fine()  # warmup
-                fine = probe_fine()
+                probe_micro()  # warmup
+                micro_32 = probe_micro()
+
+                nb_fine = 1024
+                S.write_band_index(
+                    spark, corpus, table, f"{work}/bi_fine",
+                    n_bands=bands, bits=bits, geometry="hyperplane",
+                    n_buckets=nb_fine,
+                )
+                probe_micro()  # warmup on the fine layout
+                fine = probe_micro()
                 out[sf].update(
                     probe_stale=round(stale, 3),
                     cand_stale=cand_stale,
@@ -179,7 +183,8 @@ def main() -> None:
                     probe_rebuilt=round(rebuilt, 3),
                     cand_rebuilt=cand_rebuilt,
                     compact=compact_s,
-                    probe_pruned_1024=round(fine, 3),
+                    probe_micro_32=round(micro_32, 3),
+                    probe_micro_pruned_1024=round(fine, 3),
                 )
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")

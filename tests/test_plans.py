@@ -651,14 +651,17 @@ def test_q103_band_index_probe_prunes_bands_and_buckets(
 ):
     """Dedup-on-ingest scale contract (round-11 layout): the persisted
     band index is PARTITIONED by band and BUCKETED on bucket, and the
-    probe (probe_band_scan) reads, per band directory, only the bucket
-    files its keys hash into — the probe's read is O(|batch| x
-    occupancy), not a linear scan of the index (the round-10 verdict's
-    missing #3). Plan-gated here: PartitionFilters pin each leg to its
-    band dir, the bucket IN-list reaches parquet, and with bucketed
-    scans forced visible the plan reports SelectedBucketsCount < total.
-    The corpus index side is never re-shuffled: only pruned survivor
-    rows (and the batch's own banding) exchange."""
+    probe reads ONE scan pruned to the band dirs the batch populates
+    with the global bucket IN-list pushed when sparse — the sparse
+    probe's read is O(|batch| x occupancy x n_bands), not a linear
+    scan of the index (the round-10 verdict's missing #3). Plan-gated
+    here: PartitionFilters prune band dirs, the bucket IN-list reaches
+    parquet, and with bucketed scans forced visible the plan reports
+    SelectedBucketsCount < total. The corpus index side is never
+    re-shuffled in EITHER regime: the join is keyed on the bucket
+    column alone (band equality rides as an SMJ residual), so the
+    index side scans bucket-aligned and only the batch side (and the
+    final distinct) exchange."""
     from hcdc_spark.operators import similarity as S
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -677,7 +680,7 @@ def test_q103_band_index_probe_prunes_bands_and_buckets(
         meta = S.read_band_index_meta(spark, table)
         assert meta["layout"] == "band_partitioned"
 
-        # MICRO-BATCH regime (keys/band < n_buckets/4): per-band legs
+        # MICRO-BATCH regime (|global keys| < n_buckets/4): one scan
         # with the bucket IN-list pushed — dir pruning + file pruning
         small = new_batch.limit(3)
         nbx_s = S._band_explode(small).select(
@@ -700,10 +703,12 @@ def test_q103_band_index_probe_prunes_bands_and_buckets(
         else:
             spark.conf.set(abs_key, prev_abs)
 
-        # BULK regime (IN-list would hit every file): the legs drop the
-        # IN but each leg's index side stays bucket-aligned — Bucketed:
-        # true on every band leg, NO corpus-side exchange (only the
-        # batch's per-band shuffles + the distinct)
+        # BULK regime (IN-list would hit every file): the scan drops
+        # the IN but the index side stays bucket-aligned — ONE
+        # Bucketed: true scan, NO corpus-side exchange (only the
+        # batch's bucket shuffle + the distinct). The band equality
+        # must ride as an SMJ residual, NOT a join key — keyed on
+        # (band, bucket) the index side would re-shuffle.
         nbx_b = S._band_explode(new_batch).select(
             F.col("vec_id").alias("vec_new"), "band", "bucket"
         )
@@ -711,12 +716,9 @@ def test_q103_band_index_probe_prunes_bands_and_buckets(
             spark, table, nbx_b, meta, "vec_new", "vec_old"
         )
         p = I.plan(cand_b, "formatted")
-        n_bands = meta["n_bands"]
-        assert p.count("Bucketed: true") == n_bands, p[:2000]
-        # batch-side shuffle per leg + the final distinct; nothing else
-        assert I.count_exchanges(cand_b) <= n_bands + 1, I.simple_plan(
-            cand_b
-        )
+        assert p.count("Bucketed: true") == 1, p[:2000]
+        # batch-side bucket shuffle + the final distinct; nothing else
+        assert I.count_exchanges(cand_b) <= 2, I.simple_plan(cand_b)
         # end-to-end: the full pair pipeline stays cartesian-free and
         # UDF-free on the same plan
         full = S.incremental_neardup_pairs(spark, new_batch, table, corpus)
@@ -735,13 +737,15 @@ def test_band_index_probe_never_opens_unprobed_files(
     spark, sf_dir, tmp_path
 ):
     """The q102 poison technique applied to the band index (round-10
-    verdict 'next' #3): corrupt (a) a bucket file no probe key hashes
-    into inside a probed band dir, and (b) an entire band directory no
-    restricted probe touches — the pruned probe must never open either.
-    A control full scan must fail on the poison (proving the files are
-    poisoned, not dead weight), and a probe whose keys DO hash into the
-    poisoned bucket must fail too (proving the probe actually reads the
-    files it claims to)."""
+    verdict 'next' #3): corrupt (a) a bucket file NO probed bucket
+    value hashes into (file selection is the probe's GLOBAL value
+    list — a dir can open a file another band's key routes to, the
+    documented single-scan trade) inside a probed band dir, and (b)
+    an entire band directory no restricted probe touches — the pruned
+    probe must never open either. A control full scan must fail on
+    the poison (proving the files are poisoned, not dead weight), and
+    a probe whose keys DO hash into the poisoned bucket must fail too
+    (proving the probe actually reads the files it claims to)."""
     import glob
     import os
 
@@ -756,9 +760,9 @@ def test_band_index_probe_never_opens_unprobed_files(
     table = "hcdc_band_poison_gate"
     path = str(tmp_path / "band_poison")
     try:
-        # 32 bucket files: a 3-key probe is well under the n_buckets/4
-        # prune threshold, so the IN-list legs engage (the production
-        # micro-batch regime)
+        # 32 bucket files: a 3-vec probe bands into ~18 distinct
+        # bucket values, under the < n_buckets engagement rule, so the
+        # global IN-list engages (the production micro-batch regime)
         S.write_band_index(spark, corpus, table, path, n_buckets=32)
         meta = S.read_band_index_meta(spark, table)
         nbx = S._band_explode(new_batch)
@@ -766,15 +770,16 @@ def test_band_index_probe_never_opens_unprobed_files(
         by_band: dict[int, list[str]] = {}
         for r in keys:
             by_band.setdefault(r["band"], []).append(r["bucket"])
-        # probed bucket-file ids per band, via Spark's own bucket hash
-        probed: dict[int, set[int]] = {}
-        for b, bs in by_band.items():
-            rows = spark.createDataFrame(
-                [(x,) for x in bs], "bucket string"
-            ).select(F.expr("pmod(hash(bucket), 32)").alias("i")).collect()
-            probed[b] = {r.i for r in rows}
+        # probed bucket-file ids = the GLOBAL value list's hashes (the
+        # single-scan selection applies to every probed band dir), via
+        # Spark's own bucket hash
+        all_buckets = sorted({r["bucket"] for r in keys})
+        rows = spark.createDataFrame(
+            [(x,) for x in all_buckets], "bucket string"
+        ).select(F.expr("pmod(hash(bucket), 32)").alias("i")).collect()
+        probed_global = {r.i for r in rows}
         band0 = sorted(by_band)[0]
-        unprobed = [i for i in range(32) if i not in probed[band0]]
+        unprobed = [i for i in range(32) if i not in probed_global]
         assert unprobed, "probe covered all buckets — shrink the batch"
         # pick an unprobed bucket id that actually HAS a file (empty
         # buckets write none)

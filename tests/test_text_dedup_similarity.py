@@ -993,8 +993,8 @@ def test_append_band_index_grows_corpus_for_next_cycle(spark, sf_dir,
         assert got == want and got, "grown index diverged from fresh build"
         # appended files keep the band-partitioned bucket layout: a
         # micro-batch probe reads only its band dirs/bucket files
-        # (IN-pruned legs), and even this bulk probe keeps every leg's
-        # index side bucket-aligned (poison-gated in test_plans)
+        # (global IN-list pruning), with the index side of the single
+        # candidate join bucket-aligned (poison-gated in test_plans)
         spark.conf.set(bcast, "-1")
         meta = similarity.read_band_index_meta(spark, grown_tbl)
         assert meta["layout"] == "band_partitioned"
