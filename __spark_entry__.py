@@ -32,8 +32,8 @@ from hcdc_spark.registry import Registry
 # (b) the rows whose CODE changed this round and need fresh driver
 # evidence regardless of pytest greenness: q103/c21/c26/c27 (the band
 # indexes moved to the partitionBy(band)+bucketBy(bucket) layout and
-# every probe now reads through probe_band_scan's pruned per-band
-# legs; c27 additionally exercises the window-based keep-latest
+# every probe is one band-dir-pruned, bucket-IN-pruned scan joined on
+# the bucket key; c27 additionally exercises the window-based keep-latest
 # compaction) and c04/c08 (the streaming reconciler now evicts
 # Deleted tombstones via ProcessingTimeTimeout TTL -- T27's streaming
 # half); c22's changed probe path is covered in-window by c26, which

@@ -2238,6 +2238,24 @@ def read_band_index_meta(spark: SparkSession, table: str) -> dict:
 #: by trusting the caller's batch size.
 BAND_PROBE_KEY_CAP = 8192
 
+#: Expected rows PER BUCKET VALUE above which the candidate join is
+#: keyed on (band, bucket) instead of bucket alone. Every band shares
+#: one bucket-value space (hyperplane signatures are ints in
+#: [0, 2^bits); the sign shape's per-band md5s coincide for equal bit
+#: patterns), so the bucket-only SMJ buffers ~occupancy x n_bands
+#: rows per key value — past Spark's in-memory group threshold
+#: (spark.sql.sortMergeJoinExec.buffer.in.memory.threshold, 4096
+#: rows) the group spills and the merge degrades to disk-backed
+#: re-iteration PER PROBE ROW (measured at sf16: a stale 7-band/
+#: 7-bit geometry = ~17.5k-row groups ran 30+ min mostly in sys CPU
+#: against ~10 s keyed on the pair). Keying on (band, bucket) shrinks
+#: the group n_bands-fold at the price of re-shuffling the pruned
+#: index read — the right trade exactly when occupancy has drifted
+#: far past target_bucket_rows, i.e. the regime the rebuild policy
+#: exits. The switch is catalog math (meta n_rows/bits/n_bands), no
+#: scan.
+BAND_SMJ_GROUP_CAP = 3072
+
 
 def probe_band_scan(
     spark: SparkSession, table: str, nbx: DataFrame, meta: dict
@@ -2377,6 +2395,29 @@ def _band_candidates(
     # files read everything and paid the predicate)
     if buckets is not None and len(buckets) < n_buckets:
         idx = idx.where(F.col("bucket").isin(buckets))
+    # SMJ group-size guard (see BAND_SMJ_GROUP_CAP): a degraded/stale
+    # occupancy makes the bucket-only key's groups spill — re-key on
+    # the (band, bucket) pair (exchange, small groups) until a rebuild
+    # restores the sized curve
+    if meta["geometry"] == "minhash-md5":
+        # md5-of-signature-band buckets: the value space is ~2^128
+        # (never saturates), so group size tracks TRUE duplication
+        # groups, not corpus/2^bits — the guard never applies
+        exp_group = 0.0
+    else:
+        exp_group = (
+            meta["n_bands"] * meta["n_rows"]
+            / float(2 ** min(meta["bits"], 63))
+        )
+    if exp_group > BAND_SMJ_GROUP_CAP:
+        pair = idx.select(
+            "band", "bucket", F.col(id_col).alias(old_col)
+        )
+        return (
+            nbx.join(pair, ["band", "bucket"])
+            .select(new_col, old_col)
+            .distinct()
+        )
     i, n = idx.alias("i"), nbx.alias("n")
     cond = (
         (F.col("n.bucket") == F.col("i.bucket"))

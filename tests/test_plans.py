@@ -733,6 +733,80 @@ def test_q103_band_index_probe_prunes_bands_and_buckets(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_band_candidates_rekeys_on_degraded_occupancy(
+    spark, sf_dir, tmp_path
+):
+    """BAND_SMJ_GROUP_CAP guard: every band shares one bucket-value
+    space, so the bucket-only join's SMJ buffers ~occupancy x n_bands
+    rows per key value — a degraded/stale geometry pushes that past
+    Spark's 4096-row in-memory group threshold and the merge spills to
+    disk-backed re-iteration per probe row (measured at sf16: 30+ min
+    vs ~10 s). The probe must re-key on the (band, bucket) PAIR —
+    accepting the exchange — exactly when catalog math says the group
+    would spill, and keep the exchange-free bucket-only key on a
+    healthy occupancy. Candidates must be identical either way."""
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    table = "hcdc_band_rekey_gate"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bcast)
+    try:
+        spark.conf.set(bcast, "-1")
+        # DEGRADED: 32 bands x 2 bits over the ~450-vec sf0.001 corpus
+        # -> exp_group = 32 x 450 / 4 = 3600 > BAND_SMJ_GROUP_CAP
+        S.write_band_index(
+            spark, corpus, table, str(tmp_path / "bi_degraded"),
+            n_bands=32, bits=2, geometry="hyperplane",
+        )
+        meta = S.read_band_index_meta(spark, table)
+        assert (
+            meta["n_bands"] * meta["n_rows"] / 2 ** meta["bits"]
+            > S.BAND_SMJ_GROUP_CAP
+        ), "test premise: degraded geometry must exceed the cap"
+        nbx = S._band_explode(
+            batch, n_bands=32, bits=2, geometry="hyperplane"
+        ).select(F.col("vec_id").alias("vec_new"), "band", "bucket")
+        cand = S._band_candidates(
+            spark, table, nbx, meta, "vec_new", "vec_old"
+        )
+        p = I.simple_plan(cand)
+        assert "SortMergeJoin [band" in p, p  # keyed on the pair
+        # reference: the raw (band, bucket) join — identical pairs
+        ref = (
+            nbx.join(
+                spark.table(table).select(
+                    "band", "bucket", F.col("vec_id").alias("vec_old")
+                ),
+                ["band", "bucket"],
+            )
+            .select("vec_new", "vec_old")
+            .distinct()
+        )
+        assert cand.count() == ref.count() > 0
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+        # HEALTHY: default sign shape (6 bands x 4 bits -> exp_group
+        # ≈ 675) keeps the exchange-free bucket-only key
+        S.write_band_index(
+            spark, corpus, table, str(tmp_path / "bi_healthy")
+        )
+        meta_h = S.read_band_index_meta(spark, table)
+        nbx_h = S._band_explode(batch).select(
+            F.col("vec_id").alias("vec_new"), "band", "bucket"
+        )
+        cand_h = S._band_candidates(
+            spark, table, nbx_h, meta_h, "vec_new", "vec_old"
+        )
+        ph = I.simple_plan(cand_h)
+        assert "SortMergeJoin [bucket" in ph, ph
+    finally:
+        spark.conf.set(bcast, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_band_index_probe_never_opens_unprobed_files(
     spark, sf_dir, tmp_path
 ):

@@ -19,7 +19,7 @@ import __spark_entry__ as E
 
 #: Round-11 must-verify set: queries whose CODE changed this round —
 #: the band indexes moved to the partitionBy(band)+bucketBy(bucket)
-#: layout with pruned per-band probe legs (q103/c21/c26; c27 also
+#: layout with a pruned single-scan probe (q103/c21/c26; c27 also
 #: exercises the window-based keep-latest compaction), and the
 #: streaming reconciler gained Deleted-tombstone TTL eviction
 #: (c04/c08) — plus the NEW row c28 (the rebuild policy wired into
