@@ -919,9 +919,11 @@ def append_doc_band_index(
     # advice), matching append_band_index's crash direction
     n_new = new_t.select("doc_id").distinct().count()
     _set_band_index_props(spark, table, {"n_rows": meta["n_rows"] + n_new})
-    exploded.select(*spark.table(table).columns).write.insertInto(
-        table, overwrite=False
-    )
+    from hcdc_spark.operators.similarity import _cluster_for_band_write
+
+    _cluster_for_band_write(
+        exploded.select(*spark.table(table).columns), meta["n_buckets"]
+    ).write.insertInto(table, overwrite=False)
 
 
 def compact_doc_band_index(spark: SparkSession, table: str) -> int:

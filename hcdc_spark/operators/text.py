@@ -1079,6 +1079,11 @@ def write_chunk_index(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         corpus_chunk_hashes(docs, k)
+        # cluster by the bucket-file id so each bucket file is written
+        # by exactly one task (without this the bucketed writer emits
+        # one file per input task x bucket — a small-files multiplier
+        # at scale; see similarity._cluster_for_band_write)
+        .repartition(F.expr(f"pmod(hash(h), {int(n_buckets)})"))
         .write.bucketBy(n_buckets, "h")
         .sortBy("h")
         .option("path", path)
@@ -1086,6 +1091,15 @@ def write_chunk_index(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def _table_num_buckets(spark: SparkSession, table: str, default: int = 32) -> int:
+    """Bucket count of a catalog table (DESCRIBE FORMATTED's
+    'Num Buckets' row) — one catalog lookup, no scan."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (r["col_name"] or "").strip() == "Num Buckets":
+            return int(r["data_type"].strip())
+    return default
 
 
 def append_chunk_index(
@@ -1111,9 +1125,12 @@ def append_chunk_index(
     fresh = corpus_chunk_hashes(docs, k).join(
         spark.table(table), "h", "left_anti"
     )
-    fresh.select(*spark.table(table).columns).write.insertInto(
-        table, overwrite=False
-    )
+    n_buckets = _table_num_buckets(spark, table)
+    # cluster by bucket-file id: one appended file per bucket, not one
+    # per input task x bucket (see write_chunk_index)
+    fresh.select(*spark.table(table).columns).repartition(
+        F.expr(f"pmod(hash(h), {n_buckets})")
+    ).write.insertInto(table, overwrite=False)
 
 
 def chunk_dedup_rewrite_vs(

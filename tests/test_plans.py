@@ -733,6 +733,57 @@ def test_q103_band_index_probe_prunes_bands_and_buckets(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_band_and_chunk_builds_write_one_file_per_bucket(
+    spark, sf_dir, tmp_path
+):
+    """Small-files guard: the bucketed writers must cluster rows by
+    the bucket-file id before writing, so each (partition dir, bucket
+    file) is produced by EXACTLY ONE task — without it Spark emits
+    one file per (input task x dir x bucket): measured at sf16, the
+    26-band build landed 26,624 files (32x the 832 the layout needs)
+    and a 1024-bucket layout 853k, turning the write into a
+    40-minute per-file-permission fork storm; at 1000 executors the
+    multiplier is a small-files disaster and every probe pays the
+    extra opens."""
+    import glob
+    import os
+    import re
+
+    from hcdc_spark.operators import similarity as S
+    from hcdc_spark.operators.text import write_chunk_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    table = "hcdc_band_filecount_gate"
+    path = str(tmp_path / "band_fc")
+    try:
+        S.write_band_index(spark, corpus, table, path)
+        seen: set[tuple[str, str]] = set()
+        for f in glob.glob(os.path.join(path, "band=*", "*.parquet")):
+            m = re.search(r"_(\d{5})\.", os.path.basename(f))
+            assert m, f"no bucket suffix in {f}"
+            key = (os.path.dirname(f), m.group(1))
+            assert key not in seen, f"two files for one bucket: {key}"
+            seen.add(key)
+        assert seen
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ctable = "hcdc_chunk_filecount_gate"
+    cpath = str(tmp_path / "chunk_fc")
+    try:
+        write_chunk_index(spark, docs, ctable, cpath)
+        ids = []
+        for f in glob.glob(os.path.join(cpath, "*.parquet")):
+            m = re.search(r"_(\d{5})\.", os.path.basename(f))
+            assert m, f"no bucket suffix in {f}"
+            ids.append(m.group(1))
+        assert ids and len(ids) == len(set(ids)), ids
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ctable}")
+
+
 def test_band_candidates_rekeys_on_degraded_occupancy(
     spark, sf_dir, tmp_path
 ):
