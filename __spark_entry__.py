@@ -19,94 +19,97 @@ from hcdc_spark.registry import Registry
 
 
 # The driver's correctness harness checks exactly the FIRST 50 registry
-# entries (flat count, observed rounds 1-10). Round 10 closed its
-# window 49/49 green on oracle-bearing rows (+ q100's structural
-# no_oracle), leaving the latest-green histogram at 49 x r10 / 37 x r9
-# / 42 x r8. The round-11 budget closes the r8 tail COMPLETELY:
-# (a) ALL 42 queries whose latest driver green dates to round 8 (the
-# round-10 verdict's enumerated queue: q04/q06/q09/q13-q15/q17/q21,
-# the c05/c09-c16/c18 streaming block, q39_avro, q41, q51, q54-q58,
-# q61/q62, q74-q88) -- after this window goes green, NO oracle-bearing
-# query's latest green is older than r9, and the currency tripwire
-# (tests/test_registry_order.py) tightens from < 8 to < 9;
+# entries (flat count, observed rounds 1-11). Round 11 closed its
+# window 50/50 green, leaving the latest-green ledger at 50 x r11 /
+# 44 x r10 / 35 x r9 — nothing older. The round-12 window is the
+# steady-state rotation the round-11 verdict mandated:
+# (a) ALL 35 queries whose latest driver green dates to round 9 (the
+# verdict's enumerated queue: c02/c03/c06/c07/c17/c19,
+# q02/q03/q07/q08/q18-q20/q23/q27/q30-q34/q37, q39_csv/q39_json/
+# q39_orc/q40, q46/q50/q59/q60, q65-q68, q86, q99) — after this
+# window goes green, NO oracle-bearing query's latest green is older
+# than r10 and the currency tripwire (tests/test_registry_order.py)
+# tightens from < 9 to < 10: a true two-round steady state;
 # (b) the rows whose CODE changed this round and need fresh driver
-# evidence regardless of pytest greenness: q103/c21/c26/c27 (the band
-# indexes moved to the partitionBy(band)+bucketBy(bucket) layout and
-# every probe is one band-dir-pruned, bucket-IN-pruned scan joined on
-# the bucket key; c27 additionally exercises the window-based keep-latest
-# compaction) and c04/c08 (the streaming reconciler now evicts
-# Deleted tombstones via ProcessingTimeTimeout TTL -- T27's streaming
-# half); c22's changed probe path is covered in-window by c26, which
-# composes the same doc gate (c22 itself stays r10-green, within the
-# tightened tripwire);
-# (c) the NEW row c28 (the rebuild policy wired into the ingest loop:
-# bits crossing fires mid-stream, rebuild_band_index re-bands, the
-# post-rebuild index still rejects copies of pre-rebuild admissions;
-# banding-invariant oracle via planted exact copies);
-# (d) the regression spine: c01 (relational-fold family; the
-# statemachine the TTL'd streaming fold shares). q73/q01/q05/q12 and
-# the IVF-PQ block (q101/q102/q104/c20 -- only a 2-line self-heal
-# guard this round, pytest-gated) rotate out r10-green.
+# evidence regardless of pytest greenness: q103/c21/c26/c27/c28 (the
+# band probes gained the persisted max_group_rows occupancy guard for
+# the md5 geometry, the x2 bucket-IN sparsity margin, layout-aware
+# append clustering, and migrate_band_index; compaction/rebuild now
+# recompute the statistic) and c04/c08 (the streaming fold's state
+# codec is pluggable — json/typed, measured in COVERAGE.md — so the
+# fold signature changed even though the default codec did not);
+# (c) the NEW row c29 (the TTL'd CONTINUOUS reconciler: default
+# trigger, deletes inside the log, store eviction asserted MID-RUN,
+# second segment arriving while the processor keeps running, final
+# latest_state vs the same independent DuckDB fold oracle as c04);
+# (d) the regression spine: c01 (relational-fold family), plus the
+# md5-twin ANN/near-dup block q73/q89/q91-q93/q97 — the hash-exact
+# twins carrying the five structural rows-only shapes' greenness
+# rotate forward with the window instead of aging toward the
+# tripwire. The IVF-PQ lifecycle block (q101/q102/q104/c20/c25)
+# rotates out r10/r11-green — its only round-12 change is a bench
+# measurement + docstring (no plan change).
 # The five xxhash64-based LSH queries (q29/q36/q38/q52/q53) stay
 # rows-only by design past 50 with their rows-only status on record
 # (r3) -- every SHAPE has a hash-exact twin: q29<->q73, q36<->q89,
 # q38<->q91, q52<->q92, q53<->q93/q99.
 _FIRST_50: tuple[str, ...] = (
-    # A: the 42 r8-dated rows (the whole remaining tail)
-    "q04_left_outer_join",
-    "q06_semi_join",
-    "q09_cross_join",
-    "q13_window_rank",
-    "q14_window_analytic",
-    "q15_sort_limit",
-    "q17_string_functions",
-    "q21_hash_functions",
-    "q39_avro_roundtrip",
-    "q41_binary_listing",
-    "q51_approx_distinct",
-    "q54_hash_split",
-    "q55_corpus_composition",
-    "q56_repetition",
-    "q57_quality_funnel",
-    "q58_dedup_clusters",
-    "q61_block_range_read",
-    "q62_pii_redaction",
-    "q74_bucketed_join",
-    "q75_scd2_history",
-    "q76_doc_chunking",
-    "q77_approx_percentile",
-    "q78_weighted_sample",
-    "q79_zorder_cluster",
-    "q80_histogram",
-    "q81_corr_stats",
-    "q82_fuzzy_search",
-    "q83_date_rollup_gapfill",
-    "q84_retention_cohorts",
-    "q85_event_funnel",
-    "q87_array_lambdas",
-    "q88_robust_stats",
-    "c05_stream_window_agg",
-    "c09_stream_static_join",
-    "c10_stream_stream_join",
-    "c11_protobuf_roundtrip",
-    "c12_fsimage_bootstrap",
-    "c13_stream_session_window",
-    "c14_stream_dedup",
-    "c15_tx_gaps",
-    "c16_editlog_decode",
-    "c18_editlog_layout64",
-    # B: changed this round (band-partitioned index layout + pruned
-    # probes; TTL eviction in the streaming reconciler)
+    # A: the 35 r9-dated rows (the whole remaining tail)
+    "c02_cdc_error_channel",
+    "c03_cdc_change_set",
+    "c06_snapshot_bootstrap",
+    "c07_materialize_pipeline",
+    "c17_watermark_late_drop",
+    "c19_stream_doc_dedup",
+    "q02_filter_project",
+    "q03_join_topn_revenue",
+    "q07_anti_join",
+    "q08_theta_join",
+    "q18_datetime_functions",
+    "q19_conditional",
+    "q20_json_extract",
+    "q23_scalar_subquery",
+    "q27_dedup_exact",
+    "q30_text_quality",
+    "q31_token_count",
+    "q32_lang_id",
+    "q33_fingerprint",
+    "q34_knn_brute_force",
+    "q37_centroid_by_label",
+    "q39_csv_roundtrip",
+    "q39_json_roundtrip",
+    "q39_orc_roundtrip",
+    "q40_partitioned_write_prune",
+    "q46_null_safe_eq",
+    "q50_pivot",
+    "q59_contamination",
+    "q60_stratified_sample",
+    "q65_map_json_functions",
+    "q66_hybrid_search",
+    "q67_bm25_search",
+    "q68_semantic_dedup",
+    "q86_unpivot",
+    "q99_kmeans_step",
+    # B: changed this round (band-index occupancy guard + sparsity
+    # margin + layout-aware appends + migration; pluggable state codec)
     "q103_incremental_neardup",
     "c21_stream_ingest_dedup",
     "c26_crawl_ingest_pipeline",
     "c27_band_compaction",
+    "c28_stream_rebuild_cycle",
     "c04_stream_reconcile",
     "c08_cdc_pipeline",
-    # C: NEW this round (rebuild policy in the streaming loop)
-    "c28_stream_rebuild_cycle",
-    # D: regression spine
+    # C: NEW this round (continuous-trigger TTL eviction mid-run)
+    "c29_continuous_ttl_reconcile",
+    # D: regression spine + the md5-twin block carrying the rows-only
+    # shapes' greenness
     "c01_cdc_file_state",
+    "q73_minhash_lsh_md5",
+    "q89_ann_lsh_md5",
+    "q91_simhash_md5",
+    "q92_embedding_neardup_md5",
+    "q93_ivf_ann_fixed",
+    "q97_pq_ann_adc",
 )
 
 

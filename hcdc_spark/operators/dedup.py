@@ -916,13 +916,24 @@ def append_doc_band_index(
     )
     # stats first, rows second: a crash inside the append over-counts
     # (conservative — rebuilds fire earlier, never later; round-10
-    # advice), matching append_band_index's crash direction
+    # advice), matching append_band_index's crash direction. The
+    # max_group_rows bump feeds the md5 SMJ guard: a boilerplate-heavy
+    # crawl admitting thousands of identical-signature docs is exactly
+    # the duplication-cluster regime that spills the bucket-only join
+    # with no formula signal (round-11 advice).
+    from hcdc_spark.operators.similarity import (
+        _bumped_group_stat,
+        _cluster_for_band_write,
+    )
+
     n_new = new_t.select("doc_id").distinct().count()
-    _set_band_index_props(spark, table, {"n_rows": meta["n_rows"] + n_new})
-    from hcdc_spark.operators.similarity import _cluster_for_band_write
+    props = {"n_rows": meta["n_rows"] + n_new}
+    props.update(_bumped_group_stat(exploded, meta))
+    _set_band_index_props(spark, table, props)
 
     _cluster_for_band_write(
-        exploded.select(*spark.table(table).columns), meta["n_buckets"]
+        exploded.select(*spark.table(table).columns), meta["n_buckets"],
+        layout=meta["layout"],
     ).write.insertInto(table, overwrite=False)
 
 

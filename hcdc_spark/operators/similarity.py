@@ -2195,16 +2195,34 @@ def write_band_index_rows(
         .format("parquet")
         .saveAsTable(table)
     )
+    written = spark.table(table)
+    stats = written.groupBy("band", "bucket").count().agg(
+        F.max("count").alias("max_group"),
+    ).collect()[0]
     n_rows = (
-        spark.table(table).select(id_col).distinct().count()
+        written.select(id_col).distinct().count()
     )
     props = {"n_rows": n_rows, "id_col": id_col, "n_buckets": n_buckets,
-             "layout": "band_partitioned"}
+             "layout": "band_partitioned",
+             # occupancy statistic for the SMJ group guard: the largest
+             # (band, bucket) group in the index. For the minhash-md5
+             # geometry this IS the bucket-only SMJ group size (md5
+             # values never coincide across bands), so the probe's
+             # re-key decision reads it instead of the 2^bits formula
+             # the md5 value space makes meaningless (round-11 advice:
+             # a hot duplication cluster — boilerplate/template corpora
+             # — recreates the measured 30+ min spill with no catalog
+             # signal). Appends bump it by their batch's largest group
+             # (a safe upper bound); build/compact/rebuild land here
+             # and recompute it exactly.
+             "max_group_rows": int(stats["max_group"] or 0)}
     props.update(meta or {})
     _set_band_index_props(spark, table, props)
 
 
-def _cluster_for_band_write(rows: DataFrame, n_buckets: int) -> DataFrame:
+def _cluster_for_band_write(
+    rows: DataFrame, n_buckets: int, layout: str = "band_partitioned"
+) -> DataFrame:
     """Repartition band-index rows by (band, bucket-file id) before a
     bucketed write, so each (band dir, bucket file) is produced by
     EXACTLY ONE task. Without this, Spark's bucketed writer emits one
@@ -2219,9 +2237,22 @@ def _cluster_for_band_write(rows: DataFrame, n_buckets: int) -> DataFrame:
     with where the writer must route each row; the write's sortBy
     then sorts within exactly one file per bucket. One corpus-linear
     exchange, paid at build/append time — the probe-side file count
-    drops to bands x buckets."""
+    drops to bands x buckets.
+
+    The clustering key must MATCH the writer's routing: on the
+    band-partitioned layout the bucket spec is bucketBy(bucket), so a
+    file is (band dir, hash(bucket) % n); a legacy ``flat`` table was
+    written bucketBy(band, bucket) and routes by hash(band, bucket) —
+    clustering its appends by the bucket-only id would scatter each
+    output file across tasks and silently reintroduce the small-files
+    multiplier (round-11 advice), so flat appends cluster on the pair
+    (migrate_band_index retires the layout entirely)."""
+    if layout == "band_partitioned":
+        return rows.repartition(
+            F.col("band"), F.expr(f"pmod(hash(bucket), {int(n_buckets)})")
+        )
     return rows.repartition(
-        F.col("band"), F.expr(f"pmod(hash(bucket), {int(n_buckets)})")
+        F.expr(f"pmod(hash(band, bucket), {int(n_buckets)})")
     )
 
 
@@ -2246,8 +2277,13 @@ def read_band_index_meta(spark: SparkSession, table: str) -> dict:
         "id_col": props.get("hcdc.id_col", "vec_id"),
         "n_buckets": int(props.get("hcdc.n_buckets", "32")),
         # pre-round-11 tables were flat bucketBy(band, bucket); probes
-        # read them at full-scan cost until a rebuild/compact migrates
+        # read them at full-scan cost until migrate_band_index (or any
+        # rebuild/compact) rewrites them
         "layout": props.get("hcdc.layout", "flat"),
+        # largest (band, bucket) group — -1 on tables written before
+        # the statistic existed (the md5 SMJ guard then stays off,
+        # the legacy behavior, until a compact/rebuild recomputes it)
+        "max_group_rows": int(props.get("hcdc.max_group_rows", "-1")),
     }
     return out
 
@@ -2330,7 +2366,11 @@ def probe_band_scan(
     buckets = sorted({r["bucket"] for r in keys})
     out = full.where(F.col("band").isin(bands))
     n_buckets = int(meta.get("n_buckets", 32))
-    if len(buckets) < n_buckets:
+    # sparsity margin (mirrors _band_candidates): a near-saturating
+    # IN-list (e.g. 31 values over 32 files) selects almost every
+    # file and pays the parquet predicate for no pruning — engage
+    # only while at most half the bucket files can be selected
+    if len(buckets) * 2 <= n_buckets:
         out = out.where(F.col("bucket").isin(buckets))
     return out
 
@@ -2380,6 +2420,17 @@ def _band_candidates(
     bucket-aligned join."""
     id_col = meta.get("id_col", "vec_id")
     if meta.get("layout") != "band_partitioned":
+        # correct but UNPRUNED: every probe linearly scans the whole
+        # index. Loud so a pre-round-11 artifact cannot keep paying
+        # full-scan cost silently — one maintenance call fixes it.
+        import warnings
+
+        warnings.warn(
+            f"band index {table} uses the legacy flat layout — every "
+            "probe full-scans it; run migrate_band_index(spark, "
+            f"{table!r}) once to rewrite it band-partitioned",
+            stacklevel=3,
+        )
         idx = spark.table(table).select(
             "band", "bucket", F.col(id_col).alias(old_col)
         )
@@ -2411,11 +2462,13 @@ def _band_candidates(
         buckets = sorted({r["bucket"] for r in keys})
     idx = spark.table(table).where(F.col("band").isin(bands))
     n_buckets = int(meta.get("n_buckets", 32))
-    # engage file pruning only while there are fewer distinct values
-    # than bucket files — past that the IN selects (nearly) every file
-    # and prunes nothing (measured at sf16: 200-value lists over 32
-    # files read everything and paid the predicate)
-    if buckets is not None and len(buckets) < n_buckets:
+    # engage file pruning only while the IN-list can select at most
+    # half the bucket files — past that it selects (nearly) every file
+    # and prunes nothing while still paying the parquet predicate
+    # (measured at sf16: 200-value lists over 32 files read everything
+    # and paid the predicate; a bare len < n_buckets margin still let
+    # 31-value lists over 32 files through — round-11 advice)
+    if buckets is not None and len(buckets) * 2 <= n_buckets:
         idx = idx.where(F.col("bucket").isin(buckets))
     # SMJ group-size guard (see BAND_SMJ_GROUP_CAP): a degraded/stale
     # occupancy makes the bucket-only key's groups spill — re-key on
@@ -2424,8 +2477,19 @@ def _band_candidates(
     if meta["geometry"] == "minhash-md5":
         # md5-of-signature-band buckets: the value space is ~2^128
         # (never saturates), so group size tracks TRUE duplication
-        # groups, not corpus/2^bits — the guard never applies
-        exp_group = 0.0
+        # groups, not corpus/2^bits — the 2^bits formula is
+        # meaningless here. But a hot duplication cluster (template/
+        # boilerplate corpora: thousands of admitted docs sharing one
+        # band signature) recreates the same SMJ spill with no
+        # formula signal (round-11 advice), so the guard reads the
+        # PERSISTED occupancy statistic instead: max_group_rows is
+        # the index's largest (band, bucket) group, which for md5
+        # buckets IS the bucket-only SMJ group size (md5 values never
+        # coincide across bands). Maintained by every append (upper
+        # bound) and recomputed exactly by build/compact/rebuild;
+        # -1 = pre-statistic table (guard off, legacy behavior,
+        # until a compact refreshes it).
+        exp_group = float(max(meta.get("max_group_rows", -1), 0))
     else:
         exp_group = (
             meta["n_bands"] * meta["n_rows"]
@@ -3039,10 +3103,34 @@ def append_band_index(
     ).withColumn("gen", F.lit(int(batch_id)).cast("long"))
     # stats first, rows second: see the docstring's crash-direction note
     n_new = new_batch.select(meta["id_col"]).distinct().count()
-    _set_band_index_props(spark, table, {"n_rows": meta["n_rows"] + n_new})
+    props = {"n_rows": meta["n_rows"] + n_new}
+    props.update(_bumped_group_stat(exploded, meta))
+    _set_band_index_props(spark, table, props)
     _cluster_for_band_write(
-        exploded.select(*spark.table(table).columns), meta["n_buckets"]
+        exploded.select(*spark.table(table).columns), meta["n_buckets"],
+        layout=meta["layout"],
     ).write.insertInto(table, overwrite=False)
+
+
+def _bumped_group_stat(exploded: DataFrame, meta: dict) -> dict:
+    """Conservative per-append maintenance of the ``max_group_rows``
+    occupancy statistic (the md5 SMJ guard's input): the post-append
+    largest (band, bucket) group is at most the pre-append maximum
+    plus the batch's own largest group, so the statistic is bumped by
+    that bound — over-counting re-keys the probe EARLIER, never later
+    (the same crash/estimate direction as the n_rows bump), and
+    compact/rebuild recompute it exactly. Pre-statistic tables (-1)
+    stay unset until a compact refreshes them — the guard stays off,
+    the legacy behavior, rather than trusting a partial count."""
+    if meta.get("max_group_rows", -1) < 0:
+        return {}
+    batch_max = (
+        exploded.groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    return {"max_group_rows": meta["max_group_rows"] + int(batch_max or 0)}
 
 
 def _checked_band_geometry(
@@ -3259,3 +3347,29 @@ def compact_band_index(spark: SparkSession, table: str) -> int:
     _swap_band_table(spark, table, write_stage)
     out = spark.table(table)
     return out.count()
+
+
+def migrate_band_index(spark: SparkSession, table: str) -> dict:
+    """Migrate a legacy FLAT band index (the pre-round-11
+    ``bucketBy(band, bucket)`` layout, ``hcdc.layout`` absent →
+    'flat') to the band-PARTITIONED layout every probe prunes on.
+    Probes read flat tables correctly but at FULL-SCAN cost — and
+    nothing on the probe path rewrites them, so without an explicit
+    migration a pre-round-11 artifact pays that cost forever (the
+    probe now also warns loudly). The rewrite IS a keep-latest
+    compaction (compact_band_index: same stage-and-swap, same
+    write_band_index_rows landing zone — which stamps
+    layout='band_partitioned' and recomputes the exact occupancy
+    statistic), so superseded generations are dropped in the same
+    pass. Idempotent: an already-migrated table with fresh statistics
+    is a two-catalog-lookup no-op. Returns the (post-migration)
+    metadata dict — re-read it rather than reusing a stale copy."""
+    _finish_interrupted_band_swap(spark, table)
+    meta = read_band_index_meta(spark, table)
+    if (
+        meta["layout"] == "band_partitioned"
+        and meta["max_group_rows"] >= 0
+    ):
+        return meta
+    compact_band_index(spark, table)
+    return read_band_index_meta(spark, table)

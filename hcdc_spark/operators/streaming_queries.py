@@ -78,6 +78,136 @@ def c04_stream_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@REG.add(
+    "c29_continuous_ttl_reconcile",
+    cdc_oracle.c04_oracle(),
+    doc="The TTL'd CONTINUOUS reconciler as a driver row (round-11 "
+    "verdict 'next' #3) — the production operating shape c04's "
+    "availableNow drain cannot exercise: a default-trigger query "
+    "stays UP while (1) the first log segment folds, (2) the "
+    "Deleted tombstone's ProcessingTimeTimeout fires MID-RUN and "
+    "evicts the deleted inode from the state store — the reference "
+    "deletes file-state nodes while the processor keeps running "
+    "(namenode-agent CDCChangeDeltaProcessor.java:122-138) — and "
+    "(3) the SECOND segment arrives and folds against the "
+    "post-eviction store. Store-side eviction is asserted in-row "
+    "via the state data source (a missed eviction raises — the "
+    "driver row goes red), and the returned latest_state is "
+    "hash-exact against the SAME independent DuckDB window-SQL fold "
+    "oracle as c04: eviction bounds the STORE, never the state LOG, "
+    "so latest_state is TTL-invariant by design — that invariance "
+    "IS the oracle.",
+    tags=("cdc", "streaming", "ttl"),
+)
+def c29_continuous_ttl_reconcile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time
+
+    from hcdc_spark.cdc.generator import events_df, generate_events
+    from hcdc_spark.cdc.reconcile import reconcile_batch
+    from hcdc_spark.streaming.reconciler import latest_state, run_reconciler
+    from hcdc_spark.streaming.source import write_event_segment
+
+    events = generate_events(n_files=40, seed=7, with_dir_ops=False)
+    half = len(events) // 2
+
+    def fold_inodes(evs):
+        """(all, live) inode sets per the pytest-gated batch fold —
+        poll targets only; correctness rides on the DuckDB oracle."""
+        st = reconcile_batch(
+            events_df(spark, evs), expand_dirs=False
+        ).select("inode_id", "state")
+        rows = st.collect()
+        alln = {r["inode_id"] for r in rows}
+        return alln, {
+            r["inode_id"] for r in rows if r["state"] != "Deleted"
+        }
+
+    def store_inodes(ckpt: str) -> set[int]:
+        return {
+            r.inode_id
+            for r in spark.read.format("statestore")
+            .load(ckpt)
+            .select("key.inode_id")
+            .collect()
+        }
+
+    def poll(predicate, deadline_s: float, what: str) -> None:
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            try:
+                if predicate():
+                    return
+            except Exception:  # noqa: BLE001 — store/log mid-write
+                pass
+            time.sleep(0.25)
+        raise TimeoutError(
+            f"c29_continuous_ttl_reconcile: timed out waiting for {what}"
+        )
+
+    work = tempfile.mkdtemp(prefix="hcdc_c29_")
+    try:
+        with _small_shuffle(spark):
+            src = os.path.join(work, "segments")
+            out = os.path.join(work, "out")
+            ckpt = os.path.join(work, "ckpt")
+            all_1, live_1 = fold_inodes(events[:half])
+            all_2, live_2 = fold_inodes(events)
+            if live_1 == all_1 or live_2 == all_2:
+                raise AssertionError(
+                    "c29 premise broken: each segment must contain a "
+                    "delete so eviction is observable mid-run"
+                )
+            write_event_segment(spark, events[:half], src, "edits_0000001")
+            q = run_reconciler(
+                spark, src, out, ckpt, max_files_per_trigger=1,
+                available_now=False, deleted_ttl_ms=1500,
+            )
+            def logged_inodes() -> int:
+                import pathlib
+
+                p = pathlib.Path(out, "file_state_log")
+                if not p.exists():
+                    return 0
+                return (
+                    spark.read.parquet(str(p))
+                    .select("inode_id").distinct().count()
+                )
+
+            try:
+                # phase 1: every segment-1 inode folded (the store can
+                # transiently equal the live set before the victim's
+                # events arrive — gate on log completeness first), then
+                # the tombstones evict MID-RUN: the store holds exactly
+                # the live inodes while the query stays up
+                poll(lambda: logged_inodes() >= len(all_1), 120,
+                     "segment-1 fold to reach every inode")
+                poll(lambda: store_inodes(ckpt) == live_1, 120,
+                     "segment-1 Deleted tombstones to evict")
+                # phase 2: the second segment lands while the processor
+                # keeps running; its fold sees the post-eviction store
+                # and its own delete evicts in turn
+                write_event_segment(
+                    spark, events[half:], src, "edits_0000002"
+                )
+                poll(lambda: store_inodes(ckpt) == live_2, 120,
+                     "segment-2 fold + eviction to converge")
+            finally:
+                q.stop()
+            res = (
+                latest_state(spark, out)
+                .select(
+                    "inode_id", "path", "state", "data_size",
+                    "num_blocks", "last_tx_id",
+                )
+                .orderBy("inode_id")
+            )
+            return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _event_stream(spark: SparkSession, sf_dir: str):
     """The events table as a stream, ts canonicalized to epoch nanos."""
     from hcdc_spark.catalog import event_stream

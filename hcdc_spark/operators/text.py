@@ -1093,13 +1093,22 @@ def write_chunk_index(
     )
 
 
-def _table_num_buckets(spark: SparkSession, table: str, default: int = 32) -> int:
+def _table_num_buckets(spark: SparkSession, table: str) -> int:
     """Bucket count of a catalog table (DESCRIBE FORMATTED's
-    'Num Buckets' row) — one catalog lookup, no scan."""
+    'Num Buckets' row) — one catalog lookup, no scan. Callers only
+    reach this for tables THIS module wrote bucketed, so a missing
+    row (an unbucketed table, or a future DESCRIBE format change) is
+    a bug, not a default: silently assuming 32 would cluster appends
+    by a wrong bucket id and quietly reintroduce the small-files
+    multiplier the clustering exists to kill (round-11 advice)."""
     for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
         if (r["col_name"] or "").strip() == "Num Buckets":
             return int(r["data_type"].strip())
-    return default
+    raise ValueError(
+        f"_table_num_buckets: {table} reports no 'Num Buckets' — the "
+        "table is not bucketed (or DESCRIBE FORMATTED changed shape); "
+        "appends must not guess a bucket count"
+    )
 
 
 def append_chunk_index(

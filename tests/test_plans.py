@@ -680,9 +680,11 @@ def test_q103_band_index_probe_prunes_bands_and_buckets(
         meta = S.read_band_index_meta(spark, table)
         assert meta["layout"] == "band_partitioned"
 
-        # MICRO-BATCH regime (|global keys| < n_buckets/4): one scan
-        # with the bucket IN-list pushed — dir pruning + file pruning
-        small = new_batch.limit(3)
+        # MICRO-BATCH regime (|global keys| x 2 <= n_buckets, the
+        # sparsity margin): one scan with the bucket IN-list pushed —
+        # dir pruning + file pruning. 2 vecs x 6 bands = at most 12
+        # distinct bucket values over 32 files.
+        small = new_batch.limit(2)
         nbx_s = S._band_explode(small).select(
             F.col("vec_id").alias("vec_new"), "band", "bucket"
         )
@@ -881,13 +883,14 @@ def test_band_index_probe_never_opens_unprobed_files(
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus = emb.where(F.col("vec_id") % 10 != 7)
     # small batch → small probed key set → unprobed buckets exist
-    new_batch = emb.where(F.col("vec_id") % 10 == 7).limit(3)
+    new_batch = emb.where(F.col("vec_id") % 10 == 7).limit(2)
     table = "hcdc_band_poison_gate"
     path = str(tmp_path / "band_poison")
     try:
-        # 32 bucket files: a 3-vec probe bands into ~18 distinct
-        # bucket values, under the < n_buckets engagement rule, so the
-        # global IN-list engages (the production micro-batch regime)
+        # 32 bucket files: a 2-vec probe bands into at most 12
+        # distinct bucket values, inside the x2 sparsity margin, so
+        # the global IN-list engages (the production micro-batch
+        # regime)
         S.write_band_index(spark, corpus, table, path, n_buckets=32)
         meta = S.read_band_index_meta(spark, table)
         nbx = S._band_explode(new_batch)
@@ -1004,4 +1007,227 @@ def test_chunk_index_rewrite_join_is_bucket_aligned(spark, sf_dir,
         assert rewritten.count() == batch.count()
     finally:
         spark.conf.set(bcast, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _write_flat_band_index(spark, corpus, table: str, path: str,
+                           n_buckets: int = 32) -> None:
+    """Reproduce the PRE-round-11 flat layout byte-for-byte: one
+    bucketBy(band, bucket) table, gen column, hcdc.* props WITHOUT
+    ``layout`` or ``max_group_rows`` (exactly what a round-10 build
+    left on disk) — the artifact migrate_band_index exists for."""
+    from hcdc_spark.operators import similarity as S
+
+    exploded = S._band_explode(corpus).withColumn(
+        "gen", F.lit(-1).cast("long")
+    )
+    (
+        exploded.repartition(
+            F.expr(f"pmod(hash(band, bucket), {n_buckets})")
+        )
+        .write.bucketBy(n_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    n_rows = spark.table(table).select("vec_id").distinct().count()
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'hcdc.n_rows'='{n_rows}', 'hcdc.n_bands'='6', "
+        "'hcdc.bits'='4', 'hcdc.geometry'='sign', "
+        "'hcdc.target_bucket_rows'='16', 'hcdc.id_col'='vec_id', "
+        f"'hcdc.n_buckets'='{n_buckets}')"
+    )
+
+
+def test_migrate_band_index_retires_flat_full_scans(
+    spark, sf_dir, tmp_path
+):
+    """A pre-round-11 FLAT band index probes at full-scan cost forever
+    — nothing on the probe path rewrites it (round-11 verdict 'next'
+    #2). One migrate_band_index call must leave the SAME name probing
+    with band-dir PartitionFilters + bucket-file pruning
+    (SelectedBucketsCount < total), candidates unchanged, and the
+    poison gate must hold on the migrated table: an unprobed band dir
+    is never opened."""
+    import glob
+    import os
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7).limit(2)
+    table = "hcdc_band_migrate_gate"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    abs_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev, prev_abs = spark.conf.get(bcast), spark.conf.get(abs_key)
+    try:
+        spark.conf.set(bcast, "-1")
+        _write_flat_band_index(
+            spark, corpus, table, str(tmp_path / "flat_bi")
+        )
+        meta = S.read_band_index_meta(spark, table)
+        assert meta["layout"] == "flat"
+        assert meta["max_group_rows"] == -1
+        nbx = S._band_explode(batch).select(
+            F.col("vec_id").alias("vec_new"), "band", "bucket"
+        )
+        # flat probe: correct, warns loudly, and scans unpruned
+        with _pytest.warns(UserWarning, match="legacy flat layout"):
+            cand_flat = S._band_candidates(
+                spark, table, nbx, meta, "vec_new", "vec_old"
+            )
+        flat_pairs = sorted(tuple(r) for r in cand_flat.collect())
+        assert not I.partition_filters(cand_flat)
+
+        # ONE maintenance call
+        meta2 = S.migrate_band_index(spark, table)
+        assert meta2["layout"] == "band_partitioned"
+        assert meta2["max_group_rows"] >= 1
+        assert meta2["n_rows"] == meta["n_rows"]
+        # idempotent: second call is a catalog no-op
+        assert S.migrate_band_index(spark, table) == meta2
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # no flat warning now
+            cand = S._band_candidates(
+                spark, table, nbx, meta2, "vec_new", "vec_old"
+            )
+        assert sorted(tuple(r) for r in cand.collect()) == flat_pairs
+        pf = I.partition_filters(cand)
+        assert any("band" in f for f in pf), I.simple_plan(cand)
+        assert any("In(bucket" in f for f in I.pushed_filters(cand))
+        spark.conf.set(abs_key, "false")
+        sel = I.selected_buckets(cand)
+        assert sel and all(k < n for k, n in sel), sel
+
+        # poison gate on the migrated table: a band dir no probed
+        # band touches is never opened
+        path2 = S._table_location(spark, table)
+        probed_bands = {r["band"] for r in
+                        nbx.select("band").distinct().collect()}
+        victims = [b for b in range(6) if b not in probed_bands]
+        if not victims:  # batch touched all 6 bands: restrict to one
+            keep = sorted(probed_bands)[0]
+            nbx = nbx.where(F.col("band") == keep)
+            victims = [b for b in range(6) if b != keep]
+        for b in victims:
+            for f in glob.glob(os.path.join(path2, f"band={b}",
+                                            "*.parquet")):
+                with open(f, "wb") as fh:
+                    fh.write(b"GARBAGE NOT PARQUET")
+        cand_p = S._band_candidates(
+            spark, table, nbx, meta2, "vec_new", "vec_old"
+        )
+        assert cand_p.count() >= 0  # executes clean over the poison
+        with _pytest.raises(Exception, match="[Pp]arquet|magic|corrupt"):
+            spark.table(table).count()
+    finally:
+        spark.conf.set(bcast, prev)
+        if prev_abs is None:
+            spark.conf.unset(abs_key)
+        else:
+            spark.conf.set(abs_key, prev_abs)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_md5_doc_index_rekeys_on_hot_duplication_cluster(
+    spark, sf_dir, tmp_path
+):
+    """The md5 SMJ guard (round-11 advice, medium): minhash-md5 bucket
+    groups track TRUE duplication, so the 2^bits formula is
+    meaningless — but a hot duplication cluster (boilerplate corpora)
+    recreates the measured per-probe-row SMJ spill. The guard must
+    read the PERSISTED max_group_rows statistic: small real corpus →
+    bucket-only exchange-free join; statistic past BAND_SMJ_GROUP_CAP
+    (here: forced via the append's conservative bump) → re-key on the
+    (band, bucket) pair. Candidates identical either way."""
+    from hcdc_spark.operators import dedup as D
+    from hcdc_spark.operators import similarity as S
+    from hcdc_spark.functions.text import distinct_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id", distinct_words("text").alias("ws")
+    ).where(F.size("ws") > 0)
+    corpus_t = t.where(F.col("doc_id") % 10 != 3)
+    batch_t = t.where(F.col("doc_id") % 10 == 3).limit(5)
+    table = "hcdc_md5_guard_gate"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bcast)
+    try:
+        spark.conf.set(bcast, "-1")
+        D.write_doc_band_index(
+            spark, corpus_t, table, str(tmp_path / "doc_bi")
+        )
+        meta = S.read_band_index_meta(spark, table)
+        # healthy: the build recomputed the exact statistic, small
+        assert 1 <= meta["max_group_rows"] <= S.BAND_SMJ_GROUP_CAP
+        nbx = D._doc_band_explode(batch_t).select(
+            F.col("doc_id").alias("doc_new"), "band", "bucket"
+        )
+        cand = S._band_candidates(
+            spark, table, nbx, meta, "doc_new", "doc_old"
+        )
+        assert "SortMergeJoin [bucket" in I.simple_plan(cand)
+        before = sorted(tuple(r) for r in cand.collect())
+
+        # hot-cluster regime: stamp the statistic past the cap (the
+        # state a template-heavy crawl's appends accumulate into)
+        S._set_band_index_props(
+            spark, table,
+            {"max_group_rows": S.BAND_SMJ_GROUP_CAP + 1},
+        )
+        meta_hot = S.read_band_index_meta(spark, table)
+        cand_hot = S._band_candidates(
+            spark, table, nbx, meta_hot, "doc_new", "doc_old"
+        )
+        assert "SortMergeJoin [band" in I.simple_plan(cand_hot)
+        assert sorted(tuple(r) for r in cand_hot.collect()) == before
+    finally:
+        spark.conf.set(bcast, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_append_to_flat_table_clusters_on_writer_routing(
+    spark, sf_dir, tmp_path
+):
+    """Flat-layout appends must cluster by the flat writer's OWN
+    routing key hash(band, bucket) — clustering by the partitioned
+    layout's bucket-only id scatters every output file across tasks
+    and silently reintroduces the small-files multiplier (round-11
+    advice). Gate: an append to a flat table adds at most one file
+    per bucket id."""
+    import glob
+    import os
+    import re
+    import warnings as _warnings
+
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    table = "hcdc_flat_append_gate"
+    path = str(tmp_path / "flat_append")
+    try:
+        _write_flat_band_index(spark, corpus, table, path)
+        pre = set(glob.glob(os.path.join(path, "*.parquet")))
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            S.append_band_index(spark, batch, table, batch_id=1)
+        added = set(glob.glob(os.path.join(path, "*.parquet"))) - pre
+        ids = []
+        for f in added:
+            m = re.search(r"_(\d{5})\.", os.path.basename(f))
+            assert m, f"no bucket suffix in {f}"
+            ids.append(m.group(1))
+        assert ids and len(ids) == len(set(ids)), sorted(ids)
+    finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")

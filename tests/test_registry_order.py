@@ -1,13 +1,14 @@
 """Gate the driver-budget registry ordering.
 
 The external correctness harness checks exactly the first 50 registry
-entries per round (flat count — observed in rounds 1-10). These tests
-pin the round-11 contract: every query whose implementation or oracle
+entries per round (flat count — observed in rounds 1-11). These tests
+pin the round-12 contract: every query whose implementation or oracle
 is new or changed sits inside that prefix (a green row that predates
-the code is not evidence), plus the currency-rotation block (ALL 42
-r8-dated greens — the entire tail) and the spine. If the round-11
-window goes green, every oracle-bearing query's latest driver green is
-r9 or newer — a two-round steady state.
+the code is not evidence), plus the currency-rotation block (ALL 35
+r9-dated greens — the entire remaining tail) and the spine. If the
+round-12 window goes green, every oracle-bearing query's latest driver
+green is r10 or newer — the two-round steady state the round-11
+verdict mandated.
 """
 
 from __future__ import annotations
@@ -17,59 +18,61 @@ import pathlib
 
 import __spark_entry__ as E
 
-#: Round-11 must-verify set: queries whose CODE changed this round —
-#: the band indexes moved to the partitionBy(band)+bucketBy(bucket)
-#: layout with a pruned single-scan probe (q103/c21/c26; c27 also
-#: exercises the window-based keep-latest compaction), and the
-#: streaming reconciler gained Deleted-tombstone TTL eviction
-#: (c04/c08) — plus the NEW row c28 (the rebuild policy wired into
-#: the ingest loop). c22's changed probe path is covered in-window by
-#: c26 (same composed doc gate); the IVF-PQ block's only change is a
-#: 2-line self-heal guard (pytest-gated), so q101/q102/q104/c20
-#: rotate out r10-green.
+#: Round-12 must-verify set: queries whose CODE changed this round —
+#: the band probes gained the persisted max_group_rows occupancy
+#: guard (md5 geometry), the x2 bucket-IN sparsity margin,
+#: layout-aware append clustering and migrate_band_index, with
+#: compact/rebuild recomputing the statistic (q103/c21/c26/c27/c28);
+#: the streaming fold's state codec became pluggable json/typed
+#: (c04/c08 — default unchanged but the fold signature moved); and
+#: the NEW row c29 (continuous-trigger TTL eviction mid-run). c22's
+#: changed probe path is covered in-window by c26 (same composed doc
+#: gate; c22 itself is r10-green, inside the tightened tripwire).
 CHANGED_THIS_ROUND = {
     "q103_incremental_neardup",
     "c21_stream_ingest_dedup",
     "c26_crawl_ingest_pipeline",
     "c27_band_compaction",
+    "c28_stream_rebuild_cycle",
     "c04_stream_reconcile",
     "c08_cdc_pipeline",
-    "c28_stream_rebuild_cycle",
+    "c29_continuous_ttl_reconcile",
 }
 
-#: The 42 queries whose latest driver green still dates to round 8 —
-#: the ENTIRE remaining tail (round-10 verdict missing #4). After this
-#: window goes green the currency tripwire tightens to r9.
-R7_DATED = {
-    "q04_left_outer_join", "q06_semi_join", "q09_cross_join",
-    "q13_window_rank", "q14_window_analytic", "q15_sort_limit",
-    "q17_string_functions", "q21_hash_functions", "q39_avro_roundtrip",
-    "q41_binary_listing", "q51_approx_distinct", "q54_hash_split",
-    "q55_corpus_composition", "q56_repetition", "q57_quality_funnel",
-    "q58_dedup_clusters", "q61_block_range_read", "q62_pii_redaction",
-    "q74_bucketed_join", "q75_scd2_history", "q76_doc_chunking",
-    "q77_approx_percentile", "q78_weighted_sample", "q79_zorder_cluster",
-    "q80_histogram", "q81_corr_stats", "q82_fuzzy_search",
-    "q83_date_rollup_gapfill", "q84_retention_cohorts",
-    "q85_event_funnel", "q87_array_lambdas", "q88_robust_stats",
-    "c05_stream_window_agg", "c09_stream_static_join",
-    "c10_stream_stream_join", "c11_protobuf_roundtrip",
-    "c12_fsimage_bootstrap", "c13_stream_session_window",
-    "c14_stream_dedup", "c15_tx_gaps", "c16_editlog_decode",
-    "c18_editlog_layout64",
+#: The 35 queries whose latest driver green still dates to round 9 —
+#: the ENTIRE remaining tail (round-11 verdict 'next' #1). After this
+#: window goes green the currency tripwire tightens to r10.
+R9_DATED = {
+    "c02_cdc_error_channel", "c03_cdc_change_set",
+    "c06_snapshot_bootstrap", "c07_materialize_pipeline",
+    "c17_watermark_late_drop", "c19_stream_doc_dedup",
+    "q02_filter_project", "q03_join_topn_revenue", "q07_anti_join",
+    "q08_theta_join", "q18_datetime_functions", "q19_conditional",
+    "q20_json_extract", "q23_scalar_subquery", "q27_dedup_exact",
+    "q30_text_quality", "q31_token_count", "q32_lang_id",
+    "q33_fingerprint", "q34_knn_brute_force", "q37_centroid_by_label",
+    "q39_csv_roundtrip", "q39_json_roundtrip", "q39_orc_roundtrip",
+    "q40_partitioned_write_prune", "q46_null_safe_eq", "q50_pivot",
+    "q59_contamination", "q60_stratified_sample",
+    "q65_map_json_functions", "q66_hybrid_search", "q67_bm25_search",
+    "q68_semantic_dedup", "q86_unpivot", "q99_kmeans_step",
 }
-
-#: (no separate queue prefetch this round: the full r8 tail IS the
-#: rotation, and it fills the window to exactly 50 with the changed
-#: set, c28, and the c01 spine.)
-R8_HEAD: set[str] = set()
 
 #: Long-green canary that must stay in the prefix as a regression
-#: tripwire: c01 carries the relational-fold oracle family AND sits
-#: next to this round's TTL change (the streaming fold shares its
-#: statemachine). q73/q01/q05/q12 rotate out r10-green — the md5-twin
-#: family's freshest evidence is one round old, within the tripwire.
-SPINE = {"c01_cdc_file_state"}
+#: tripwire (c01 carries the relational-fold oracle family the
+#: streaming codecs share), plus the md5-twin ANN/near-dup block —
+#: the hash-exact twins whose greenness carries the five structural
+#: rows-only shapes (q29/q36/q38/q52/q53 + q100) rotate FORWARD with
+#: the window instead of aging toward the tripwire.
+SPINE = {
+    "c01_cdc_file_state",
+    "q73_minhash_lsh_md5",
+    "q89_ann_lsh_md5",
+    "q91_simhash_md5",
+    "q92_embedding_neardup_md5",
+    "q93_ivf_ann_fixed",
+    "q97_pq_ann_adc",
+}
 
 #: Rows-only by design (xxhash64 has no DuckDB equivalent). Their
 #: rows-only driver status is on record (r3) — keeping them in the
@@ -107,9 +110,7 @@ def _union_green() -> set[str]:
 def test_changed_and_spine_inside_first_50():
     names = list(E.queries().keys())
     first = set(names[:50])
-    missing = (
-        CHANGED_THIS_ROUND | R7_DATED | R8_HEAD | SPINE
-    ) - first
+    missing = (CHANGED_THIS_ROUND | R9_DATED | SPINE) - first
     assert not missing, f"starved of driver signal: {sorted(missing)}"
 
 
@@ -140,12 +141,12 @@ def test_new_queries_land_inside_first_50():
 
 
 def test_no_green_older_than_two_rounds_after_this_window():
-    """The round-11 currency bar (tightened from round 10's r8 per the
+    """The round-12 currency bar (tightened from round 11's r9 per the
     verdict): assuming the window goes green, every oracle-bearing
-    query's latest green must be r9 or newer — i.e. the set of queries
-    whose latest green predates r9 must be a subset of the verified
-    prefix. Round 11 schedules the ENTIRE 42-row r8 tail, so the
-    steady state becomes a two-round window."""
+    query's latest green must be r10 or newer — i.e. the set of
+    queries whose latest green predates r10 must be a subset of the
+    verified prefix. Round 12 schedules the ENTIRE 35-row r9 tail, so
+    the two-round steady state holds."""
     latest: dict[str, int] = {}
     root = pathlib.Path(__file__).resolve().parent.parent
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -153,7 +154,7 @@ def test_no_green_older_than_two_rounds_after_this_window():
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 latest[name] = max(latest.get(name, 0), rnd)
-    stale = {n for n, r in latest.items() if r < 9}
+    stale = {n for n, r in latest.items() if r < 10}
     names = list(E.queries().keys())
     first = set(names[:50])
     left_out = stale - first
@@ -175,10 +176,10 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 135
+    assert len(qs) >= 136
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 11: c28 (rebuild policy inside the ingest loop, banding-
-    # invariant planted-copy oracle) joins the oracle-bearing set —
-    # 129/135 (q100 + the r3 five stay rows-only by structure)
-    assert len(oracles) >= 129
+    # round 12: c29 (continuous TTL eviction, c04's independent DuckDB
+    # fold oracle) joins the oracle-bearing set — 130/136 (q100 + the
+    # r3 five stay rows-only by structure)
+    assert len(oracles) >= 130
