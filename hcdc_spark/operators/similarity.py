@@ -1936,7 +1936,26 @@ def ivfpq_index_search(
     unprobed directories). Arithmetic is operand-identical to q101
     (parquet round-trips doubles exactly; the fixed-order
     d0+..+d{M-1} ADC sum is unchanged), so the ranking hash-matches
-    q101's oracle."""
+    q101's oracle.
+
+    CELL-COUNT SIZING (measured deployment rule, round-12
+    scripts/bench_ivfpq_index.py): per-query wall is
+    plan(n_cells partition dirs) + scan(n_probe x n/n_cells code
+    rows), and at toy scales PLANNING dominates — at 320k vectors
+    the sqrt-sized 1024-cell index probes 66x fewer rows (1,303 vs
+    85,813) yet loses wall 2.4x (3.26 s vs 1.35 s): a thousand
+    ~300-row directories cost more to plan than 86k one-byte-code
+    rows cost to scan, so the local crossover sits ABOVE 320k. Keep
+    the fixed 16-cell geometry while the fixed probe's scan
+    (n_probe/16 of the corpus) still fits a few tasks (≲ ~10M rows,
+    i.e. corpora ≲ ~40M vectors); size with ivfpq_scaled_cells
+    beyond that — under sqrt sizing rows-per-cell grows as sqrt(n),
+    so cells become file-/row-group-sized (1e9 vectors → 32k cells
+    x ~31k rows) and the probed-row reduction IS the wall win,
+    with dir planning amortized by a real catalog's partition
+    pruning. ivfpq_index_needs_rebuild applies this rule
+    automatically only via ivfpq_scaled_cells' floor — pass
+    n_cells=16 explicitly below the crossover."""
     _recover_ivfpq_swap(path)  # self-heal a crashed rebuild swap
     q = [float(x) for x in query_vec]
     qarr = F.array(*[F.lit(x).cast("double") for x in q])
