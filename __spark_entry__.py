@@ -38,17 +38,21 @@ from hcdc_spark.registry import Registry
 # recompute the statistic) and c04/c08 (the streaming fold's state
 # codec is pluggable — json/typed, measured in COVERAGE.md — so the
 # fold signature changed even though the default codec did not);
-# (c) the NEW row c29 (the TTL'd CONTINUOUS reconciler: default
+# (c) the NEW rows c29 (the TTL'd CONTINUOUS reconciler: default
 # trigger, deletes inside the log, store eviction asserted MID-RUN,
 # second segment arriving while the processor keeps running, final
-# latest_state vs the same independent DuckDB fold oracle as c04);
+# latest_state vs the same independent DuckDB fold oracle as c04) and
+# c30 (the crawl loop with PER-BATCH admission: batch N+1's near-dup
+# and chunk gates see batch N's admissions, planted cross-batch
+# duplicates asserted in-row, ordered-batch oracle unrolled in SQL);
 # (d) the regression spine: c01 (relational-fold family), plus the
-# md5-twin ANN/near-dup block q73/q89/q91-q93/q97 — the hash-exact
+# md5-twin ANN/near-dup block q73/q89/q91-q93 — the hash-exact
 # twins carrying the five structural rows-only shapes' greenness
 # rotate forward with the window instead of aging toward the
-# tripwire. The IVF-PQ lifecycle block (q101/q102/q104/c20/c25)
-# rotates out r10/r11-green — its only round-12 change is a bench
-# measurement + docstring (no plan change).
+# tripwire (q97, r10-green and unchanged, yields its slot to c30).
+# The IVF-PQ lifecycle block (q101/q102/q104/c20/c25) rotates out
+# r10/r11-green — its only round-12 change is a bench measurement +
+# docstring (no plan change).
 # The five xxhash64-based LSH queries (q29/q36/q38/q52/q53) stay
 # rows-only by design past 50 with their rows-only status on record
 # (r3) -- every SHAPE has a hash-exact twin: q29<->q73, q36<->q89,
@@ -99,8 +103,10 @@ _FIRST_50: tuple[str, ...] = (
     "c28_stream_rebuild_cycle",
     "c04_stream_reconcile",
     "c08_cdc_pipeline",
-    # C: NEW this round (continuous-trigger TTL eviction mid-run)
+    # C: NEW this round (continuous-trigger TTL eviction mid-run;
+    # per-batch-admission crawl loop)
     "c29_continuous_ttl_reconcile",
+    "c30_crawl_batch_admission",
     # D: regression spine + the md5-twin block carrying the rows-only
     # shapes' greenness
     "c01_cdc_file_state",
@@ -109,7 +115,6 @@ _FIRST_50: tuple[str, ...] = (
     "q91_simhash_md5",
     "q92_embedding_neardup_md5",
     "q93_ivf_ann_fixed",
-    "q97_pq_ann_adc",
 )
 
 

@@ -1367,6 +1367,436 @@ def c26_crawl_ingest_pipeline(
         shutil.rmtree(work, ignore_errors=True)
 
 
+#: c30 plant id offsets: exact copies of batch-0 docs land in batch 2
+#: at parent+_C30_COPY; chunk-share plants (parent's first raw-split
+#: 10-token chunk + unique filler) at parent+_C30_SHARE. Both keep
+#: doc_id % 10 == 3 (offsets are multiples of 10), so the corpus
+#: filter excludes them without a magnitude test.
+_C30_COPY = 1_000_000
+_C30_SHARE = 2_000_000
+
+
+def _c30_plant_sqls() -> tuple[str, str]:
+    """(exact-copy, chunk-share) plant row SQL over ``documents`` for
+    the DuckDB oracle; ``_c30_plants`` is the Spark twin — the text
+    constructions must stay byte-identical (raw single-space split,
+    first 10 tokens INCLUDING empties, ' '-join keeping empties, the
+    PARENT id in the filler tokens)."""
+    from hcdc_spark.operators.dedup import _DW
+
+    fill = " || ' the qqa' || CAST(documents.doc_id AS VARCHAR)" + "".join(
+        f" || ' qq{c}' || CAST(documents.doc_id AS VARCHAR)"
+        for c in "bcd"
+    )
+    exact = f"""
+      SELECT documents.doc_id + {_C30_COPY} AS doc_id, lang, text
+      FROM documents WHERE doc_id % 30 = 3 AND len({_DW}) > 0
+    """
+    share = f"""
+      SELECT documents.doc_id + {_C30_SHARE} AS doc_id, lang,
+             array_to_string(string_split(text, ' ')[1:10], ' '){fill}
+               AS text
+      FROM documents WHERE doc_id % 30 = 3 AND len({_DW}) > 0
+    """
+    return exact, share
+
+
+def _c30_plants(docs: DataFrame) -> DataFrame:
+    """Spark twin of _c30_plant_sqls: the planted batch-2 rows."""
+    from hcdc_spark.functions.text import distinct_words
+
+    parents = docs.where(
+        (F.col("doc_id") % 30 == 3)
+        & (F.size(distinct_words("text")) > 0)
+    )
+    did = F.col("doc_id").cast("string")
+    exact = parents.select(
+        (F.col("doc_id") + F.lit(_C30_COPY)).alias("doc_id"),
+        "lang", "text",
+    )
+    share = parents.select(
+        (F.col("doc_id") + F.lit(_C30_SHARE)).alias("doc_id"),
+        F.col("lang"),
+        F.concat(
+            F.array_join(F.slice(F.split("text", " "), 1, 10), " "),
+            F.lit(" the qqa"), did, F.lit(" qqb"), did,
+            F.lit(" qqc"), did, F.lit(" qqd"), did,
+        ).alias("text"),
+    )
+    return exact.unionByName(share)
+
+
+def _c30_oracle() -> str:
+    """The ordered-batch crawl-admission fold, unrolled relationally:
+    batch i's near-dup gate sees corpus ∪ admitted(<i), batch i's
+    chunk rewrite sees corpus chunks ∪ kept chunks(<i) — the SQL
+    mirror of per-batch admission (c26's CTE chain iterated, with the
+    reference sets growing between iterations)."""
+    from hcdc_spark.functions.text import STOPWORDS, duck_in_set
+    from hcdc_spark.operators.dedup import _DW, Q73_BANDS, Q73_HASHES
+    from hcdc_spark.operators.text import _W, DEDUP_CHUNK_WORDS
+
+    rows = Q73_HASHES // Q73_BANDS
+    k = DEDUP_CHUNK_WORDS
+    exact, share = _c30_plant_sqls()
+    head = f"""
+    WITH raw AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL {exact}
+      UNION ALL {share}
+    ), t AS (
+      SELECT doc_id, lang, text, {_DW} AS ws FROM raw
+      WHERE len({_DW}) > 0
+    ), bat AS (
+      SELECT doc_id, CASE WHEN doc_id >= {_C30_COPY} THEN 2
+                          WHEN doc_id % 30 = 3 THEN 0
+                          WHEN doc_id % 30 = 13 THEN 1
+                          ELSE 2 END AS bno
+      FROM t WHERE doc_id % 10 = 3
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS w FROM t
+    ), mh AS (
+      SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || w)) AS h
+      FROM tok CROSS JOIN range({Q73_HASHES}) r(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, i // {rows} AS band,
+             md5(string_agg(h, '|' ORDER BY i)) AS bucket
+      FROM mh GROUP BY doc_id, i // {rows}
+    ), sized AS (
+      SELECT doc_id, len(ws) AS n, ws FROM t
+    ), ref_0 AS (
+      SELECT DISTINCT md5(array_to_string(
+               w[idx * {k} + 1 : idx * {k} + {k}], ' ')) AS h
+      FROM (
+        SELECT string_split(text, ' ') AS w,
+               UNNEST(generate_series(
+                 0, CAST((len(string_split(text, ' ')) - 1) // {k}
+                         AS INT))) AS idx
+        FROM documents
+        WHERE doc_id % 10 <> 3 AND len(string_split(text, ' ')) > 0
+      )
+    )"""
+    parts = [head]
+    old_ids = "SELECT doc_id FROM t WHERE doc_id % 10 <> 3"
+    for i in range(3):
+        parts.append(f""", cand_{i} AS (
+      SELECT DISTINCT a.doc_id AS doc_new, o.doc_id AS doc_old
+      FROM bands a JOIN bands o
+        ON a.band = o.band AND a.bucket = o.bucket
+      WHERE a.doc_id IN (SELECT doc_id FROM bat WHERE bno = {i})
+        AND o.doc_id IN ({old_ids})
+    ), rejected_{i} AS (
+      SELECT DISTINCT doc_new FROM cand_{i}
+      JOIN sized x ON doc_new = x.doc_id
+      JOIN sized y ON doc_old = y.doc_id
+      WHERE CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+            / (x.n + y.n - len(list_intersect(x.ws, y.ws))) >= 0.9
+    ), gated_{i} AS (
+      SELECT t.doc_id, t.lang, t.text
+      FROM t JOIN bat ON t.doc_id = bat.doc_id
+      WHERE bat.bno = {i}
+        AND t.doc_id NOT IN (SELECT doc_new FROM rejected_{i})
+        AND len({_W}) >= 5 AND {duck_in_set(STOPWORDS, _W)} >= 1
+    ), chunks_{i} AS (
+      SELECT doc_id, lang, idx,
+             array_to_string(
+               w[idx * {k} + 1 : idx * {k} + {k}], ' ') AS txt
+      FROM (
+        SELECT doc_id, lang, string_split(text, ' ') AS w,
+               UNNEST(generate_series(
+                 0, CAST((len(string_split(text, ' ')) - 1) // {k}
+                         AS INT))) AS idx
+        FROM gated_{i} WHERE len(string_split(text, ' ')) > 0
+      )
+    ), flagged_{i} AS (
+      SELECT doc_id, lang, idx, txt,
+             md5(txt) NOT IN (SELECT h FROM ref_{i})
+             AND idx = MIN(idx) OVER (PARTITION BY doc_id, md5(txt))
+               AS keep
+      FROM chunks_{i}
+    ), ref_{i + 1} AS (
+      SELECT h FROM ref_{i}
+      UNION
+      SELECT md5(txt) AS h FROM flagged_{i} WHERE keep
+    ), rewritten_{i} AS (
+      SELECT doc_id, lang,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             COALESCE(string_agg(txt, ' ' ORDER BY idx)
+                        FILTER (WHERE keep), '') AS clean_text
+      FROM flagged_{i} GROUP BY doc_id, lang
+    )""")
+        old_ids += f" UNION SELECT doc_id FROM gated_{i}"
+    parts.append("""
+    SELECT batch, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_kept) AS BIGINT) AS n_kept,
+           CAST(SUM(LENGTH(clean_text)) AS BIGINT) AS clean_chars
+    FROM (
+      SELECT 0 AS batch, * FROM rewritten_0
+      UNION ALL SELECT 1 AS batch, * FROM rewritten_1
+      UNION ALL SELECT 2 AS batch, * FROM rewritten_2
+    )
+    GROUP BY batch, lang
+    ORDER BY batch, lang
+    """)
+    return "".join(parts)
+
+
+@REG.add(
+    "c30_crawl_batch_admission",
+    _c30_oracle(),
+    doc="The crawl loop with PER-BATCH admission — the increment c26 "
+    "leaves on the table: c26 admits survivors to the corpus indexes "
+    "AFTER the drain (its gate decisions depend only on the static "
+    "corpus, micro-batch-order-invariant by design), while a real "
+    "incremental crawl admits INSIDE each cycle so batch N+1's gates "
+    "see batch N's admissions. Here three document batches (a "
+    "deterministic doc_id % 30 split, file order pinned by mtime, "
+    "maxFilesPerTrigger=1) stream through one query whose "
+    "foreachBatch (1) probes the MinHash band index and rejects "
+    "Jaccard >= 0.9 vs corpus ∪ PREVIOUSLY ADMITTED docs, (2) "
+    "applies the quality gates, (3) chunk-rewrites vs corpus chunks "
+    "∪ previously KEPT chunks, (4) lands under the batch partition, "
+    "and (5) admits — append_doc_band_index + append_chunk_index + "
+    "the corpus-coupling frame — BEFORE the next batch fires. Batch "
+    "2 carries PLANTED evidence that admission actually happened: "
+    "exact copies of batch-0 docs (must be rejected against the "
+    "batch-0 ADMISSIONS — their parents are not in the corpus; "
+    "asserted in-row from the persisted rejection pairs, a miss "
+    "raises) and chunk-share plants (parent's first 10-token chunk + "
+    "unique filler: land, but the shared chunk is dropped against "
+    "batch-0's KEPT chunks — asserted not-in-corpus-chunks in-row). "
+    "The oracle unrolls the ordered fold relationally: c26's CTE "
+    "chain iterated 3x with the near-dup old-side and the chunk "
+    "reference GROWING between iterations (gated_i feeds old_ids and "
+    "ref_{i+1}) — hash-exact per (batch, lang) rollup. Per-cycle "
+    "cost stays O(|batch|): the admissions ride the bucketed appends "
+    "(one file per bucket), the probes stay band-dir-pruned.",
+    tags=("streaming", "dedup", "text", "pipeline", "index"),
+)
+def c30_crawl_batch_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+
+    from pyspark.errors import AnalysisException
+
+    from hcdc_spark.catalog import table_path
+    from hcdc_spark.functions.text import (
+        STOPWORDS,
+        count_in_set,
+        distinct_words,
+        word_count,
+    )
+    from hcdc_spark.operators import dedup as D
+    from hcdc_spark.operators.text import (
+        append_chunk_index,
+        chunk_dedup_rewrite_vs,
+        corpus_chunk_hashes,
+        write_chunk_index,
+    )
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    raw = docs.select("doc_id", "lang", "text").unionByName(
+        _c30_plants(docs)
+    )
+    t = raw.select(
+        "doc_id", "lang", "text", distinct_words("text").alias("ws")
+    ).where(F.size("ws") > 0)
+    corpus_t = t.where(F.col("doc_id") % 10 != 3)
+    batches = [
+        t.where((F.col("doc_id") % 30 == 3) & (F.col("doc_id") < _C30_COPY)),
+        t.where(F.col("doc_id") % 30 == 13),
+        t.where(
+            ((F.col("doc_id") % 30 == 23) & (F.col("doc_id") < _C30_COPY))
+            | (F.col("doc_id") >= _C30_COPY)
+        ),
+    ]
+    corpus_docs = docs.where(F.col("doc_id") % 10 != 3)
+    table = "hcdc_doc_band_index_c30"
+    chunk_table = "hcdc_chunk_index_c30"
+    work = tempfile.mkdtemp(prefix="hcdc_c30_")
+    try:
+        D.write_doc_band_index(
+            spark, corpus_t.select("doc_id", "ws"), table,
+            os.path.join(work, "doc_index"),
+        )
+        write_chunk_index(
+            spark, corpus_docs, chunk_table,
+            os.path.join(work, "chunk_index"),
+        )
+        # ordered delta files: one flat parquet file per batch, mtimes
+        # ascending — FileStreamSource processes oldest-first, so with
+        # maxFilesPerTrigger=1 batch_id i IS delta file i
+        delta_dir = os.path.join(work, "delta")
+        os.makedirs(delta_dir)
+        now = int(os.stat(work).st_mtime)
+        for i, b in enumerate(batches):
+            stage = os.path.join(work, f"stage_{i}")
+            b.select("doc_id", "lang", "text").coalesce(1).write.parquet(
+                stage
+            )
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(delta_dir, f"d{i}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+        clean_dir = os.path.join(work, "clean")
+        admitted_dir = os.path.join(work, "admitted")
+        rejected_dir = os.path.join(work, "rejected")
+
+        def gate(batch_df: DataFrame, batch_id: int) -> None:
+            t_b = batch_df.select(
+                "doc_id", "lang", "text",
+                distinct_words("text").alias("ws"),
+            ).where(F.size("ws") > 0)
+            corpus_cur = corpus_t.select("doc_id", "ws")
+            try:
+                corpus_cur = corpus_cur.unionByName(
+                    spark.read.parquet(admitted_dir)
+                )
+            except AnalysisException:
+                pass  # nothing admitted yet (batch 0)
+            hits = D.incremental_doc_neardup(
+                spark, t_b.select("doc_id", "ws"), table, corpus_cur,
+                threshold=0.9,
+            )
+            (
+                hits.select(
+                    F.col("doc_new"), F.col("doc_old"),
+                    F.lit(batch_id).alias("batch"),
+                )
+                .distinct()
+                .write.mode("append").parquet(rejected_dir)
+            )
+            rejected = hits.select(
+                F.col("doc_new").alias("doc_id")
+            ).distinct()
+            surv = t_b.join(rejected, "doc_id", "left_anti").where(
+                (word_count("text") >= 5)
+                & (count_in_set("text", STOPWORDS) >= 1)
+            )
+            landed = chunk_dedup_rewrite_vs(
+                surv.select("doc_id", "lang", "text"),
+                spark.table(chunk_table),
+                carry=("lang",),
+            )
+            (
+                landed.withColumn("batch", F.lit(str(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(clean_dir)
+            )
+            # ADMIT before the next batch fires — the whole point:
+            # band index, chunk index, and the verify-join coupling
+            # frame all grow inside the cycle. Re-read the landed
+            # batch from the sink (NOT the lazy `landed` plan, whose
+            # tree still scans chunk_table — feeding it back into
+            # append_chunk_index would insert into a table its own
+            # plan reads).
+            landed_batch = spark.read.parquet(clean_dir).where(
+                F.col("batch") == str(batch_id)
+            )
+            adm = t_b.join(
+                landed_batch.select("doc_id"), "doc_id", "left_semi"
+            ).select("doc_id", "ws")
+            D.append_doc_band_index(spark, adm, table, batch_id=batch_id)
+            adm.write.mode("append").parquet(admitted_dir)
+            append_chunk_index(
+                spark,
+                landed_batch.where(F.col("clean_text") != "").select(
+                    F.col("clean_text").alias("text")
+                ),
+                chunk_table,
+            )
+            spark.catalog.refreshTable(chunk_table)
+            spark.catalog.refreshTable(table)
+
+        with _small_shuffle(spark):
+            q = (
+                spark.readStream.schema("doc_id long, lang string, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+                .writeStream.foreachBatch(gate)
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_drained(q, "c30_crawl_batch_admission")
+
+        # teeth: the planted evidence that admission happened PER
+        # BATCH, not post-drain. A miss raises → the driver row reds.
+        rej = spark.read.parquet(rejected_dir)
+        cross = rej.where(
+            (F.col("batch") == 2)
+            & (F.col("doc_new") >= _C30_COPY)
+            & (F.col("doc_new") < _C30_SHARE)
+            & (F.col("doc_old") % 10 == 3)
+            & (F.col("doc_old") < _C30_COPY)
+        ).count()
+        if cross == 0:
+            raise AssertionError(
+                "c30: no batch-2 exact-copy plant was rejected against "
+                "a batch-0 ADMISSION — per-batch admission is broken "
+                "(the gate only saw the static corpus)"
+            )
+        landed_all = spark.read.parquet(clean_dir)
+        share_drops = landed_all.where(
+            (F.col("doc_id") >= _C30_SHARE)
+            & (F.col("n_kept") < F.col("n_chunks"))
+        )
+        # attribute at least one drop to an EARLIER BATCH's kept
+        # chunks (not the static corpus): the plant's shared chunk is
+        # its parent's chunk 0 — absent from the corpus chunk set
+        dropped_first = (
+            t.where(
+                (F.col("doc_id") % 30 == 3) & (F.col("doc_id") < _C30_COPY)
+            )
+            .select(
+                (F.col("doc_id") + F.lit(_C30_SHARE)).alias("doc_id"),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.split("text", " "), 1, 10)
+                    )
+                ).alias("h0"),
+            )
+            .join(share_drops, "doc_id", "left_semi")
+            .join(corpus_chunk_hashes(corpus_docs),
+                  F.col("h0") == F.col("h"), "left_anti")
+        )
+        if dropped_first.count() == 0:
+            raise AssertionError(
+                "c30: no chunk-share plant dropped its parent's chunk "
+                "against an earlier batch's KEPT chunks — chunk-index "
+                "admission inside the cycle is broken"
+            )
+        out = (
+            landed_all.groupBy(
+                F.col("batch").cast("int").alias("batch"), "lang"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chunks").cast("long").alias("n_chunks"),
+                F.sum("n_kept").cast("long").alias("n_kept"),
+                F.sum(F.length("clean_text").cast("long"))
+                .cast("long")
+                .alias("clean_chars"),
+            )
+            .orderBy("batch", "lang")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {chunk_table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _c28_oracle() -> str:
     # The admitted set is banding-INVARIANT by construction (see the
     # registry doc): planted rejects are EXACT vector copies, which

@@ -37,6 +37,7 @@ CHANGED_THIS_ROUND = {
     "c04_stream_reconcile",
     "c08_cdc_pipeline",
     "c29_continuous_ttl_reconcile",
+    "c30_crawl_batch_admission",
 }
 
 #: The 35 queries whose latest driver green still dates to round 9 —
@@ -71,7 +72,8 @@ SPINE = {
     "q91_simhash_md5",
     "q92_embedding_neardup_md5",
     "q93_ivf_ann_fixed",
-    "q97_pq_ann_adc",
+    # q97 (r10-green, unchanged this round) yielded its planned slot
+    # to the NEW row c30 — within the < 10 tripwire either way.
 }
 
 #: Rows-only by design (xxhash64 has no DuckDB equivalent). Their
@@ -176,10 +178,11 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 136
+    assert len(qs) >= 137
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 12: c29 (continuous TTL eviction, c04's independent DuckDB
-    # fold oracle) joins the oracle-bearing set — 130/136 (q100 + the
-    # r3 five stay rows-only by structure)
-    assert len(oracles) >= 130
+    # fold oracle) and c30 (per-batch crawl admission, ordered-batch
+    # oracle) join the oracle-bearing set — 131/137 (q100 + the r3
+    # five stay rows-only by structure)
+    assert len(oracles) >= 131
