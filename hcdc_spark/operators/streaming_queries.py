@@ -1426,6 +1426,154 @@ def _c30_plants(docs: DataFrame) -> DataFrame:
     return exact.unionByName(share)
 
 
+def _c30_setup(spark: SparkSession, sf_dir: str, work: str,
+               table: str, chunk_table: str):
+    """Build c30's corpus artifacts (doc band index + chunk index) and
+    the THREE ordered delta files. Returns (docs, t, corpus_t,
+    delta_dir). Shared by the driver row and the mid-drain-kill chaos
+    test (tests/test_streaming.py)."""
+    import glob
+
+    from hcdc_spark.catalog import table_path
+    from hcdc_spark.functions.text import distinct_words
+    from hcdc_spark.operators import dedup as D
+    from hcdc_spark.operators.text import write_chunk_index
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    raw = docs.select("doc_id", "lang", "text").unionByName(
+        _c30_plants(docs)
+    )
+    t = raw.select(
+        "doc_id", "lang", "text", distinct_words("text").alias("ws")
+    ).where(F.size("ws") > 0)
+    corpus_t = t.where(F.col("doc_id") % 10 != 3)
+    batches = [
+        t.where((F.col("doc_id") % 30 == 3) & (F.col("doc_id") < _C30_COPY)),
+        t.where(F.col("doc_id") % 30 == 13),
+        t.where(
+            ((F.col("doc_id") % 30 == 23) & (F.col("doc_id") < _C30_COPY))
+            | (F.col("doc_id") >= _C30_COPY)
+        ),
+    ]
+    D.write_doc_band_index(
+        spark, corpus_t.select("doc_id", "ws"), table,
+        os.path.join(work, "doc_index"),
+    )
+    write_chunk_index(
+        spark, docs.where(F.col("doc_id") % 10 != 3), chunk_table,
+        os.path.join(work, "chunk_index"),
+    )
+    # ordered delta files: one flat parquet file per batch, mtimes
+    # ascending — FileStreamSource processes oldest-first, so with
+    # maxFilesPerTrigger=1 batch_id i IS delta file i
+    delta_dir = os.path.join(work, "delta")
+    os.makedirs(delta_dir)
+    now = int(os.stat(work).st_mtime)
+    for i, b in enumerate(batches):
+        stage = os.path.join(work, f"stage_{i}")
+        b.select("doc_id", "lang", "text").coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(delta_dir, f"d{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+    return docs, t, corpus_t, delta_dir
+
+
+def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
+              corpus_t: DataFrame, clean_dir: str, admitted_dir: str,
+              rejected_dir: str):
+    """c30's foreachBatch: probe → reject → quality → chunk-rewrite →
+    land → ADMIT (band index + chunk index + coupling frame), all
+    inside the batch. Replay-idempotent by construction: the landing
+    is a dynamic partition overwrite; a replayed chunk append
+    anti-joins to nothing; replayed band-index/admitted rows duplicate
+    storage but never decisions (probes .distinct() candidates, the
+    verify join tolerates duplicate corpus rows) — certified by the
+    mid-drain-kill test."""
+    from pyspark.errors import AnalysisException
+
+    from hcdc_spark.functions.text import (
+        STOPWORDS,
+        count_in_set,
+        distinct_words,
+        word_count,
+    )
+    from hcdc_spark.operators import dedup as D
+    from hcdc_spark.operators.text import (
+        append_chunk_index,
+        chunk_dedup_rewrite_vs,
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        t_b = batch_df.select(
+            "doc_id", "lang", "text",
+            distinct_words("text").alias("ws"),
+        ).where(F.size("ws") > 0)
+        corpus_cur = corpus_t.select("doc_id", "ws")
+        try:
+            corpus_cur = corpus_cur.unionByName(
+                spark.read.parquet(admitted_dir)
+            )
+        except AnalysisException:
+            pass  # nothing admitted yet (batch 0)
+        hits = D.incremental_doc_neardup(
+            spark, t_b.select("doc_id", "ws"), table, corpus_cur,
+            threshold=0.9,
+        )
+        (
+            hits.select(
+                F.col("doc_new"), F.col("doc_old"),
+                F.lit(batch_id).alias("batch"),
+            )
+            .distinct()
+            .write.mode("append").parquet(rejected_dir)
+        )
+        rejected = hits.select(
+            F.col("doc_new").alias("doc_id")
+        ).distinct()
+        surv = t_b.join(rejected, "doc_id", "left_anti").where(
+            (word_count("text") >= 5)
+            & (count_in_set("text", STOPWORDS) >= 1)
+        )
+        landed = chunk_dedup_rewrite_vs(
+            surv.select("doc_id", "lang", "text"),
+            spark.table(chunk_table),
+            carry=("lang",),
+        )
+        (
+            landed.withColumn("batch", F.lit(str(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(clean_dir)
+        )
+        # ADMIT before the next batch fires — the whole point: band
+        # index, chunk index, and the verify-join coupling frame all
+        # grow inside the cycle. Re-read the landed batch from the
+        # sink (NOT the lazy `landed` plan, whose tree still scans
+        # chunk_table — feeding it back into append_chunk_index would
+        # insert into a table its own plan reads).
+        landed_batch = spark.read.parquet(clean_dir).where(
+            F.col("batch") == str(batch_id)
+        )
+        adm = t_b.join(
+            landed_batch.select("doc_id"), "doc_id", "left_semi"
+        ).select("doc_id", "ws")
+        D.append_doc_band_index(spark, adm, table, batch_id=batch_id)
+        adm.write.mode("append").parquet(admitted_dir)
+        append_chunk_index(
+            spark,
+            landed_batch.where(F.col("clean_text") != "").select(
+                F.col("clean_text").alias("text")
+            ),
+            chunk_table,
+        )
+        spark.catalog.refreshTable(chunk_table)
+        spark.catalog.refreshTable(table)
+
+    return gate
+
+
 def _c30_oracle() -> str:
     """The ordered-batch crawl-admission fold, unrolled relationally:
     batch i's near-dup gate sees corpus ∪ admitted(<i), batch i's
@@ -1581,141 +1729,23 @@ def _c30_oracle() -> str:
 def c30_crawl_batch_admission(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import glob
+    from hcdc_spark.operators.text import corpus_chunk_hashes
 
-    from pyspark.errors import AnalysisException
-
-    from hcdc_spark.catalog import table_path
-    from hcdc_spark.functions.text import (
-        STOPWORDS,
-        count_in_set,
-        distinct_words,
-        word_count,
-    )
-    from hcdc_spark.operators import dedup as D
-    from hcdc_spark.operators.text import (
-        append_chunk_index,
-        chunk_dedup_rewrite_vs,
-        corpus_chunk_hashes,
-        write_chunk_index,
-    )
-
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
-    raw = docs.select("doc_id", "lang", "text").unionByName(
-        _c30_plants(docs)
-    )
-    t = raw.select(
-        "doc_id", "lang", "text", distinct_words("text").alias("ws")
-    ).where(F.size("ws") > 0)
-    corpus_t = t.where(F.col("doc_id") % 10 != 3)
-    batches = [
-        t.where((F.col("doc_id") % 30 == 3) & (F.col("doc_id") < _C30_COPY)),
-        t.where(F.col("doc_id") % 30 == 13),
-        t.where(
-            ((F.col("doc_id") % 30 == 23) & (F.col("doc_id") < _C30_COPY))
-            | (F.col("doc_id") >= _C30_COPY)
-        ),
-    ]
-    corpus_docs = docs.where(F.col("doc_id") % 10 != 3)
     table = "hcdc_doc_band_index_c30"
     chunk_table = "hcdc_chunk_index_c30"
     work = tempfile.mkdtemp(prefix="hcdc_c30_")
     try:
-        D.write_doc_band_index(
-            spark, corpus_t.select("doc_id", "ws"), table,
-            os.path.join(work, "doc_index"),
+        docs, t, corpus_t, delta_dir = _c30_setup(
+            spark, sf_dir, work, table, chunk_table
         )
-        write_chunk_index(
-            spark, corpus_docs, chunk_table,
-            os.path.join(work, "chunk_index"),
-        )
-        # ordered delta files: one flat parquet file per batch, mtimes
-        # ascending — FileStreamSource processes oldest-first, so with
-        # maxFilesPerTrigger=1 batch_id i IS delta file i
-        delta_dir = os.path.join(work, "delta")
-        os.makedirs(delta_dir)
-        now = int(os.stat(work).st_mtime)
-        for i, b in enumerate(batches):
-            stage = os.path.join(work, f"stage_{i}")
-            b.select("doc_id", "lang", "text").coalesce(1).write.parquet(
-                stage
-            )
-            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
-            dst = os.path.join(delta_dir, f"d{i}.parquet")
-            os.rename(part, dst)
-            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+        corpus_docs = docs.where(F.col("doc_id") % 10 != 3)
         clean_dir = os.path.join(work, "clean")
         admitted_dir = os.path.join(work, "admitted")
         rejected_dir = os.path.join(work, "rejected")
-
-        def gate(batch_df: DataFrame, batch_id: int) -> None:
-            t_b = batch_df.select(
-                "doc_id", "lang", "text",
-                distinct_words("text").alias("ws"),
-            ).where(F.size("ws") > 0)
-            corpus_cur = corpus_t.select("doc_id", "ws")
-            try:
-                corpus_cur = corpus_cur.unionByName(
-                    spark.read.parquet(admitted_dir)
-                )
-            except AnalysisException:
-                pass  # nothing admitted yet (batch 0)
-            hits = D.incremental_doc_neardup(
-                spark, t_b.select("doc_id", "ws"), table, corpus_cur,
-                threshold=0.9,
-            )
-            (
-                hits.select(
-                    F.col("doc_new"), F.col("doc_old"),
-                    F.lit(batch_id).alias("batch"),
-                )
-                .distinct()
-                .write.mode("append").parquet(rejected_dir)
-            )
-            rejected = hits.select(
-                F.col("doc_new").alias("doc_id")
-            ).distinct()
-            surv = t_b.join(rejected, "doc_id", "left_anti").where(
-                (word_count("text") >= 5)
-                & (count_in_set("text", STOPWORDS) >= 1)
-            )
-            landed = chunk_dedup_rewrite_vs(
-                surv.select("doc_id", "lang", "text"),
-                spark.table(chunk_table),
-                carry=("lang",),
-            )
-            (
-                landed.withColumn("batch", F.lit(str(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch")
-                .parquet(clean_dir)
-            )
-            # ADMIT before the next batch fires — the whole point:
-            # band index, chunk index, and the verify-join coupling
-            # frame all grow inside the cycle. Re-read the landed
-            # batch from the sink (NOT the lazy `landed` plan, whose
-            # tree still scans chunk_table — feeding it back into
-            # append_chunk_index would insert into a table its own
-            # plan reads).
-            landed_batch = spark.read.parquet(clean_dir).where(
-                F.col("batch") == str(batch_id)
-            )
-            adm = t_b.join(
-                landed_batch.select("doc_id"), "doc_id", "left_semi"
-            ).select("doc_id", "ws")
-            D.append_doc_band_index(spark, adm, table, batch_id=batch_id)
-            adm.write.mode("append").parquet(admitted_dir)
-            append_chunk_index(
-                spark,
-                landed_batch.where(F.col("clean_text") != "").select(
-                    F.col("clean_text").alias("text")
-                ),
-                chunk_table,
-            )
-            spark.catalog.refreshTable(chunk_table)
-            spark.catalog.refreshTable(table)
-
+        gate = _c30_gate(
+            spark, table, chunk_table, corpus_t,
+            clean_dir, admitted_dir, rejected_dir,
+        )
         with _small_shuffle(spark):
             q = (
                 spark.readStream.schema("doc_id long, lang string, text string")

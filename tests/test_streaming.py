@@ -1082,3 +1082,86 @@ def test_table_num_buckets_refuses_unbucketed(spark, tmp_path):
             _table_num_buckets(spark, "hcdc_unbucketed_gate")
     finally:
         spark.sql("DROP TABLE IF EXISTS hcdc_unbucketed_gate")
+
+
+def test_c30_batch_admission_survives_mid_drain_kill(
+    spark, tmp_path, oracle, sf_dir
+):
+    """c30's replay contract: kill the per-batch-admission crawl
+    DURING its drain — after at least one committed batch, so the
+    restart replays an in-flight batch whose ADMISSION side effects
+    may be half-applied (band rows appended, admitted/coupling rows
+    written, chunk append landed: any prefix of the gate) — and the
+    final landed rollup must still equal the ordered-fold oracle.
+    Why it holds: the landing is a dynamic partition overwrite (the
+    replay overwrites its own partition), a replayed chunk append
+    anti-joins to nothing, and duplicated band-index/admitted rows
+    never change decisions (probes .distinct() their candidates and
+    the verify join tolerates duplicate corpus rows)."""
+    import os as _os
+    import time
+
+    from hcdc_spark.operators import streaming_queries as SQ
+    from tests.conftest import assert_matches_oracle
+
+    table = "hcdc_band_c30_chaos"
+    chunk_table = "hcdc_chunk_c30_chaos"
+    work = str(tmp_path / "w")
+    _os.makedirs(work)
+    try:
+        docs, t, corpus_t, delta_dir = SQ._c30_setup(
+            spark, sf_dir, work, table, chunk_table
+        )
+        clean_dir = str(tmp_path / "clean")
+        admitted_dir = str(tmp_path / "adm")
+        rejected_dir = str(tmp_path / "rej")
+        ckpt = str(tmp_path / "ckpt")
+        gate = SQ._c30_gate(
+            spark, table, chunk_table, corpus_t,
+            clean_dir, admitted_dir, rejected_dir,
+        )
+
+        def start():
+            return (
+                spark.readStream
+                .schema("doc_id long, lang string, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+                .writeStream.foreachBatch(gate)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        deadline = time.time() + 120
+        while (
+            time.time() < deadline and len(_commits(ckpt)) < 1
+            and q.isActive
+        ):
+            time.sleep(0.2)
+        q.stop()  # mid-drain: a later batch is in flight (or queued)
+        q2 = start()
+        assert q2.awaitTermination(300)
+
+        out = (
+            spark.read.parquet(clean_dir)
+            .groupBy(F.col("batch").cast("int").alias("batch"), "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chunks").cast("long").alias("n_chunks"),
+                F.sum("n_kept").cast("long").alias("n_kept"),
+                F.sum(F.length("clean_text").cast("long"))
+                .cast("long")
+                .alias("clean_chars"),
+            )
+            .orderBy("batch", "lang")
+        )
+        assert_matches_oracle(
+            out, oracle,
+            SQ.REG.specs["c30_crawl_batch_admission"].oracle,
+            "c30_mid_drain_kill",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {chunk_table}")
