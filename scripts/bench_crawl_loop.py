@@ -1,0 +1,168 @@
+"""Per-cycle cost of the crawl loop WITH per-batch admission (c30's
+shape): each cycle probes the doc band index, quality-gates,
+chunk-rewrites vs the chunk index, lands, and ADMITS — growing both
+corpus artifacts before the next cycle. The scale claim is the one the
+c30 docstring makes: per-cycle cost is O(|batch|) — probe reads are
+band-dir-pruned, the rewrite join is bucket-aligned on the corpus
+side, and the admissions are bucketed appends — so a FIXED-SIZE cycle
+must cost roughly the same against a 40x bigger corpus.
+
+Measures at sf0.1 and a synthesized point (default .benchdata/sf4):
+corpus artifact build (once) + three 160-190-doc admission cycles
+(the SAME document rows at both scales — copy 0 of the scale-up is
+byte-identical to sf0.1). Gate and admit walls are reported per cycle,
+min over passes with fresh artifacts per pass.
+
+Prints one JSON line:
+  {sf: {"n_corpus_docs": n, "build": s,
+        "cycles": [{"gate": s, "admit": s, "landed": n, "rejected": n},
+                   ...]}}
+
+Usage: python scripts/bench_crawl_loop.py [passes=2] [sf_label=sf4]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+#: fixed delta: three ~170-doc cycles drawn from doc_id < 5000 (rows
+#: present and identical at every scale point)
+CYCLE_RANGES = [(0, 1670), (1670, 3340), (3340, 5000)]
+
+
+def main() -> None:
+    passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    big = sys.argv[2] if len(sys.argv) > 2 else "sf4"
+    sf_dirs = {"sf0.1": "/root/testdata/sf0.1",
+               big: str(ROOT / ".benchdata" / big)}
+    from pyspark.sql import functions as F
+
+    from hcdc_spark.functions.text import (
+        STOPWORDS,
+        count_in_set,
+        distinct_words,
+        word_count,
+    )
+    from hcdc_spark.operators import dedup as D
+    from hcdc_spark.operators.text import (
+        append_chunk_index,
+        chunk_dedup_rewrite_vs,
+        write_chunk_index,
+    )
+    from hcdc_spark.session import get_spark
+
+    spark = get_spark("hcdc-bench-crawl-loop")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, dict] = {}
+    for sf, d in sf_dirs.items():
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        t = docs.select(
+            "doc_id", "lang", "text", distinct_words("text").alias("ws")
+        ).where(F.size("ws") > 0)
+        corpus_t = t.where(F.col("doc_id") % 10 != 3)
+        corpus_docs = docs.where(F.col("doc_id") % 10 != 3)
+        cycles_src = [
+            t.where(
+                (F.col("doc_id") % 10 == 3)
+                & (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            for lo, hi in CYCLE_RANGES
+        ]
+        table = "hcdc_crawl_loop_bench"
+        chunk_table = "hcdc_crawl_loop_chunks_bench"
+        best: list[dict] | None = None
+        build = None
+        for _ in range(passes):
+            work = tempfile.mkdtemp(prefix="hcdc_crawl_loop_")
+            try:
+                t0 = time.time()
+                D.write_doc_band_index(
+                    spark, corpus_t.select("doc_id", "ws"), table,
+                    os.path.join(work, "doc_index"),
+                )
+                write_chunk_index(
+                    spark, corpus_docs, chunk_table,
+                    os.path.join(work, "chunk_index"),
+                )
+                b = time.time() - t0
+                build = b if build is None else min(build, b)
+                admitted_dir = os.path.join(work, "admitted")
+                cycles = []
+                for i, t_b in enumerate(cycles_src):
+                    t0 = time.time()
+                    corpus_cur = corpus_t.select("doc_id", "ws")
+                    if os.path.exists(admitted_dir):
+                        corpus_cur = corpus_cur.unionByName(
+                            spark.read.parquet(admitted_dir)
+                        )
+                    hits = D.incremental_doc_neardup(
+                        spark, t_b.select("doc_id", "ws"), table,
+                        corpus_cur, threshold=0.9,
+                    )
+                    rejected = hits.select(
+                        F.col("doc_new").alias("doc_id")
+                    ).distinct()
+                    n_rej = rejected.count()
+                    surv = t_b.join(rejected, "doc_id", "left_anti").where(
+                        (word_count("text") >= 5)
+                        & (count_in_set("text", STOPWORDS) >= 1)
+                    )
+                    landed = chunk_dedup_rewrite_vs(
+                        surv.select("doc_id", "lang", "text"),
+                        spark.table(chunk_table), carry=("lang",),
+                    )
+                    clean = os.path.join(work, f"clean_{i}")
+                    landed.write.parquet(clean)
+                    gate_s = time.time() - t0
+                    t0 = time.time()
+                    landed_b = spark.read.parquet(clean)
+                    adm = t_b.join(
+                        landed_b.select("doc_id"), "doc_id", "left_semi"
+                    ).select("doc_id", "ws")
+                    D.append_doc_band_index(spark, adm, table, batch_id=i)
+                    adm.write.mode("append").parquet(admitted_dir)
+                    append_chunk_index(
+                        spark,
+                        landed_b.where(F.col("clean_text") != "").select(
+                            F.col("clean_text").alias("text")
+                        ),
+                        chunk_table,
+                    )
+                    spark.catalog.refreshTable(chunk_table)
+                    spark.catalog.refreshTable(table)
+                    admit_s = time.time() - t0
+                    cycles.append({
+                        "gate": round(gate_s, 3),
+                        "admit": round(admit_s, 3),
+                        "landed": landed_b.count(),
+                        "rejected": n_rej,
+                    })
+                if best is None or sum(
+                    c["gate"] + c["admit"] for c in cycles
+                ) < sum(c["gate"] + c["admit"] for c in best):
+                    best = cycles
+            finally:
+                spark.sql(f"DROP TABLE IF EXISTS {table}")
+                spark.sql(f"DROP TABLE IF EXISTS {chunk_table}")
+                shutil.rmtree(work, ignore_errors=True)
+        out[sf] = {
+            "n_corpus_docs": corpus_docs.count(),
+            "build": round(build, 3),
+            "cycles": best,
+        }
+        print(f"# {sf}: {out[sf]}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1231,3 +1231,56 @@ def test_append_to_flat_table_clusters_on_writer_routing(
         assert ids and len(ids) == len(set(ids)), sorted(ids)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_migrate_refreshes_stat_on_partitioned_prestat_table(
+    spark, sf_dir, tmp_path
+):
+    """The OTHER legacy shape migrate_band_index must fix: a round-11
+    table already band-PARTITIONED but written before the
+    max_group_rows statistic existed (stat reads -1 → the md5 SMJ
+    guard stays off). One migrate call recomputes the exact statistic;
+    the layout and the candidate set are unchanged."""
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7).limit(2)
+    table = "hcdc_band_prestat_gate"
+    try:
+        S.write_band_index(
+            spark, corpus, table, str(tmp_path / "bi_prestat")
+        )
+        stat = S.read_band_index_meta(spark, table)["max_group_rows"]
+        assert stat >= 1
+        # simulate the round-11 artifact: the layout is current, the
+        # statistic has never been written
+        spark.sql(
+            f"ALTER TABLE {table} UNSET TBLPROPERTIES "
+            "('hcdc.max_group_rows')"
+        )
+        meta = S.read_band_index_meta(spark, table)
+        assert meta["layout"] == "band_partitioned"
+        assert meta["max_group_rows"] == -1
+        nbx = S._band_explode(batch).select(
+            F.col("vec_id").alias("vec_new"), "band", "bucket"
+        )
+        before = sorted(
+            tuple(r)
+            for r in S._band_candidates(
+                spark, table, nbx, meta, "vec_new", "vec_old"
+            ).collect()
+        )
+        meta2 = S.migrate_band_index(spark, table)
+        assert meta2["layout"] == "band_partitioned"
+        assert meta2["max_group_rows"] == stat  # exact recompute
+        after = sorted(
+            tuple(r)
+            for r in S._band_candidates(
+                spark, table, nbx, meta2, "vec_new", "vec_old"
+            ).collect()
+        )
+        assert after == before
+        assert S.migrate_band_index(spark, table) == meta2  # no-op now
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
