@@ -1016,3 +1016,77 @@ def incremental_doc_neardup(
         .select("doc_new", "doc_old", checked.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def batch_self_neardup_keep_first(
+    t_b: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Within-batch near-dup self-dedup for an ingest batch — the
+    pre-gate step the corpus probes structurally cannot provide: the
+    ingest gates (c22/c26/c30) reject a batch doc against corpus ∪
+    ADMITTED docs, so two copies of the same NEW page arriving in ONE
+    batch both pass the gate and both admit (the second is only caught
+    on the NEXT cycle, after the first has been indexed). Run this on
+    the batch first and the pair never co-admits.
+
+    Input: (doc_id, ws, ...) rows; returns the SURVIVORS (all columns
+    kept). Rule: a doc is rejected iff it has exact word-set Jaccard
+    >= ``threshold`` with ANY lower-id doc in the same batch —
+    keep-first-by-doc_id as a MONOTONE rule: deterministic,
+    order-free, and resolved by one banded candidate join + one verify
+    pass (no iteration). It differs from greedy chain resolution
+    exactly when a doc's only lower match was itself rejected (1~2,
+    2~3, 1≁3: greedy keeps 3, this rule rejects it) — the
+    conservative direction for an ingest gate, and the SQL-expressible
+    one (a greedy chain is an iterated fixpoint).
+
+    Plan shape: the batch bands only ITSELF (q73's md5 signature
+    pipeline — pure projections), candidates come from the
+    (band, bucket) self-join restricted to a.doc_id < b.doc_id, and
+    the exact-Jaccard verify joins the word sets back. Batch-sized
+    everywhere: at 100 TB the batch is a micro-batch, so this is a
+    per-trigger O(|batch| log |batch|)-ish step, never corpus-touching.
+    """
+    rows_per_band = Q73_HASHES // Q73_BANDS
+    # q73's signature SQL names its input array `ws` — sort in place
+    # under the same name (signatures are permutation-invariant, the
+    # sort just pins the md5 operand order for determinism, exactly as
+    # q73 does)
+    reps = t_b.select("doc_id", F.array_sort("ws").alias("ws"))
+    sig = reps.select(
+        "doc_id",
+        F.expr(_md5_signature_sql(Q73_HASHES)).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.expr(
+            f"explode({_md5_band_sql(Q73_BANDS, rows_per_band)})"
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_keep"),
+            F.col("b.doc_id").alias("doc_dup"),
+        )
+        .distinct()
+    )
+    w = t_b.select("doc_id", "ws")
+    x = w.select(F.col("doc_id").alias("doc_keep"),
+                 F.col("ws").alias("ws_a"))
+    y = w.select(F.col("doc_id").alias("doc_dup"),
+                 F.col("ws").alias("ws_b"))
+    shared = F.size(F.array_intersect("ws_a", "ws_b"))
+    jac = shared.cast("double") / (
+        F.size("ws_a") + F.size("ws_b") - shared
+    )
+    rejected = (
+        cand.join(x, "doc_keep")
+        .join(y, "doc_dup")
+        .where(jac >= threshold)
+        .select(F.col("doc_dup").alias("doc_id"))
+        .distinct()
+    )
+    return t_b.join(rejected, "doc_id", "left_anti")

@@ -1489,7 +1489,15 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
     anti-joins to nothing; replayed band-index/admitted rows duplicate
     storage but never decisions (probes .distinct() candidates, the
     verify join tolerates duplicate corpus rows) — certified by the
-    mid-drain-kill test."""
+    mid-drain-kill test.
+
+    SCOPE: the probe rejects vs corpus ∪ admitted — two near-dup
+    copies arriving in the SAME batch both pass (the second is caught
+    only next cycle, once the first is indexed). Deployments that need
+    within-batch self-dedup run dedup.batch_self_neardup_keep_first on
+    ``t_b`` first (batch-sized, oracle-gated in
+    test_text_dedup_similarity); c30's oracle models the gate WITHOUT
+    that step, so it stays out of this composition on purpose."""
     from pyspark.errors import AnalysisException
 
     from hcdc_spark.functions.text import (

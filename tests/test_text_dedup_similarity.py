@@ -1867,3 +1867,64 @@ def test_quad_twin_cap_engine_and_oracle_in_sync():
             f"{q}: oracle cap literal out of sync with "
             f"QUAD_TWIN_VEC_ID_CAP={lit}"
         )
+
+
+def test_batch_self_neardup_keep_first_matches_relational_rule(
+    spark, oracle, sf_dir
+):
+    """Within-batch self-dedup (the pre-gate step the ingest gates'
+    corpus probes cannot provide: two copies of the same NEW page in
+    ONE batch both pass c22/c26/c30's index probe). Plant exact copies
+    INSIDE a batch and check the survivor id set against the monotone
+    keep-first rule computed independently in DuckDB over ALL
+    within-batch pairs (exact word-set Jaccard >= 0.9 to any lower
+    id → rejected)."""
+    from hcdc_spark.functions.text import distinct_words
+    from hcdc_spark.operators.dedup import (
+        _DW,
+        batch_self_neardup_keep_first,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", "lang", "text"
+    )
+    copies = base.where(F.col("doc_id") % 30 == 3).select(
+        (F.col("doc_id") + F.lit(500000)).alias("doc_id"),
+        "lang", "text",
+    )
+    batch = base.unionByName(copies)
+    t_b = batch.select(
+        "doc_id", "lang", "text", distinct_words("text").alias("ws")
+    ).where(F.size("ws") > 0)
+
+    surv = batch_self_neardup_keep_first(t_b, threshold=0.9)
+    got = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    # planted copies MUST die (their parents carry a lower id and are
+    # in the same batch), parents must survive their copies
+    planted = {
+        r["doc_id"] for r in copies.select("doc_id").collect()
+    }
+    assert planted and not (planted & got)
+
+    want = {
+        r[0]
+        for r in oracle.sql(f"""
+        WITH batch AS (
+          SELECT doc_id, {_DW} AS ws FROM documents
+          WHERE doc_id % 10 = 3 AND len({_DW}) > 0
+          UNION ALL
+          SELECT doc_id + 500000, {_DW} AS ws FROM documents
+          WHERE doc_id % 30 = 3 AND len({_DW}) > 0
+        ), rejected AS (
+          SELECT DISTINCT b.doc_id
+          FROM batch a JOIN batch b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                / (len(a.ws) + len(b.ws)
+                   - len(list_intersect(a.ws, b.ws))) >= 0.9
+        )
+        SELECT doc_id FROM batch
+        WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+        """).fetchall()
+    }
+    assert got == want
