@@ -38,7 +38,11 @@ from hcdc_spark.registry import Registry
 # recompute the statistic) and c04/c08 (the streaming fold's state
 # codec is pluggable — json/typed, measured in COVERAGE.md — so the
 # fold signature changed even though the default codec did not);
-# (c) the NEW rows c29 (the TTL'd CONTINUOUS reconciler: default
+# (c) the NEW rows q105 (within-batch self-dedup: the monotone
+# keep-first rule over planted in-batch copies — the pre-gate step the
+# index probes cannot provide; its oracle scans ALL within-batch pairs,
+# so a hash match also certifies banding recall at the threshold),
+# c29 (the TTL'd CONTINUOUS reconciler: default
 # trigger, deletes inside the log, store eviction asserted MID-RUN,
 # second segment arriving while the processor keeps running, final
 # latest_state vs the same independent DuckDB fold oracle as c04) and
@@ -46,10 +50,11 @@ from hcdc_spark.registry import Registry
 # and chunk gates see batch N's admissions, planted cross-batch
 # duplicates asserted in-row, ordered-batch oracle unrolled in SQL);
 # (d) the regression spine: c01 (relational-fold family), plus the
-# md5-twin ANN/near-dup block q73/q89/q91-q93 — the hash-exact
+# md5-twin ANN/near-dup block q73/q89/q91/q92 — the hash-exact
 # twins carrying the five structural rows-only shapes' greenness
 # rotate forward with the window instead of aging toward the
-# tripwire (q97, r10-green and unchanged, yields its slot to c30).
+# tripwire (q93/q97, r10-green and unchanged, yield their slots to
+# the NEW rows c30/q105).
 # The IVF-PQ lifecycle block (q101/q102/q104/c20/c25) rotates out
 # r10/r11-green — its only round-12 change is a bench measurement +
 # docstring (no plan change).
@@ -107,6 +112,7 @@ _FIRST_50: tuple[str, ...] = (
     # per-batch-admission crawl loop)
     "c29_continuous_ttl_reconcile",
     "c30_crawl_batch_admission",
+    "q105_batch_self_dedup",
     # D: regression spine + the md5-twin block carrying the rows-only
     # shapes' greenness
     "c01_cdc_file_state",
@@ -114,7 +120,8 @@ _FIRST_50: tuple[str, ...] = (
     "q89_ann_lsh_md5",
     "q91_simhash_md5",
     "q92_embedding_neardup_md5",
-    "q93_ivf_ann_fixed",
+    # q93/q97 (r10-green, unchanged) yielded their slots to the NEW
+    # rows c30/q105 — within the < 10 tripwire either way.
 )
 
 

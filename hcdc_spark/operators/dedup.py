@@ -1090,3 +1090,67 @@ def batch_self_neardup_keep_first(
         .distinct()
     )
     return t_b.join(rejected, "doc_id", "left_anti")
+
+
+_Q105_BATCH = f"""
+      SELECT doc_id, lang, {_DW} AS ws FROM documents
+      WHERE doc_id % 10 = 3 AND len({_DW}) > 0
+      UNION ALL
+      SELECT doc_id + 500000, lang, {_DW} AS ws FROM documents
+      WHERE doc_id % 30 = 3 AND len({_DW}) > 0
+"""
+
+
+@REG.add(
+    "q105_batch_self_dedup",
+    f"""
+    WITH batch AS ({_Q105_BATCH}
+    ), rejected AS (
+      SELECT DISTINCT b.doc_id
+      FROM batch a JOIN batch b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / (len(a.ws) + len(b.ws)
+               - len(list_intersect(a.ws, b.ws))) >= 0.9
+    )
+    SELECT doc_id, lang, len(ws) AS n_words FROM batch
+    WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+    ORDER BY doc_id
+    """,
+    doc="Within-batch near-dup self-dedup "
+    "(batch_self_neardup_keep_first) as a driver row: an ingest batch "
+    "with PLANTED internal copies (every doc_id % 30 == 3 doc appears "
+    "twice) is self-deduped under the monotone keep-first rule — a "
+    "doc is rejected iff its exact word-set Jaccard to ANY lower-id "
+    "batch doc reaches 0.9. This is the pre-gate step the index "
+    "probes structurally cannot provide (c22/c26/c30 reject vs corpus "
+    "∪ admitted, so same-batch copies co-admit). Spark side: the "
+    "batch bands only ITSELF (q73's md5 signature projections), "
+    "candidates from the (band, bucket) self-join under id ordering, "
+    "exact-Jaccard verify; the oracle computes the rule over ALL "
+    "within-batch pairs — a hash match therefore also certifies "
+    "banding recall at the 0.9 threshold on this corpus. Batch-sized "
+    "everywhere: a per-micro-batch step, never corpus-touching.",
+    tags=("dedup", "lsh", "ingest"),
+)
+def q105_batch_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", "lang", "text"
+    )
+    copies = base.where(F.col("doc_id") % 30 == 3).select(
+        (F.col("doc_id") + F.lit(500000)).alias("doc_id"), "lang", "text"
+    )
+    t_b = (
+        base.unionByName(copies)
+        .select(
+            "doc_id", "lang", distinct_words("text").alias("ws")
+        )
+        .where(F.size("ws") > 0)
+    )
+    return (
+        batch_self_neardup_keep_first(t_b, threshold=0.9)
+        .select(
+            "doc_id", "lang", F.size("ws").cast("long").alias("n_words")
+        )
+        .orderBy("doc_id")
+    )

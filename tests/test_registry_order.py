@@ -38,6 +38,7 @@ CHANGED_THIS_ROUND = {
     "c08_cdc_pipeline",
     "c29_continuous_ttl_reconcile",
     "c30_crawl_batch_admission",
+    "q105_batch_self_dedup",
 }
 
 #: The 35 queries whose latest driver green still dates to round 9 —
@@ -71,9 +72,9 @@ SPINE = {
     "q89_ann_lsh_md5",
     "q91_simhash_md5",
     "q92_embedding_neardup_md5",
-    "q93_ivf_ann_fixed",
-    # q97 (r10-green, unchanged this round) yielded its planned slot
-    # to the NEW row c30 — within the < 10 tripwire either way.
+    # q93/q97 (r10-green, unchanged this round) yielded their planned
+    # slots to the NEW rows c30/q105 — within the < 10 tripwire
+    # either way.
 }
 
 #: Rows-only by design (xxhash64 has no DuckDB equivalent). Their
@@ -178,11 +179,12 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 137
+    assert len(qs) >= 138
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
     # round 12: c29 (continuous TTL eviction, c04's independent DuckDB
-    # fold oracle) and c30 (per-batch crawl admission, ordered-batch
-    # oracle) join the oracle-bearing set — 131/137 (q100 + the r3
+    # fold oracle), c30 (per-batch crawl admission, ordered-batch
+    # oracle) and q105 (within-batch self-dedup, all-pairs rule
+    # oracle) join the oracle-bearing set — 132/138 (q100 + the r3
     # five stay rows-only by structure)
-    assert len(oracles) >= 131
+    assert len(oracles) >= 132
