@@ -1284,3 +1284,17 @@ def test_migrate_refreshes_stat_on_partitioned_prestat_table(
         assert S.migrate_band_index(spark, table) == meta2  # no-op now
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_q105_self_dedup_join_is_equi_keyed(spark, sf_dir):
+    """The within-batch self-dedup must stay cartesian-free: the
+    candidate step is an equi-join on (band, bucket) with the id
+    ordering as a residual, signatures are pure projections, and no
+    Python evaluation node appears anywhere."""
+    from hcdc_spark.operators import dedup
+
+    df = dedup.q105_batch_self_dedup(spark, sf_dir)
+    assert not I.has_cartesian(df)
+    p = I.simple_plan(df)
+    assert "pythonudf" not in p.lower()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
