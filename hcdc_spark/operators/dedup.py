@@ -1092,11 +1092,15 @@ def batch_self_neardup_keep_first(
     return t_b.join(rejected, "doc_id", "left_anti")
 
 
+# planted-copy offset: 1,000,000 (c30's convention), safely above any
+# test-corpus doc_id — a smaller offset (the original 500k) collides
+# with real ids on corpora past that size, and since 1e6 % 10 == 0 the
+# copies keep the batch's % 10 == 3 residue (round-12 advice)
 _Q105_BATCH = f"""
       SELECT doc_id, lang, {_DW} AS ws FROM documents
       WHERE doc_id % 10 = 3 AND len({_DW}) > 0
       UNION ALL
-      SELECT doc_id + 500000, lang, {_DW} AS ws FROM documents
+      SELECT doc_id + 1000000, lang, {_DW} AS ws FROM documents
       WHERE doc_id % 30 = 3 AND len({_DW}) > 0
 """
 
@@ -1138,7 +1142,7 @@ def q105_batch_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     copies = base.where(F.col("doc_id") % 30 == 3).select(
-        (F.col("doc_id") + F.lit(500000)).alias("doc_id"), "lang", "text"
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "lang", "text"
     )
     t_b = (
         base.unionByName(copies)

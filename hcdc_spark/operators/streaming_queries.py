@@ -1449,7 +1449,12 @@ def _c30_setup(spark: SparkSession, sf_dir: str, work: str,
     corpus_t = t.where(F.col("doc_id") % 10 != 3)
     batches = [
         t.where((F.col("doc_id") % 30 == 3) & (F.col("doc_id") < _C30_COPY)),
-        t.where(F.col("doc_id") % 30 == 13),
+        # the < _C30_COPY bound matters: exact-copy plants are
+        # parent + 1e6 and 1e6 % 30 == 10, so plant ids ≡ 13 (mod 30)
+        # — without the bound they would ride in BOTH this delta and
+        # delta 2, while the oracle's bat CTE assigns them to batch 2
+        # only (round-12 advice)
+        t.where((F.col("doc_id") % 30 == 13) & (F.col("doc_id") < _C30_COPY)),
         t.where(
             ((F.col("doc_id") % 30 == 23) & (F.col("doc_id") < _C30_COPY))
             | (F.col("doc_id") >= _C30_COPY)
@@ -1481,15 +1486,43 @@ def _c30_setup(spark: SparkSession, sf_dir: str, work: str,
 
 def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
               corpus_t: DataFrame, clean_dir: str, admitted_dir: str,
-              rejected_dir: str):
+              rejected_dir: str, fault=None):
     """c30's foreachBatch: probe → reject → quality → chunk-rewrite →
     land → ADMIT (band index + chunk index + coupling frame), all
-    inside the batch. Replay-idempotent by construction: the landing
-    is a dynamic partition overwrite; a replayed chunk append
-    anti-joins to nothing; replayed band-index/admitted rows duplicate
-    storage but never decisions (probes .distinct() candidates, the
-    verify join tolerates duplicate corpus rows) — certified by the
-    mid-drain-kill test.
+    inside the batch. Replay-idempotent by construction — a restart
+    replays a batch whose admission side effects landed as ANY prefix
+    of the gate, and the recompute is byte-identical (round-12 advice;
+    certified by the mid-drain-kill test):
+
+    - the batch's OWN ids are excluded from the probe's old side
+      (left_anti on doc_old): on replay the band index already holds
+      the batch's admitted rows, and without the exclusion every
+      replayed doc would self-match at Jaccard 1.0, be rejected, and
+      the partition overwrite would rewrite the batch WITHOUT it. On
+      a first run the exclusion is a no-op — the index cannot contain
+      the batch's ids before the batch admits them.
+    - the admitted/coupling frame is written BEFORE the band-index
+      append, so the index can never hold a doc the verify-join
+      corpus lacks (the ordering that used to make a kill between the
+      two a permanent raise_error crash loop on restart).
+    - the chunk-rewrite reference subtracts the batch's OWN
+      previously-landed kept chunks (re-chunked from its clean_dir
+      partition — exact, since clean_text re-chunks to the kept
+      chunks): a replay after the chunk append would otherwise see
+      its own chunks in the reference and land the partition empty.
+      First runs and pre-append replays subtract nothing (kept chunks
+      are by definition absent from the pre-batch reference).
+    - the landing is a dynamic partition overwrite; a replayed chunk
+      append anti-joins to nothing; duplicate admitted/index rows
+      cost storage only, never decisions (probes .distinct()
+      candidates, the verify join tolerates duplicate corpus rows).
+
+    ``fault`` is a test seam: called as fault(point, batch_id) after
+    each admission side effect ('post_land', 'post_admit_write',
+    'post_index_append', 'post_chunk_append') so the deterministic
+    crash-window test can kill the gate at EXACTLY the prefixes the
+    replay contract covers, instead of wherever q.stop() happens to
+    land. Production callers pass nothing.
 
     SCOPE: the probe rejects vs corpus ∪ admitted — two near-dup
     copies arriving in the SAME batch both pass (the second is caught
@@ -1510,6 +1543,7 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
     from hcdc_spark.operators.text import (
         append_chunk_index,
         chunk_dedup_rewrite_vs,
+        corpus_chunk_hashes,
     )
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
@@ -1528,6 +1562,13 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
             spark, t_b.select("doc_id", "ws"), table, corpus_cur,
             threshold=0.9,
         )
+        # replay safety: drop hits whose OLD side is one of the
+        # batch's own ids (present in the index only when this batch
+        # already admitted — i.e. on a replay; see docstring)
+        hits = hits.join(
+            t_b.select(F.col("doc_id").alias("doc_old")),
+            "doc_old", "left_anti",
+        )
         (
             hits.select(
                 F.col("doc_new"), F.col("doc_old"),
@@ -1543,9 +1584,28 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
             (word_count("text") >= 5)
             & (count_in_set("text", STOPWORDS) >= 1)
         )
+        # replay safety: subtract the batch's OWN previously-landed
+        # kept chunks from the rewrite reference (exact — clean_text
+        # re-chunks to the kept chunks, and kept chunks are by
+        # definition absent from the pre-batch reference, so the
+        # anti-join restores it; a first run subtracts nothing)
+        ref = spark.table(chunk_table)
+        try:
+            prev_own = spark.read.parquet(clean_dir).where(
+                (F.col("batch") == str(batch_id))
+                & (F.col("clean_text") != "")
+            )
+            ref = ref.join(
+                corpus_chunk_hashes(
+                    prev_own.select(F.col("clean_text").alias("text"))
+                ),
+                "h", "left_anti",
+            )
+        except AnalysisException:
+            pass  # no landings yet (first run of batch 0)
         landed = chunk_dedup_rewrite_vs(
             surv.select("doc_id", "lang", "text"),
-            spark.table(chunk_table),
+            ref,
             carry=("lang",),
         )
         (
@@ -1555,6 +1615,8 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
             .partitionBy("batch")
             .parquet(clean_dir)
         )
+        if fault:
+            fault("post_land", batch_id)
         # ADMIT before the next batch fires — the whole point: band
         # index, chunk index, and the verify-join coupling frame all
         # grow inside the cycle. Re-read the landed batch from the
@@ -1567,8 +1629,14 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
         adm = t_b.join(
             landed_batch.select("doc_id"), "doc_id", "left_semi"
         ).select("doc_id", "ws")
-        D.append_doc_band_index(spark, adm, table, batch_id=batch_id)
+        # coupling frame FIRST, index second: the index must never
+        # hold a doc the verify-join corpus lacks (see docstring)
         adm.write.mode("append").parquet(admitted_dir)
+        if fault:
+            fault("post_admit_write", batch_id)
+        D.append_doc_band_index(spark, adm, table, batch_id=batch_id)
+        if fault:
+            fault("post_index_append", batch_id)
         append_chunk_index(
             spark,
             landed_batch.where(F.col("clean_text") != "").select(
@@ -1578,6 +1646,8 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
         )
         spark.catalog.refreshTable(chunk_table)
         spark.catalog.refreshTable(table)
+        if fault:
+            fault("post_chunk_append", batch_id)
 
     return gate
 

@@ -118,11 +118,17 @@ class _TypedStateCodec:
 
     @staticmethod
     def dump(state: dict[str, Any]) -> tuple:
-        if len(state) != len(_STATE_FIELDS):
+        if set(state) != set(_STATE_FIELDS):
+            # compare the KEY SETS, not the length: a renamed key keeps
+            # the length and used to die later with a bare KeyError; a
+            # simultaneous lose-one/gain-one drift reported only the
+            # extra key (round-12 advice)
             extra = set(state) - set(_STATE_FIELDS)
+            missing = set(_STATE_FIELDS) - set(state)
             raise ValueError(
-                "typed state codec: state dict grew keys outside "
-                f"FILE_STATE_SCHEMA ({sorted(extra)}) — evolve the "
+                "typed state codec: state dict drifted from "
+                f"FILE_STATE_SCHEMA (extra keys: {sorted(extra)}, "
+                f"missing keys: {sorted(missing)}) — evolve the "
                 "schema (or fall back to the JSON codec) instead of "
                 "silently dropping them"
             )

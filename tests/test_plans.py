@@ -1137,6 +1137,61 @@ def test_migrate_band_index_retires_flat_full_scans(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_rebuild_policy_retires_flat_layout(spark, sf_dir, tmp_path):
+    """Round-12 verdict 'next' #4: a legacy FLAT table entering the
+    ingest maintenance loop must exit band-partitioned with NO
+    operator reading a UserWarning — band_index_needs_rebuild flags
+    the layout (any geometry) and rebuild_band_index routes the
+    non-resizable geometries to the migration, so the c28-style
+    policy loop (`if needs_rebuild: rebuild`) is the whole fix.
+    Candidates identical across the rewrite."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7).limit(2)
+    table = "hcdc_band_policy_flat_gate"
+    try:
+        _write_flat_band_index(
+            spark, corpus, table, str(tmp_path / "flat_policy_bi")
+        )
+        assert S.band_index_needs_rebuild(spark, table), (
+            "flat layout must fire the rebuild policy"
+        )
+        nbx = S._band_explode(batch).select(
+            F.col("vec_id").alias("vec_new"), "band", "bucket"
+        )
+        meta = S.read_band_index_meta(spark, table)
+        with _pytest.warns(UserWarning, match="legacy flat layout"):
+            flat_pairs = sorted(
+                tuple(r)
+                for r in S._band_candidates(
+                    spark, table, nbx, meta, "vec_new", "vec_old"
+                ).collect()
+            )
+        # THE POLICY LOOP — exactly c28's two lines
+        if S.band_index_needs_rebuild(spark, table):
+            S.rebuild_band_index(spark, corpus, table)
+        meta2 = S.read_band_index_meta(spark, table)
+        assert meta2["layout"] == "band_partitioned"
+        assert meta2["max_group_rows"] >= 1
+        assert not S.band_index_needs_rebuild(spark, table), (
+            "policy still firing after the migration"
+        )
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # probe no longer warns
+            cand = S._band_candidates(
+                spark, table, nbx, meta2, "vec_new", "vec_old"
+            )
+            assert sorted(tuple(r) for r in cand.collect()) == flat_pairs
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_md5_doc_index_rekeys_on_hot_duplication_cluster(
     spark, sf_dir, tmp_path
 ):

@@ -1046,8 +1046,17 @@ def test_typed_state_codec_refuses_schema_drift():
 
     st = dict(_demo_states()[0])
     st["new_field_from_a_future_round"] = 1
-    with _pytest.raises(ValueError, match="outside FILE_STATE_SCHEMA"):
+    with _pytest.raises(ValueError, match="drifted from FILE_STATE_SCHEMA"):
         C.dump(st)
+    # a RENAMED key keeps the dict length — the length-only check this
+    # replaced passed it and died later with a bare KeyError
+    # (round-12 advice); the set check must name BOTH directions
+    st2 = dict(_demo_states()[0])
+    st2["renamed_path"] = st2.pop("path")
+    with _pytest.raises(ValueError) as exc:
+        C.dump(st2)
+    assert "renamed_path" in str(exc.value)
+    assert "path" in str(exc.value)
 
 
 def test_typed_codec_stream_equals_json_stream(spark, tmp_path, event_log):
@@ -1161,6 +1170,97 @@ def test_c30_batch_admission_survives_mid_drain_kill(
             out, oracle,
             SQ.REG.specs["c30_crawl_batch_admission"].oracle,
             "c30_mid_drain_kill",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {chunk_table}")
+
+
+@pytest.mark.parametrize(
+    "point",
+    ["post_land", "post_admit_write", "post_index_append",
+     "post_chunk_append"],
+)
+def test_c30_replay_safe_at_every_admission_prefix(
+    spark, tmp_path, oracle, sf_dir, point
+):
+    """DETERMINISTIC replay-window coverage for the c30 gate (the
+    mid-drain-kill test above kills wherever q.stop() lands; round-12
+    advice showed specific windows used to break): crash the gate via
+    its fault seam immediately after each admission side effect of
+    batch 1 — landed-but-not-admitted, coupling-frame-written-but-no-
+    index, index-appended-but-no-chunks (the window where replayed
+    docs would self-match their own admitted band rows at Jaccard
+    1.0), and fully-admitted-but-uncommitted (the window where the
+    chunk rewrite would see its own kept chunks in the reference and
+    land the partition empty) — then restart clean and require the
+    landed rollup hash-exact vs the ordered-fold oracle."""
+    import os as _os
+
+    from pyspark.errors import StreamingQueryException
+
+    from hcdc_spark.operators import streaming_queries as SQ
+    from tests.conftest import assert_matches_oracle
+
+    table = f"hcdc_band_c30_fault_{point}"
+    chunk_table = f"hcdc_chunk_c30_fault_{point}"
+    work = str(tmp_path / "w")
+    _os.makedirs(work)
+    try:
+        docs, t, corpus_t, delta_dir = SQ._c30_setup(
+            spark, sf_dir, work, table, chunk_table
+        )
+        clean_dir = str(tmp_path / "clean")
+        admitted_dir = str(tmp_path / "adm")
+        rejected_dir = str(tmp_path / "rej")
+        ckpt = str(tmp_path / "ckpt")
+        fired = []
+
+        def fault(at: str, batch_id: int) -> None:
+            if at == point and batch_id == 1 and not fired:
+                fired.append(at)
+                raise RuntimeError(f"injected crash at {at}")
+
+        def start(f):
+            gate = SQ._c30_gate(
+                spark, table, chunk_table, corpus_t,
+                clean_dir, admitted_dir, rejected_dir, fault=f,
+            )
+            return (
+                spark.readStream
+                .schema("doc_id long, lang string, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+                .writeStream.foreachBatch(gate)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start(fault)
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination(300)
+        assert fired, "fault seam never fired — test covers nothing"
+        q2 = start(None)
+        assert q2.awaitTermination(300)
+
+        out = (
+            spark.read.parquet(clean_dir)
+            .groupBy(F.col("batch").cast("int").alias("batch"), "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chunks").cast("long").alias("n_chunks"),
+                F.sum("n_kept").cast("long").alias("n_kept"),
+                F.sum(F.length("clean_text").cast("long"))
+                .cast("long")
+                .alias("clean_chars"),
+            )
+            .orderBy("batch", "lang")
+        )
+        assert_matches_oracle(
+            out, oracle,
+            SQ.REG.specs["c30_crawl_batch_admission"].oracle,
+            f"c30_replay_{point}",
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
