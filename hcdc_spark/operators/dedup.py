@@ -946,6 +946,25 @@ def compact_doc_band_index(spark: SparkSession, table: str) -> int:
     return compact_band_index(spark, table)
 
 
+def delete_from_doc_band_index(
+    spark: SparkSession, table: str, ids, batch_id: int = 0
+) -> None:
+    """First-class DELETE for the MinHash doc index — the takedown
+    verb (crawl retraction, right-to-be-forgotten) the admission loop
+    needs between cycles: an O(|ids|) tombstone append; probes stop
+    producing candidates for the deleted doc_ids immediately, and the
+    next compact_doc_band_index physically drops their rows. Same
+    generation discipline as append_doc_band_index: the tombstone
+    kills generations <= ``batch_id``, so a RE-crawl of the same
+    doc_id admitted at a later batch serves again. One shared
+    implementation with the embedding index
+    (similarity.delete_from_band_index; the id column comes from the
+    table's metadata)."""
+    from hcdc_spark.operators.similarity import delete_from_band_index
+
+    delete_from_band_index(spark, table, ids, batch_id=batch_id)
+
+
 def incremental_doc_neardup(
     spark: SparkSession,
     new_t: DataFrame,

@@ -1832,6 +1832,21 @@ def rebuild_ivfpq_index(
     _recover_ivfpq_swap(path)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    # apply pending tombstones: drop DEAD ids (tombstoned, no later
+    # re-ingest in the code table) from the caller's corpus so a
+    # rebuild can never resurrect a takedown; the swap clears the
+    # tombstones with the old codes directory
+    tombs = _ivfpq_tombstones(spark, path)
+    if tombs is not None:
+        alive = (
+            _apply_ivfpq_tombstones(
+                spark.read.parquet(f"{path}/codes"), tombs
+            )
+            .select("vec_id")
+            .distinct()
+        )
+        dead = tombs.select("vec_id").join(alive, "vec_id", "left_anti")
+        emb = emb.join(F.broadcast(dead), "vec_id", "left_anti")
     n = emb.count()
     n_cells = ivfpq_scaled_cells(n)
     write_ivfpq_index(spark, emb, tmp, n_cells=n_cells)
@@ -1990,6 +2005,11 @@ def ivfpq_index_search(
     )
     codes = spark.read.parquet(f"{path}/codes").where(
         F.col("cell").isin(probes)
+    )
+    # pending takedowns (delete_from_ivfpq_index): broadcast
+    # anti-join AFTER the cell partition filter — pruning untouched
+    codes = _apply_ivfpq_tombstones(
+        codes, _ivfpq_tombstones(spark, path)
     )
     if exclude_id is not None:
         codes = codes.where(F.col("vec_id") != exclude_id)
@@ -2450,9 +2470,11 @@ def _band_candidates(
             f"{table!r}) once to rewrite it band-partitioned",
             stacklevel=3,
         )
-        idx = spark.table(table).select(
-            "band", "bucket", F.col(id_col).alias(old_col)
-        )
+        idx = _apply_band_tombstones(
+            spark.table(table),
+            _band_tombstones(spark, table, id_col),
+            id_col,
+        ).select("band", "bucket", F.col(id_col).alias(old_col))
         return (
             nbx.join(idx, ["band", "bucket"])
             .select(new_col, old_col)
@@ -2479,7 +2501,11 @@ def _band_candidates(
     else:
         bands = sorted({r["band"] for r in keys})
         buckets = sorted({r["bucket"] for r in keys})
-    idx = spark.table(table).where(F.col("band").isin(bands))
+    idx = _apply_band_tombstones(
+        spark.table(table).where(F.col("band").isin(bands)),
+        _band_tombstones(spark, table, id_col),
+        id_col,
+    )
     n_buckets = int(meta.get("n_buckets", 32))
     # engage file pruning only while the IN-list can select at most
     # half the bucket files — past that it selects (nearly) every file
@@ -2838,6 +2864,97 @@ def q104_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _ivfpq_gen() -> Column:
+    """Generation of an IVF-PQ code row: the build's batch='base' is
+    the oldest (-1), numeric batch ids order by value — the same total
+    order compact_ivfpq_index folds by. A function, not a module
+    constant: building a Column requires an active SparkContext."""
+    return F.when(
+        F.col("batch") == "base", F.lit(-1).cast("long")
+    ).otherwise(F.expr("try_cast(batch AS long)"))
+
+
+def _ivfpq_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """Pending IVF-PQ tombstones as (vec_id, _tomb_gen) — max
+    generation per id — or None when none exist. Stored under
+    ``codes/_tombstones``: underscore dirs are invisible to the code
+    table's partitioned read, and the compaction swap renames the
+    whole codes directory, so applied tombstones vanish ATOMICALLY
+    with the old generation (no crash window where a stale tombstone
+    survives its own application and kills a later re-admission)."""
+    import os
+
+    tdir = os.path.join(path, "codes", "_tombstones")
+    if not os.path.isdir(tdir):
+        return None
+    return (
+        spark.read.parquet(tdir)
+        .groupBy("vec_id")
+        .agg(F.max("gen").alias("_tomb_gen"))
+    )
+
+
+def _apply_ivfpq_tombstones(
+    codes: DataFrame, tombs: DataFrame | None
+) -> DataFrame:
+    """Filter DEAD code rows: dead iff the row's generation (base=-1,
+    numeric batch ids by value) is <= the id's tombstone generation —
+    so a delete at batch g kills the build row and every upsert up to
+    g, and a re-ingest at a later batch resurrects the id. Tombstone
+    side broadcast (takedown sets are O(|ids|)). Rows with a
+    NON-numeric batch id (append's ad-hoc 'delta' default) have no
+    orderable generation; if tombstoned they are dropped — the
+    conservative direction — and compact_ivfpq_index refuses them
+    loudly anyway."""
+    if tombs is None:
+        return codes
+    return (
+        codes.join(F.broadcast(tombs), "vec_id", "left")
+        .where(
+            F.col("_tomb_gen").isNull()
+            | (_ivfpq_gen() > F.col("_tomb_gen"))
+        )
+        .drop("_tomb_gen")
+    )
+
+
+def delete_from_ivfpq_index(
+    spark: SparkSession, path: str, ids, batch_id: int = 0
+) -> None:
+    """First-class DELETE for the IVF-PQ index — the ANN half of the
+    takedown verb (round-12 verdict 'next' #2; band-index twin:
+    delete_from_band_index): an O(|ids|) tombstone append under
+    ``codes/_tombstones``, no code-table scan or rewrite. Searches
+    anti-join the tombstones (broadcast — the pruned cell scan's
+    partition filter is untouched, plan-gated) so a deleted vector
+    stops being returned immediately; compact_ivfpq_index physically
+    drops the dead rows and its swap clears the tombstones. Same
+    generation discipline as upsert: the tombstone kills generations
+    <= ``batch_id``, a later append_ivfpq_delta of the same vec_id
+    (higher batch_id) serves again."""
+    import os
+
+    if batch_id < 0:
+        raise ValueError(
+            f"delete_from_ivfpq_index: batch_id must be >= 0, got "
+            f"{batch_id} (-1 is the base-generation sentinel; a "
+            "tombstone below it would kill nothing)"
+        )
+    _recover_ivfpq_swap(path)
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col("vec_id").cast("long").alias("vec_id"))
+    else:
+        df = spark.createDataFrame(
+            [(int(i),) for i in ids], "vec_id long"
+        )
+    (
+        df.withColumn("gen", F.lit(int(batch_id)).cast("long"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(path, "codes", "_tombstones"))
+    )
+
+
 def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
     """Fold the code table's accumulated batch partitions back into a
     single batch=base generation — the index lifecycle's fourth leg
@@ -2906,13 +3023,16 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
             f"must be 'base' or numeric and >= 0, got {names} — re-append "
             "with a non-negative numeric batch_id before compacting"
         )
-    gen = F.when(F.col("batch") == "base", F.lit(-1).cast("long")).otherwise(
-        F.expr("try_cast(batch AS long)")
+    w = Window.partitionBy("vec_id").orderBy(_ivfpq_gen().desc())
+    latest = codes.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
     )
-    w = Window.partitionBy("vec_id").orderBy(gen.desc())
+    # physically drop tombstoned rows (delete_from_ivfpq_index): the
+    # gen-aware filter runs while the original batch column is still
+    # attached; the swap below then renames the old codes dir away —
+    # applied tombstones (living under it) vanish atomically with it
     latest = (
-        codes.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        _apply_ivfpq_tombstones(latest, _ivfpq_tombstones(spark, path))
         .drop("_rn", "batch")
         .withColumn("batch", F.lit("base"))
     )
@@ -3274,6 +3394,21 @@ def rebuild_band_index(
             "never re-sized (its queries carry explicit caps instead)"
         )
     id_col = meta["id_col"]
+    # apply pending tombstones (delete_from_band_index): drop DEAD ids
+    # — tombstoned with no later re-admission in the index — from the
+    # caller's corpus before re-banding, so a rebuild can never
+    # resurrect a takedown (the swap then clears the tombstones with
+    # the old files). An id re-admitted after its delete stays: its
+    # index rows outlive the tombstone generation.
+    tombs = _band_tombstones(spark, table, id_col)
+    if tombs is not None:
+        alive = (
+            _apply_band_tombstones(spark.table(table), tombs, id_col)
+            .select(id_col)
+            .distinct()
+        )
+        dead = tombs.select(id_col).join(alive, id_col, "left_anti")
+        corpus = corpus.join(F.broadcast(dead), id_col, "left_anti")
     n = corpus.select(id_col).distinct().count()
     bits = neardup_scaled_bits(n, meta["target_bucket_rows"])
     n_bands = neardup_scaled_bands(bits)
@@ -3385,8 +3520,14 @@ def compact_band_index(spark: SparkSession, table: str) -> int:
         .where(F.col("gen") == F.col("_max_gen"))
         .select(*rows.columns)
         .distinct()
-        .withColumn("gen", F.lit(-1).cast("long"))
     )
+    # physically drop tombstoned rows (delete_from_band_index) — the
+    # gen-aware filter runs BEFORE the base-generation fold below, and
+    # the swap removes the applied tombstones atomically with the old
+    # files (they live under the old table location)
+    survivors = _apply_band_tombstones(
+        survivors, _band_tombstones(spark, table, id_col), id_col
+    ).withColumn("gen", F.lit(-1).cast("long"))
 
     def write_stage(stage_table: str, stage_path: str) -> None:
         write_band_index_rows(
@@ -3399,6 +3540,104 @@ def compact_band_index(spark: SparkSession, table: str) -> int:
     _swap_band_table(spark, table, write_stage)
     out = spark.table(table)
     return out.count()
+
+
+def _band_tombstones(
+    spark: SparkSession, table: str, id_col: str
+) -> DataFrame | None:
+    """The index's pending tombstones as (id_col, _tomb_gen) — the MAX
+    tombstone generation per id — or None when none exist. Stored
+    under ``<table location>/_tombstones`` on purpose: underscore-
+    prefixed directories are invisible to Spark's file listing, so the
+    table scan never reads them, and the stage-and-swap rewrites
+    (compact/rebuild/migrate) drop them ATOMICALLY with the old files
+    — a compaction that physically removed tombstoned rows can never
+    leave a stale tombstone behind to kill a later re-admission (the
+    same trick the IVF-PQ code table uses under codes/_tombstones).
+
+    The driver-side existence check is deliberate: with no tombstone
+    directory the probe plan is BYTE-IDENTICAL to the pre-delete plan
+    (zero cost for the overwhelmingly common no-takedown case;
+    plan-gated in tests/test_plans.py)."""
+    import os
+
+    path = os.path.join(_table_location(spark, table), "_tombstones")
+    if not os.path.isdir(path):
+        return None
+    return (
+        spark.read.parquet(path)
+        .groupBy(id_col)
+        .agg(F.max("gen").alias("_tomb_gen"))
+    )
+
+
+def _apply_band_tombstones(
+    idx: DataFrame, tombs: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Filter DEAD index rows: a row is dead iff its id carries a
+    tombstone with generation >= the row's own — so a delete at batch
+    g kills the build rows (gen -1) and every admission up to g, while
+    a RE-admission at a later generation resurrects the id (T27's
+    keep-latest semantics extended with a delete verb). The tombstone
+    side is a broadcast (takedown sets are O(|ids|), never corpus-
+    sized), so the index side's bucketed distribution survives and the
+    candidate join downstream stays exchange-free."""
+    if tombs is None:
+        return idx
+    return (
+        idx.join(F.broadcast(tombs), id_col, "left")
+        .where(
+            F.col("_tomb_gen").isNull()
+            | (F.col("gen") > F.col("_tomb_gen"))
+        )
+        .drop("_tomb_gen")
+    )
+
+
+def delete_from_band_index(
+    spark: SparkSession, table: str, ids, batch_id: int = 0
+) -> None:
+    """First-class DELETE for a band index — the lifecycle verb
+    takedowns/right-to-be-forgotten/crawl retractions need (round-12
+    verdict 'next' #2; the reference analog is the delete-state leg of
+    T27, CDCChangeDeltaProcessor.java:122-138 / FileStateHelper.java:
+    299-317): an O(|ids|) TOMBSTONE append — no index scan, no
+    rewrite. Probes anti-join candidates against the tombstones
+    (broadcast, bucket-alignment preserved — plan-gated) so a deleted
+    id stops producing candidates immediately; compact_band_index
+    physically drops the dead rows and the swap clears the tombstones.
+
+    ``ids`` is a DataFrame carrying the index's id column, or a plain
+    iterable of ids. ``batch_id`` is the delete's GENERATION, with the
+    same discipline as append: the tombstone kills rows with gen <=
+    batch_id, so a later re-admission (higher batch_id) of the same id
+    goes live again — delete-then-readmit needs strictly increasing
+    batch ids, exactly like re-ingest. Deleting an id the index never
+    held is a no-op; repeating a delete appends duplicate tombstone
+    rows (resolved by MAX at read, reclaimed at compaction)."""
+    import os
+
+    if batch_id < 0:
+        raise ValueError(
+            f"delete_from_band_index: batch_id must be >= 0, got "
+            f"{batch_id} (-1 is the build-generation sentinel; a "
+            "tombstone below it would kill nothing)"
+        )
+    _finish_interrupted_band_swap(spark, table)
+    meta = read_band_index_meta(spark, table)
+    id_col = meta["id_col"]
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(id_col).cast("long").alias(id_col))
+    else:
+        df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    path = os.path.join(_table_location(spark, table), "_tombstones")
+    (
+        df.withColumn("gen", F.lit(int(batch_id)).cast("long"))
+        .coalesce(1)  # takedown sets are small; one file per delete
+        .write.mode("append").parquet(path)
+    )
 
 
 def migrate_band_index(spark: SparkSession, table: str) -> dict:

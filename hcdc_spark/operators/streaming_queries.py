@@ -1374,6 +1374,11 @@ def c26_crawl_ingest_pipeline(
 #: filter excludes them without a magnitude test.
 _C30_COPY = 1_000_000
 _C30_SHARE = 2_000_000
+#: c32's SAME-batch plants: exact copies of batch-1 docs riding in
+#: batch 1 itself (parent + 3e6 keeps doc_id % 30 == 13 and % 10 == 3)
+#: — the pair the corpus probe structurally cannot catch, and the
+#: self_dedup arm must.
+_C32_SELF = 3_000_000
 
 
 def _c30_plant_sqls() -> tuple[str, str]:
@@ -1427,11 +1432,14 @@ def _c30_plants(docs: DataFrame) -> DataFrame:
 
 
 def _c30_setup(spark: SparkSession, sf_dir: str, work: str,
-               table: str, chunk_table: str):
+               table: str, chunk_table: str, self_plants: bool = False):
     """Build c30's corpus artifacts (doc band index + chunk index) and
     the THREE ordered delta files. Returns (docs, t, corpus_t,
     delta_dir). Shared by the driver row and the mid-drain-kill chaos
-    test (tests/test_streaming.py)."""
+    test (tests/test_streaming.py). With ``self_plants`` (c32), batch
+    1 additionally carries exact copies of its OWN docs at
+    parent + _C32_SELF — the same-batch pair only the self_dedup arm
+    can catch."""
     import glob
 
     from hcdc_spark.catalog import table_path
@@ -1443,6 +1451,13 @@ def _c30_setup(spark: SparkSession, sf_dir: str, work: str,
     raw = docs.select("doc_id", "lang", "text").unionByName(
         _c30_plants(docs)
     )
+    if self_plants:
+        raw = raw.unionByName(
+            docs.where(F.col("doc_id") % 30 == 13).select(
+                (F.col("doc_id") + F.lit(_C32_SELF)).alias("doc_id"),
+                "lang", "text",
+            )
+        )
     t = raw.select(
         "doc_id", "lang", "text", distinct_words("text").alias("ws")
     ).where(F.size("ws") > 0)
@@ -1453,11 +1468,18 @@ def _c30_setup(spark: SparkSession, sf_dir: str, work: str,
         # parent + 1e6 and 1e6 % 30 == 10, so plant ids ≡ 13 (mod 30)
         # — without the bound they would ride in BOTH this delta and
         # delta 2, while the oracle's bat CTE assigns them to batch 2
-        # only (round-12 advice)
-        t.where((F.col("doc_id") % 30 == 13) & (F.col("doc_id") < _C30_COPY)),
+        # only (round-12 advice). Self plants (>= _C32_SELF, c32 only)
+        # ride WITH their parents in this delta by design.
+        t.where(
+            ((F.col("doc_id") % 30 == 13) & (F.col("doc_id") < _C30_COPY))
+            | (F.col("doc_id") >= _C32_SELF)
+        ),
         t.where(
             ((F.col("doc_id") % 30 == 23) & (F.col("doc_id") < _C30_COPY))
-            | (F.col("doc_id") >= _C30_COPY)
+            | (
+                (F.col("doc_id") >= _C30_COPY)
+                & (F.col("doc_id") < _C32_SELF)
+            )
         ),
     ]
     D.write_doc_band_index(
@@ -1486,7 +1508,7 @@ def _c30_setup(spark: SparkSession, sf_dir: str, work: str,
 
 def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
               corpus_t: DataFrame, clean_dir: str, admitted_dir: str,
-              rejected_dir: str, fault=None):
+              rejected_dir: str, fault=None, self_dedup: bool = False):
     """c30's foreachBatch: probe → reject → quality → chunk-rewrite →
     land → ADMIT (band index + chunk index + coupling frame), all
     inside the batch. Replay-idempotent by construction — a restart
@@ -1526,11 +1548,14 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
 
     SCOPE: the probe rejects vs corpus ∪ admitted — two near-dup
     copies arriving in the SAME batch both pass (the second is caught
-    only next cycle, once the first is indexed). Deployments that need
-    within-batch self-dedup run dedup.batch_self_neardup_keep_first on
-    ``t_b`` first (batch-sized, oracle-gated in
-    test_text_dedup_similarity); c30's oracle models the gate WITHOUT
-    that step, so it stays out of this composition on purpose."""
+    only next cycle, once the first is indexed) UNLESS ``self_dedup``
+    is set: then dedup.batch_self_neardup_keep_first runs on ``t_b``
+    BEFORE the probe (q105's monotone keep-first rule — batch-sized,
+    deterministic on batch content, so replay-safe by construction)
+    and the pair never co-admits. c30's oracle models the gate WITHOUT
+    that step (self_dedup=False — its registry contract); c32 drives
+    the arm with planted same-batch copies and the q105-rule-extended
+    oracle."""
     from pyspark.errors import AnalysisException
 
     from hcdc_spark.functions.text import (
@@ -1551,6 +1576,12 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
             "doc_id", "lang", "text",
             distinct_words("text").alias("ws"),
         ).where(F.size("ws") > 0)
+        if self_dedup:
+            # the within-batch step FIRST: a doc is dropped iff its
+            # exact Jaccard to ANY lower-id doc in the same batch
+            # reaches the threshold — the docs the corpus probe below
+            # structurally cannot see (q105; batch-sized, O(|batch|))
+            t_b = D.batch_self_neardup_keep_first(t_b, threshold=0.9)
         corpus_cur = corpus_t.select("doc_id", "ws")
         try:
             corpus_cur = corpus_cur.unionByName(
@@ -1652,12 +1683,15 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
     return gate
 
 
-def _c30_oracle() -> str:
+def _c30_oracle(self_dedup: bool = False) -> str:
     """The ordered-batch crawl-admission fold, unrolled relationally:
     batch i's near-dup gate sees corpus ∪ admitted(<i), batch i's
     chunk rewrite sees corpus chunks ∪ kept chunks(<i) — the SQL
     mirror of per-batch admission (c26's CTE chain iterated, with the
-    reference sets growing between iterations)."""
+    reference sets growing between iterations). With ``self_dedup``
+    (c32) each batch CTE first applies q105's monotone keep-first rule
+    over ALL within-batch pairs — docs it rejects never probe, never
+    land, never admit — and batch 1 carries the same-batch plants."""
     from hcdc_spark.functions.text import STOPWORDS, duck_in_set
     from hcdc_spark.operators.dedup import _DW, Q73_BANDS, Q73_HASHES
     from hcdc_spark.operators.text import _W, DEDUP_CHUNK_WORDS
@@ -1665,16 +1699,25 @@ def _c30_oracle() -> str:
     rows = Q73_HASHES // Q73_BANDS
     k = DEDUP_CHUNK_WORDS
     exact, share = _c30_plant_sqls()
+    selfp = f"""
+      UNION ALL
+      SELECT documents.doc_id + {_C32_SELF} AS doc_id, lang, text
+      FROM documents WHERE doc_id % 30 = 13 AND len({_DW}) > 0
+    """ if self_dedup else ""
+    self_case = (
+        f"WHEN doc_id >= {_C32_SELF} THEN 1\n                          "
+        if self_dedup else ""
+    )
     head = f"""
     WITH raw AS (
       SELECT doc_id, lang, text FROM documents
       UNION ALL {exact}
-      UNION ALL {share}
+      UNION ALL {share}{selfp}
     ), t AS (
       SELECT doc_id, lang, text, {_DW} AS ws FROM raw
       WHERE len({_DW}) > 0
     ), bat AS (
-      SELECT doc_id, CASE WHEN doc_id >= {_C30_COPY} THEN 2
+      SELECT doc_id, CASE {self_case}WHEN doc_id >= {_C30_COPY} THEN 2
                           WHEN doc_id % 30 = 3 THEN 0
                           WHEN doc_id % 30 = 13 THEN 1
                           ELSE 2 END AS bno
@@ -1706,11 +1749,35 @@ def _c30_oracle() -> str:
     parts = [head]
     old_ids = "SELECT doc_id FROM t WHERE doc_id % 10 <> 3"
     for i in range(3):
+        if self_dedup:
+            # q105's monotone keep-first rule over ALL within-batch
+            # pairs, applied BEFORE the corpus gate — a hash match
+            # therefore also certifies banding recall, exactly as in
+            # the q105 registry row
+            parts.append(f""", selfrej_{i} AS (
+      SELECT DISTINCT y.doc_id
+      FROM sized x JOIN bat bx ON x.doc_id = bx.doc_id
+      JOIN sized y ON x.doc_id < y.doc_id
+      JOIN bat bb ON y.doc_id = bb.doc_id
+      WHERE bx.bno = {i} AND bb.bno = {i}
+        AND CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+            / (x.n + y.n - len(list_intersect(x.ws, y.ws))) >= 0.9
+    )""")
+            self_filter = (
+                f"\n        AND a.doc_id NOT IN "
+                f"(SELECT doc_id FROM selfrej_{i})"
+            )
+            self_gate = (
+                f"\n        AND t.doc_id NOT IN "
+                f"(SELECT doc_id FROM selfrej_{i})"
+            )
+        else:
+            self_filter = self_gate = ""
         parts.append(f""", cand_{i} AS (
       SELECT DISTINCT a.doc_id AS doc_new, o.doc_id AS doc_old
       FROM bands a JOIN bands o
         ON a.band = o.band AND a.bucket = o.bucket
-      WHERE a.doc_id IN (SELECT doc_id FROM bat WHERE bno = {i})
+      WHERE a.doc_id IN (SELECT doc_id FROM bat WHERE bno = {i}){self_filter}
         AND o.doc_id IN ({old_ids})
     ), rejected_{i} AS (
       SELECT DISTINCT doc_new FROM cand_{i}
@@ -1721,7 +1788,7 @@ def _c30_oracle() -> str:
     ), gated_{i} AS (
       SELECT t.doc_id, t.lang, t.text
       FROM t JOIN bat ON t.doc_id = bat.doc_id
-      WHERE bat.bno = {i}
+      WHERE bat.bno = {i}{self_gate}
         AND t.doc_id NOT IN (SELECT doc_new FROM rejected_{i})
         AND len({_W}) >= 5 AND {duck_in_set(STOPWORDS, _W)} >= 1
     ), chunks_{i} AS (
@@ -1902,6 +1969,443 @@ def c30_crawl_batch_admission(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {chunk_table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@REG.add(
+    "c32_crawl_self_dedup_gate",
+    _c30_oracle(self_dedup=True),
+    doc="The crawl admission loop with the WITHIN-BATCH self-dedup "
+    "arm composed in (round-12 verdict 'next' #3): c30's per-batch "
+    "admission gate with self_dedup=True, so each micro-batch first "
+    "runs dedup.batch_self_neardup_keep_first (q105's monotone "
+    "keep-first rule: a doc is dropped iff its exact word-set Jaccard "
+    "to ANY lower-id doc in the SAME batch reaches 0.9 — the pair the "
+    "corpus probe structurally cannot see, since neither copy is "
+    "indexed yet) and only the survivors probe the band index, pass "
+    "quality, chunk-rewrite, land and admit. Batch 1 carries planted "
+    "SAME-batch exact copies of its own docs (parent + 3e6): the "
+    "in-row teeth assert NO self plant ever lands (the pair never "
+    "co-admits — a hit raises, the driver row reds) while at least "
+    "one plant PARENT does (keep-first kept the right side). c30's "
+    "cross-batch plants stay in place, so per-batch admission is "
+    "re-proven in the same run. Oracle: c30's ordered-batch CTE chain "
+    "with q105's all-pairs rule applied to each batch CTE before "
+    "gating — hash-exact per (batch, lang) rollup, which also "
+    "certifies banding recall at the 0.9 threshold (the oracle "
+    "computes ALL pairs; the engine only banded candidates). The "
+    "step is batch-sized — O(|batch|) banded self-join per trigger, "
+    "never corpus-touching — so the composed gate keeps c30's "
+    "O(|batch|) per-cycle cost.",
+    tags=("streaming", "dedup", "text", "pipeline", "index", "lsh"),
+)
+def c32_crawl_self_dedup_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    table = "hcdc_doc_band_index_c32"
+    chunk_table = "hcdc_chunk_index_c32"
+    work = tempfile.mkdtemp(prefix="hcdc_c32_")
+    try:
+        docs, t, corpus_t, delta_dir = _c30_setup(
+            spark, sf_dir, work, table, chunk_table, self_plants=True
+        )
+        clean_dir = os.path.join(work, "clean")
+        admitted_dir = os.path.join(work, "admitted")
+        rejected_dir = os.path.join(work, "rejected")
+        gate = _c30_gate(
+            spark, table, chunk_table, corpus_t,
+            clean_dir, admitted_dir, rejected_dir, self_dedup=True,
+        )
+        with _small_shuffle(spark):
+            q = (
+                spark.readStream
+                .schema("doc_id long, lang string, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+                .writeStream.foreachBatch(gate)
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_drained(q, "c32_crawl_self_dedup_gate")
+
+        landed_all = spark.read.parquet(clean_dir)
+        # teeth: the same-batch pair NEVER co-admits — no self plant
+        # (an exact copy of a doc in its own batch) may land, ever
+        leaked = landed_all.where(
+            F.col("doc_id") >= _C32_SELF
+        ).count()
+        if leaked:
+            raise AssertionError(
+                f"c32: {leaked} same-batch cop(ies) co-admitted — the "
+                "self-dedup arm is not running before the gate"
+            )
+        # ... and non-vacuously: at least one plant PARENT landed
+        # (keep-first kept the lower id of the planted pair)
+        parents_landed = (
+            t.where(F.col("doc_id") >= _C32_SELF)
+            .select(
+                (F.col("doc_id") - F.lit(_C32_SELF)).alias("doc_id")
+            )
+            .join(landed_all.where(F.col("batch") == "1"), "doc_id",
+                  "left_semi")
+            .count()
+        )
+        if parents_landed == 0:
+            raise AssertionError(
+                "c32: no planted parent landed — keep-first dropped "
+                "the wrong side (or the plants missed the batch)"
+            )
+        out = (
+            landed_all.groupBy(
+                F.col("batch").cast("int").alias("batch"), "lang"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chunks").cast("long").alias("n_chunks"),
+                F.sum("n_kept").cast("long").alias("n_kept"),
+                F.sum(F.length("clean_text").cast("long"))
+                .cast("long")
+                .alias("clean_chars"),
+            )
+            .orderBy("batch", "lang")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {chunk_table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _c31_oracle() -> str:
+    """c30's ordered-batch admission fold with a DELETE SET applied
+    between iterations: iteration 0's old side is the corpus, and
+    every later iteration's old side is (corpus ∪ admissions so far)
+    EXCEPT the takedown set — the relational mirror of
+    delete_from_doc_band_index firing at the top of cycle 2 (batch 1).
+    No chunk leg (c31 isolates the index-lifecycle verb; c30 carries
+    the chunk story)."""
+    from hcdc_spark.operators.dedup import _DW, Q73_BANDS, Q73_HASHES
+
+    rows = Q73_HASHES // Q73_BANDS
+    head = f"""
+    WITH raw AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT documents.doc_id + {_C30_COPY} AS doc_id, lang, text
+      FROM documents WHERE doc_id % 30 = 3 AND len({_DW}) > 0
+    ), t AS (
+      SELECT doc_id, lang, {_DW} AS ws FROM raw
+      WHERE len({_DW}) > 0
+    ), bat AS (
+      SELECT doc_id, CASE WHEN doc_id >= {_C30_COPY} THEN 2
+                          WHEN doc_id % 30 = 3 THEN 0
+                          WHEN doc_id % 30 = 13 THEN 1
+                          ELSE 2 END AS bno
+      FROM t WHERE doc_id % 10 = 3
+    ), del AS (
+      SELECT doc_id FROM t
+      WHERE doc_id % 60 = 3 AND doc_id < {_C30_COPY}
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS w FROM t
+    ), mh AS (
+      SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || w)) AS h
+      FROM tok CROSS JOIN range({Q73_HASHES}) r(i)
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, i // {rows} AS band,
+             md5(string_agg(h, '|' ORDER BY i)) AS bucket
+      FROM mh GROUP BY doc_id, i // {rows}
+    ), sized AS (
+      SELECT doc_id, len(ws) AS n, ws FROM t
+    )"""
+    parts = [head]
+    old_ids = "SELECT doc_id FROM t WHERE doc_id % 10 <> 3"
+    for i in range(3):
+        live = old_ids if i == 0 else (
+            f"{old_ids} EXCEPT SELECT doc_id FROM del"
+        )
+        parts.append(f""", cand_{i} AS (
+      SELECT DISTINCT a.doc_id AS doc_new, o.doc_id AS doc_old
+      FROM bands a JOIN bands o
+        ON a.band = o.band AND a.bucket = o.bucket
+      WHERE a.doc_id IN (SELECT doc_id FROM bat WHERE bno = {i})
+        AND o.doc_id IN ({live})
+    ), rejected_{i} AS (
+      SELECT DISTINCT doc_new FROM cand_{i}
+      JOIN sized x ON doc_new = x.doc_id
+      JOIN sized y ON doc_old = y.doc_id
+      WHERE CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+            / (x.n + y.n - len(list_intersect(x.ws, y.ws))) >= 0.9
+    ), gated_{i} AS (
+      SELECT t.doc_id, t.lang, len(t.ws) AS n_words
+      FROM t JOIN bat ON t.doc_id = bat.doc_id
+      WHERE bat.bno = {i}
+        AND t.doc_id NOT IN (SELECT doc_new FROM rejected_{i})
+    )""")
+        old_ids += f" UNION SELECT doc_id FROM gated_{i}"
+    parts.append("""
+    SELECT batch, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words
+    FROM (
+      SELECT 0 AS batch, * FROM gated_0
+      UNION ALL SELECT 1 AS batch, * FROM gated_1
+      UNION ALL SELECT 2 AS batch, * FROM gated_2
+    )
+    GROUP BY batch, lang
+    ORDER BY batch, lang
+    """)
+    return "".join(parts)
+
+
+@REG.add(
+    "c31_index_takedown",
+    _c31_oracle(),
+    doc="Index TAKEDOWN inside the per-batch admission loop — the "
+    "lifecycle verb the round-12 verdict mandated (#2; reference "
+    "analog: the delete-state leg of T27, CDCChangeDeltaProcessor."
+    "java:122-138 / FileStateHelper.markDeleted): three document "
+    "batches stream through a c30-style admission gate (probe the "
+    "MinHash band index vs corpus ∪ previously admitted, reject "
+    "Jaccard >= 0.9, land, admit), and AT THE TOP OF CYCLE 2 a "
+    "takedown set (every doc_id % 60 == 3 — half of batch 0's "
+    "admissions) is DELETED via delete_from_doc_band_index: an "
+    "O(|ids|) tombstone append, no index rewrite, probes anti-join "
+    "it broadcast with the index side still bucket-aligned "
+    "(plan-gated in tests/test_plans.py). Batch 2 carries planted "
+    "BYTE-IDENTICAL copies of every batch-0 doc: copies of DELETED "
+    "parents must ADMIT (the takedown removed the only >= 0.9 match "
+    "— asserted in-row from the landed partition) while copies of "
+    "KEPT parents must be REJECTED against them (deletes are "
+    "id-targeted, not a wipe — asserted from the rejection pairs), "
+    "and no rejection anywhere may cite a deleted doc_old (asserted; "
+    "a miss raises, the driver row reds). The ANN half runs in-row "
+    "too: an IVF-PQ index is built, the top result deleted via "
+    "delete_from_ivfpq_index, and the re-search must not return it. "
+    "Oracle: c30's ordered-batch CTE chain with the delete set "
+    "EXCEPTed from every later iteration's old side — hash-exact per "
+    "(batch, lang) rollup. Generation discipline: the tombstone at "
+    "gen 1 kills the build (-1) and batch-0 (0) rows, while later "
+    "admissions (gen >= 2) of the same id would serve again; "
+    "compaction physically drops the dead rows and clears the "
+    "tombstones (pytest-gated lifecycle).",
+    tags=("streaming", "dedup", "index", "maintenance"),
+)
+def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from pyspark.errors import AnalysisException
+
+    from hcdc_spark.catalog import table_path
+    from hcdc_spark.functions.text import distinct_words
+    from hcdc_spark.operators import dedup as D
+    from hcdc_spark.operators import similarity as S
+
+    table = "hcdc_doc_band_index_c31"
+    work = tempfile.mkdtemp(prefix="hcdc_c31_")
+    try:
+        docs = spark.read.parquet(table_path(sf_dir, "documents"))
+        parents = docs.where(
+            (F.col("doc_id") % 30 == 3)
+            & (F.size(distinct_words("text")) > 0)
+        )
+        raw = docs.select("doc_id", "lang", "text").unionByName(
+            parents.select(
+                (F.col("doc_id") + F.lit(_C30_COPY)).alias("doc_id"),
+                "lang", "text",
+            )
+        )
+        t = raw.select(
+            "doc_id", "lang", "text", distinct_words("text").alias("ws")
+        ).where(F.size("ws") > 0)
+        corpus_t = t.where(F.col("doc_id") % 10 != 3)
+        batches = [
+            t.where(
+                (F.col("doc_id") % 30 == 3) & (F.col("doc_id") < _C30_COPY)
+            ),
+            t.where(
+                (F.col("doc_id") % 30 == 13) & (F.col("doc_id") < _C30_COPY)
+            ),
+            t.where(
+                ((F.col("doc_id") % 30 == 23) & (F.col("doc_id") < _C30_COPY))
+                | (F.col("doc_id") >= _C30_COPY)
+            ),
+        ]
+        D.write_doc_band_index(
+            spark, corpus_t.select("doc_id", "ws"), table,
+            os.path.join(work, "doc_index"),
+        )
+        delta_dir = os.path.join(work, "delta")
+        os.makedirs(delta_dir)
+        now = int(os.stat(work).st_mtime)
+        for i, b in enumerate(batches):
+            stage = os.path.join(work, f"stage_{i}")
+            b.select("doc_id", "lang", "text").coalesce(1).write.parquet(
+                stage
+            )
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(delta_dir, f"d{i}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+        del_ids = sorted(
+            r["doc_id"]
+            for r in t.where(
+                (F.col("doc_id") % 60 == 3) & (F.col("doc_id") < _C30_COPY)
+            ).select("doc_id").collect()
+        )
+        landed_dir = os.path.join(work, "landed")
+        admitted_dir = os.path.join(work, "admitted")
+        rejected_dir = os.path.join(work, "rejected")
+
+        def gate(batch_df: DataFrame, batch_id: int) -> None:
+            # the takedown arrives WITH cycle 2 — before its probe, so
+            # this cycle's and every later cycle's gates see it.
+            # Replayed deletes append duplicate tombstone rows: same
+            # max-generation, same decisions.
+            if batch_id == 1:
+                D.delete_from_doc_band_index(
+                    spark, table, del_ids, batch_id=1
+                )
+            t_b = batch_df.select(
+                "doc_id", "lang", distinct_words("text").alias("ws")
+            ).where(F.size("ws") > 0)
+            corpus_cur = corpus_t.select("doc_id", "ws")
+            try:
+                corpus_cur = corpus_cur.unionByName(
+                    spark.read.parquet(admitted_dir)
+                )
+            except AnalysisException:
+                pass  # nothing admitted yet (batch 0)
+            hits = D.incremental_doc_neardup(
+                spark, t_b.select("doc_id", "ws"), table, corpus_cur,
+                threshold=0.9,
+            ).join(  # replay safety: c30's own-id exclusion
+                t_b.select(F.col("doc_id").alias("doc_old")),
+                "doc_old", "left_anti",
+            )
+            (
+                hits.select(
+                    "doc_new", "doc_old", F.lit(batch_id).alias("batch")
+                )
+                .distinct()
+                .write.mode("append").parquet(rejected_dir)
+            )
+            surv = t_b.join(
+                hits.select(F.col("doc_new").alias("doc_id")).distinct(),
+                "doc_id", "left_anti",
+            )
+            (
+                surv.select("doc_id", "lang", F.size("ws").alias("n_words"))
+                .withColumn("batch", F.lit(str(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(landed_dir)
+            )
+            landed_b = spark.read.parquet(landed_dir).where(
+                F.col("batch") == str(batch_id)
+            )
+            adm = t_b.join(
+                landed_b.select("doc_id"), "doc_id", "left_semi"
+            ).select("doc_id", "ws")
+            adm.write.mode("append").parquet(admitted_dir)
+            D.append_doc_band_index(spark, adm, table, batch_id=batch_id)
+            spark.catalog.refreshTable(table)
+
+        with _small_shuffle(spark):
+            q = (
+                spark.readStream
+                .schema("doc_id long, lang string, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(delta_dir)
+                .writeStream.foreachBatch(gate)
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_drained(q, "c31_index_takedown")
+
+        # teeth 1: no rejection anywhere cites a deleted doc_old
+        rej = spark.read.parquet(rejected_dir)
+        ghosts = rej.where(F.col("doc_old").isin(del_ids)).count()
+        if ghosts:
+            raise AssertionError(
+                f"c31: {ghosts} rejection(s) cite a DELETED doc_old — "
+                "the tombstone anti-join is not reaching the probe"
+            )
+        landed_all = spark.read.parquet(landed_dir)
+        adm0 = set(
+            r["doc_id"]
+            for r in landed_all.where(F.col("batch") == "0")
+            .select("doc_id").collect()
+        )
+        # teeth 2: a byte-identical copy of an admitted-then-DELETED
+        # parent ADMITS in cycle 3
+        deleted_admitted = [d for d in del_ids if d in adm0]
+        if not deleted_admitted:
+            raise AssertionError("c31: takedown set hit no admission")
+        readmitted = landed_all.where(
+            F.col("doc_id").isin(
+                [d + _C30_COPY for d in deleted_admitted]
+            )
+        ).count()
+        if readmitted == 0:
+            raise AssertionError(
+                "c31: no copy of a deleted parent was re-admitted — "
+                "the takedown did not free its near-dup slot"
+            )
+        # teeth 3: copies of KEPT parents still reject AGAINST them
+        kept = [d for d in sorted(adm0) if d not in del_ids]
+        targeted = rej.where(
+            (F.col("batch") == 2)
+            & F.col("doc_old").isin(kept)
+            & (F.col("doc_new") == F.col("doc_old") + _C30_COPY)
+        ).count()
+        if targeted == 0:
+            raise AssertionError(
+                "c31: no kept parent rejected its own copy — the "
+                "delete wiped more than its id set"
+            )
+        # teeth 4 (the ANN half): a deleted vector stops being returned
+        emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+        qv = emb.where(F.col("vec_id") == 0).select(
+            "embedding"
+        ).collect()[0][0]
+        idx = os.path.join(work, "ivfpq")
+        S.write_ivfpq_index(spark, emb, idx)
+        victim = S.ivfpq_index_search(
+            spark, idx, qv, exclude_id=0
+        ).collect()[0]["vec_id"]
+        S.delete_from_ivfpq_index(spark, idx, [victim], batch_id=1)
+        still = {
+            r["vec_id"]
+            for r in S.ivfpq_index_search(
+                spark, idx, qv, exclude_id=0
+            ).collect()
+        }
+        if victim in still:
+            raise AssertionError(
+                f"c31: deleted vector {victim} still returned by the "
+                "IVF-PQ search"
+            )
+        out = (
+            landed_all.groupBy(
+                F.col("batch").cast("int").alias("batch"), "lang"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").cast("long").alias("n_words"),
+            )
+            .orderBy("batch", "lang")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(work, ignore_errors=True)
 
 

@@ -1353,3 +1353,109 @@ def test_q105_self_dedup_join_is_equi_keyed(spark, sf_dir):
     p = I.simple_plan(df)
     assert "pythonudf" not in p.lower()
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_band_tombstone_anti_join_stays_bucket_aligned(
+    spark, sf_dir, tmp_path
+):
+    """Plan gate for the index DELETE (round-12 verdict 'next' #2):
+    applying pending tombstones must not cost the probe its layout
+    wins. With NO tombstone directory the probe plan is byte-identical
+    to the pre-delete plan (driver-side existence check — the
+    common no-takedown case pays zero). WITH tombstones the filter
+    rides as a BROADCAST join against the pruned index scan, so the
+    index side stays bucket-aligned (one Bucketed: true scan, no new
+    exchange) and the band-dir PartitionFilters survive; candidates
+    lose exactly the tombstoned ids."""
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7)
+    table = "hcdc_band_tomb_gate"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(bcast)
+    try:
+        S.write_band_index(
+            spark, corpus, table, str(tmp_path / "tomb_bi")
+        )
+        spark.conf.set(bcast, "-1")
+        meta = S.read_band_index_meta(spark, table)
+        nbx = S._band_explode(batch).select(
+            F.col("vec_id").alias("vec_new"), "band", "bucket"
+        )
+        import re as _re
+
+        def shape(df):  # plan modulo expression/plan ids
+            return _re.sub(
+                r"plan_id=\d+", "plan_id=",
+                _re.sub(r"#\d+", "#", I.simple_plan(df)),
+            )
+
+        cand0 = S._band_candidates(
+            spark, table, nbx, meta, "vec_new", "vec_old"
+        )
+        plan0 = shape(cand0)
+        ex0 = I.count_exchanges(cand0)  # before collect: AQE later
+        # rewrites the inspected plan text
+        pairs0 = {(r["vec_new"], r["vec_old"]) for r in cand0.collect()}
+        assert pairs0, "no candidates — gate is vacuous"
+
+        # no tombstone dir → the probe plan is IDENTICAL (shape-wise)
+        assert shape(
+            S._band_candidates(
+                spark, table, nbx, meta, "vec_new", "vec_old"
+            )
+        ) == plan0
+
+        victims = sorted({o for _, o in pairs0})[:2]
+        S.delete_from_band_index(spark, table, victims, batch_id=1)
+        cand1 = S._band_candidates(
+            spark, table, nbx, meta, "vec_new", "vec_old"
+        )
+        p1 = I.plan(cand1, "formatted")
+        # index side still ONE bucket-aligned pruned scan ...
+        assert p1.count("Bucketed: true") == 1, p1[:2000]
+        assert any("band" in f for f in I.partition_filters(cand1))
+        # ... the tombstone join is a BROADCAST: the only new
+        # exchanges are on the O(|ids|) tombstone side (its broadcast
+        # + the tiny max-gen aggregation) — the index side is never
+        # re-shuffled (no new hashpartitioning on the scan output;
+        # the bucketed scan feeds the broadcast join then the SMJ)
+        assert "BroadcastHashJoin" in p1, p1[:2000]
+        sp1 = shape(cand1)
+        assert sp1.count("Exchange hashpartitioning(bucket") == (
+            plan0.count("Exchange hashpartitioning(bucket")
+        ), sp1  # only the BATCH side shuffles on bucket, before & after
+        assert I.count_exchanges(cand1) <= ex0 + 2, sp1
+        pairs1 = {(r["vec_new"], r["vec_old"]) for r in cand1.collect()}
+        assert pairs1 == {
+            (n, o) for n, o in pairs0 if o not in victims
+        }, "tombstone filter dropped the wrong candidates"
+    finally:
+        spark.conf.set(bcast, prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ivfpq_tombstone_keeps_partition_pruning(spark, sf_dir, tmp_path):
+    """The ANN takedown's plan gate: after delete_from_ivfpq_index the
+    search's code-table scan still plans `cell IN (probes)` as a
+    partition filter (the pruned read is the whole point of the
+    index), with the tombstone filter riding as a broadcast join."""
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        "embedding"
+    ).collect()[0][0]
+    idx = str(tmp_path / "ivfpq_tomb")
+    S.write_ivfpq_index(spark, emb, idx)
+    victim = S.ivfpq_index_search(
+        spark, idx, qv, exclude_id=0
+    ).collect()[0]["vec_id"]
+    S.delete_from_ivfpq_index(spark, idx, [victim], batch_id=1)
+    out = S.ivfpq_index_search(spark, idx, qv, exclude_id=0)
+    pf = I.partition_filters(out)
+    assert any("cell" in f for f in pf), I.simple_plan(out)
+    assert "BroadcastHashJoin" in I.plan(out, "formatted")
+    assert victim not in {r["vec_id"] for r in out.collect()}

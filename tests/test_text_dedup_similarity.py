@@ -1944,3 +1944,151 @@ def test_batch_self_neardup_keep_first_matches_relational_rule(
         """).fetchall()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Index DELETE (round-12 verdict 'next' #2): tombstone takedown for the
+# band index and the IVF-PQ index — probes/searches stop returning the
+# id immediately, compaction physically drops it and clears the
+# tombstones, and a later re-admission (higher batch_id) resurrects it.
+# --------------------------------------------------------------------------
+
+
+def test_delete_from_doc_band_index_lifecycle(spark, sf_dir, tmp_path):
+    """delete → probe-absence → compact (physical drop + tombstone
+    clear) → re-admit at a later generation → probe-presence again."""
+    import os
+
+    from hcdc_spark.functions.text import distinct_words
+    from hcdc_spark.operators import dedup, similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", distinct_words("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    corpus_t = t.where(F.col("doc_id") % 10 != 3)
+    # batch = EXACT COPIES of corpus docs, so every batch doc has a
+    # guaranteed >= 0.9 hit against its own parent
+    parents = corpus_t.where(F.col("doc_id") % 20 == 4).limit(6)
+    parent_ids = sorted(r["doc_id"] for r in parents.collect())
+    assert len(parent_ids) >= 4, "need enough parents to split"
+    batch = parents.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "ws"
+    )
+    tbl = "hcdc_doc_bi_delete"
+    try:
+        dedup.write_doc_band_index(
+            spark, corpus_t, tbl, str(tmp_path / "bi")
+        )
+
+        def hits():
+            return {
+                (r["doc_new"], r["doc_old"])
+                for r in dedup.incremental_doc_neardup(
+                    spark, batch, tbl, corpus_t, threshold=0.9
+                ).collect()
+            }
+
+        before = hits()
+        for p in parent_ids:
+            assert (p + 1_000_000, p) in before, "planted pair missing"
+
+        deleted = parent_ids[: len(parent_ids) // 2]
+        kept = parent_ids[len(parent_ids) // 2:]
+        dedup.delete_from_doc_band_index(spark, tbl, deleted, batch_id=1)
+        after = hits()
+        assert not any(o in deleted for _, o in after), (
+            "tombstoned doc still produced candidates"
+        )
+        for p in kept:
+            assert (p + 1_000_000, p) in after, (
+                "delete was not id-targeted"
+            )
+
+        # compaction physically drops the rows and clears tombstones
+        similarity.compact_band_index(spark, tbl)
+        left = {
+            r["doc_id"]
+            for r in spark.table(tbl).select("doc_id").distinct().collect()
+        }
+        assert not (left & set(deleted)), "dead rows survived compaction"
+        loc = similarity._table_location(spark, tbl)
+        assert not os.path.isdir(os.path.join(loc, "_tombstones")), (
+            "compaction swap did not clear the tombstones"
+        )
+        assert hits() == after
+
+        # re-admission at a later generation resurrects the id
+        dedup.append_doc_band_index(
+            spark,
+            corpus_t.where(F.col("doc_id").isin(deleted)),
+            tbl,
+            batch_id=2,
+        )
+        back = hits()
+        for p in deleted:
+            assert (p + 1_000_000, p) in back, (
+                "re-admitted doc not probing again"
+            )
+        # and a delete BELOW the re-admission generation must not kill
+        # it (gen discipline: tombstone kills gen <= batch_id only)
+        dedup.delete_from_doc_band_index(
+            spark, tbl, deleted[:1], batch_id=1
+        )
+        assert (deleted[0] + 1_000_000, deleted[0]) in hits(), (
+            "stale-generation tombstone killed a later re-admission"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_delete_from_ivfpq_index_lifecycle(spark, sf_dir, tmp_path):
+    """The ANN takedown: a deleted vector stops being returned, stays
+    gone through compaction (which drops it physically and clears the
+    tombstones), and returns after a later re-ingest."""
+    import os
+
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        "embedding"
+    ).collect()[0][0]
+    idx = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(spark, emb, idx)
+
+    def topk():
+        return [
+            r["vec_id"]
+            for r in S.ivfpq_index_search(
+                spark, idx, qv, exclude_id=0
+            ).collect()
+        ]
+
+    base = topk()
+    victim = base[0]
+    S.delete_from_ivfpq_index(spark, idx, [victim], batch_id=1)
+    after = topk()
+    assert victim not in after, "deleted vector still returned"
+    assert after[: len(base) - 1] == [
+        v for v in base if v != victim
+    ][: len(base) - 1], "delete perturbed other rankings"
+
+    n = S.compact_ivfpq_index(spark, idx)
+    assert not os.path.isdir(os.path.join(idx, "codes", "_tombstones")), (
+        "compaction swap did not clear the tombstones"
+    )
+    codes_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/codes")
+        .select("vec_id").distinct().collect()
+    }
+    assert victim not in codes_ids, "dead code row survived compaction"
+    assert n == len(codes_ids)
+    assert victim not in topk()
+
+    # re-ingest the victim at a later batch: it serves again
+    S.append_ivfpq_delta(
+        spark, emb.where(F.col("vec_id") == victim), idx, batch_id=2
+    )
+    assert topk() == base, "re-ingested vector did not return"
