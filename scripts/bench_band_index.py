@@ -219,6 +219,46 @@ def main() -> None:
                 probe_over()  # warmup
                 over_wall, cand_over = probe_over()
 
+                # round-13 TAKEDOWN arm (delete_from_band_index):
+                # deleting 1/20th of the corpus must be O(|ids|) — a
+                # tombstone append, no index scan — and a pending-
+                # tombstone probe pays only a broadcast anti-join on
+                # the index side (plan-gated bucket-aligned); the next
+                # compaction drops the dead rows physically and clears
+                # the tombstones with the swap.
+                def probe_sized() -> tuple[float, int]:
+                    best, n_pairs = float("inf"), 0
+                    for _ in range(passes):
+                        t0 = time.time()
+                        n_pairs = S.incremental_neardup_pairs(
+                            spark, batch, table, corpus,
+                            threshold=None,
+                            n_bands=meta_live["n_bands"],
+                            bits=meta_live["bits"],
+                            geometry="hyperplane",
+                        ).count()
+                        best = min(best, time.time() - t0)
+                    return best, n_pairs
+
+                probe_sized()  # warmup
+                pre_wall, cand_pre = probe_sized()
+                del_ids = corpus.where(
+                    F.col("vec_id") % 20 == 14
+                ).select("vec_id")
+                n_del = del_ids.count()
+                t0 = time.time()
+                S.delete_from_band_index(spark, table, del_ids,
+                                         batch_id=2)
+                delete_s = round(time.time() - t0, 3)
+                tomb_wall, cand_tomb = probe_sized()
+                t0 = time.time()
+                S.compact_band_index(spark, table)
+                compact_tomb_s = round(time.time() - t0, 3)
+                tomb_cleared = not pathlib.Path(
+                    S._table_location(spark, table), "_tombstones"
+                ).is_dir()
+                post_wall, cand_post = probe_sized()
+
                 # (b) BAND_SMJ_GROUP_CAP re-key — probe_stale above IS
                 # the organic trigger (stale bits at the 40x corpus →
                 # exp_group far past the cap → the candidate join
@@ -248,6 +288,16 @@ def main() -> None:
                     overflow_keys=int(n_keys),
                     probe_overflow=round(over_wall, 3),
                     cand_overflow=cand_over,
+                    n_deleted=int(n_del),
+                    delete=delete_s,
+                    probe_pre_delete=round(pre_wall, 3),
+                    cand_pre_delete=cand_pre,
+                    probe_tombstoned=round(tomb_wall, 3),
+                    cand_tombstoned=cand_tomb,
+                    compact_tombstoned=compact_tomb_s,
+                    tombstones_cleared=tomb_cleared,
+                    probe_post_compact=round(post_wall, 3),
+                    cand_post_compact=cand_post,
                 )
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")

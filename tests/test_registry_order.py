@@ -1,14 +1,14 @@
 """Gate the driver-budget registry ordering.
 
 The external correctness harness checks exactly the first 50 registry
-entries per round (flat count — observed in rounds 1-11). These tests
-pin the round-12 contract: every query whose implementation or oracle
+entries per round (flat count — observed in rounds 1-12). These tests
+pin the round-13 contract: every query whose implementation or oracle
 is new or changed sits inside that prefix (a green row that predates
-the code is not evidence), plus the currency-rotation block (ALL 35
-r9-dated greens — the entire remaining tail) and the spine. If the
-round-12 window goes green, every oracle-bearing query's latest driver
-green is r10 or newer — the two-round steady state the round-11
-verdict mandated.
+the code is not evidence), plus the currency-rotation block (ALL 40
+r10-dated greens — the verdict's enumerated queue) and the spine. If
+the round-13 window goes green, every oracle-bearing query's latest
+driver green is r11 or newer — the two-round steady state holds a
+third consecutive round.
 """
 
 from __future__ import annotations
@@ -18,46 +18,50 @@ import pathlib
 
 import __spark_entry__ as E
 
-#: Round-12 must-verify set: queries whose CODE changed this round —
-#: the band probes gained the persisted max_group_rows occupancy
-#: guard (md5 geometry), the x2 bucket-IN sparsity margin,
-#: layout-aware append clustering and migrate_band_index, with
-#: compact/rebuild recomputing the statistic (q103/c21/c26/c27/c28);
-#: the streaming fold's state codec became pluggable json/typed
-#: (c04/c08 — default unchanged but the fold signature moved); and
-#: the NEW row c29 (continuous-trigger TTL eviction mid-run). c22's
-#: changed probe path is covered in-window by c26 (same composed doc
-#: gate; c22 itself is r10-green, inside the tightened tripwire).
+#: Round-13 must-verify set: queries whose CODE changed this round —
+#: c30's gate became replay-safe at every crash prefix (own-id
+#: exclusion, admit-before-index ordering, chunk-ref correction —
+#: round-12 advice, high), q105's planted-copy offset moved to the 1M
+#: convention, c28's rebuild policy now fires on the legacy flat
+#: layout — plus the NEW rows c31 (index takedown) and c32 (the crawl
+#: gate's self_dedup arm). The SHARED probe/search changes (tombstone
+#: anti-joins in _band_candidates / ivfpq_index_search / the
+#: compactions) are covered in-window by c22/c28/c31/c32 and the
+#: IVF-PQ queue block q102/q104/c20/c25 (all scheduled below);
+#: q103/c21/c26/c27 (r12-green, same shared probe core, re-verified
+#: against the oracle during the round) ride that representation
+#: exactly as round 12 carried c22 by c26.
 CHANGED_THIS_ROUND = {
-    "q103_incremental_neardup",
-    "c21_stream_ingest_dedup",
-    "c26_crawl_ingest_pipeline",
-    "c27_band_compaction",
-    "c28_stream_rebuild_cycle",
-    "c04_stream_reconcile",
-    "c08_cdc_pipeline",
-    "c29_continuous_ttl_reconcile",
     "c30_crawl_batch_admission",
     "q105_batch_self_dedup",
+    "c28_stream_rebuild_cycle",
+    "c31_index_takedown",
+    "c32_crawl_self_dedup_gate",
+    "c22_stream_doc_ingest_dedup",
+    "c20_stream_index_upsert",
+    "c25_index_compaction",
+    "q102_ivfpq_index_ann",
+    "q104_ivfpq_index_upsert",
 }
 
-#: The 35 queries whose latest driver green still dates to round 9 —
-#: the ENTIRE remaining tail (round-11 verdict 'next' #1). After this
-#: window goes green the currency tripwire tightens to r10.
-R9_DATED = {
-    "c02_cdc_error_channel", "c03_cdc_change_set",
-    "c06_snapshot_bootstrap", "c07_materialize_pipeline",
-    "c17_watermark_late_drop", "c19_stream_doc_dedup",
-    "q02_filter_project", "q03_join_topn_revenue", "q07_anti_join",
-    "q08_theta_join", "q18_datetime_functions", "q19_conditional",
-    "q20_json_extract", "q23_scalar_subquery", "q27_dedup_exact",
-    "q30_text_quality", "q31_token_count", "q32_lang_id",
-    "q33_fingerprint", "q34_knn_brute_force", "q37_centroid_by_label",
-    "q39_csv_roundtrip", "q39_json_roundtrip", "q39_orc_roundtrip",
-    "q40_partitioned_write_prune", "q46_null_safe_eq", "q50_pivot",
-    "q59_contamination", "q60_stratified_sample",
-    "q65_map_json_functions", "q66_hybrid_search", "q67_bm25_search",
-    "q68_semantic_dedup", "q86_unpivot", "q99_kmeans_step",
+#: The 40 queries whose latest driver green still dates to round 10 —
+#: the verdict's enumerated rotation queue (round-12 'next' #1). After
+#: this window goes green the currency tripwire tightens to r11.
+R10_DATED = {
+    "c20_stream_index_upsert", "c22_stream_doc_ingest_dedup",
+    "c23_backlog_replay", "c24_state_gc", "c25_index_compaction",
+    "q01_pricing_summary", "q05_star_join", "q10_agg_distinct",
+    "q11_rollup", "q12_cube", "q16_set_ops", "q22_explode_wordcount",
+    "q24_latest_per_key", "q25_sessionization", "q26_interval_merge",
+    "q28_jaccard_pairs", "q35_embedding_neardup", "q42_media_analyze",
+    "q43_media_embed_knn", "q44_grouping_sets", "q45_collect_sets",
+    "q47_asof_join", "q48_range_join", "q49_percentiles",
+    "q63_sequence_packing", "q64_embedding_quantization",
+    "q69_ngram_topk", "q70_salted_join_agg", "q71_media_resize",
+    "q72_skew_safe_distinct", "q90_chunk_dedup", "q93_ivf_ann_fixed",
+    "q94_chunk_dedup_rewrite", "q95_vocab_oov", "q96_bigram_dup_rate",
+    "q97_pq_ann_adc", "q98_ingest_pipeline", "q101_ivfpq_ann",
+    "q102_ivfpq_index_ann", "q104_ivfpq_index_upsert",
 }
 
 #: Long-green canary that must stay in the prefix as a regression
@@ -72,9 +76,8 @@ SPINE = {
     "q89_ann_lsh_md5",
     "q91_simhash_md5",
     "q92_embedding_neardup_md5",
-    # q93/q97 (r10-green, unchanged this round) yielded their planned
-    # slots to the NEW rows c30/q105 — within the < 10 tripwire
-    # either way.
+    # c29/c04/c08 (r12-green) rotated out this round: the reconciler
+    # change is a non-default-codec error message, pytest-gated.
 }
 
 #: Rows-only by design (xxhash64 has no DuckDB equivalent). Their
@@ -113,7 +116,7 @@ def _union_green() -> set[str]:
 def test_changed_and_spine_inside_first_50():
     names = list(E.queries().keys())
     first = set(names[:50])
-    missing = (CHANGED_THIS_ROUND | R9_DATED | SPINE) - first
+    missing = (CHANGED_THIS_ROUND | R10_DATED | SPINE) - first
     assert not missing, f"starved of driver signal: {sorted(missing)}"
 
 
@@ -144,12 +147,12 @@ def test_new_queries_land_inside_first_50():
 
 
 def test_no_green_older_than_two_rounds_after_this_window():
-    """The round-12 currency bar (tightened from round 11's r9 per the
-    verdict): assuming the window goes green, every oracle-bearing
-    query's latest green must be r10 or newer — i.e. the set of
-    queries whose latest green predates r10 must be a subset of the
-    verified prefix. Round 12 schedules the ENTIRE 35-row r9 tail, so
-    the two-round steady state holds."""
+    """The round-13 currency bar (tightened from round 12's r10 per
+    the verdict): assuming the window goes green, every oracle-bearing
+    query's latest green must be r11 or newer — i.e. the set of
+    queries whose latest green predates r11 must be a subset of the
+    verified prefix. Round 13 schedules the ENTIRE 40-row r10 queue,
+    so the two-round steady state holds a third round."""
     latest: dict[str, int] = {}
     root = pathlib.Path(__file__).resolve().parent.parent
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -157,7 +160,7 @@ def test_no_green_older_than_two_rounds_after_this_window():
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 latest[name] = max(latest.get(name, 0), rnd)
-    stale = {n for n, r in latest.items() if r < 10}
+    stale = {n for n, r in latest.items() if r < 11}
     names = list(E.queries().keys())
     first = set(names[:50])
     left_out = stale - first
@@ -179,12 +182,11 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 138
+    assert len(qs) >= 140
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 12: c29 (continuous TTL eviction, c04's independent DuckDB
-    # fold oracle), c30 (per-batch crawl admission, ordered-batch
-    # oracle) and q105 (within-batch self-dedup, all-pairs rule
-    # oracle) join the oracle-bearing set — 132/138 (q100 + the r3
+    # round 13: c31 (index takedown, delete-aware admission oracle)
+    # and c32 (self-dedup crawl arm, q105-rule-extended admission
+    # oracle) join the oracle-bearing set — 134/140 (q100 + the r3
     # five stay rows-only by structure)
-    assert len(oracles) >= 132
+    assert len(oracles) >= 134
