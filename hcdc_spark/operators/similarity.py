@@ -1838,14 +1838,21 @@ def rebuild_ivfpq_index(
     # tombstones with the old codes directory
     tombs = _ivfpq_tombstones(spark, path)
     if tombs is not None:
+        codes_now = spark.read.parquet(f"{path}/codes")
         alive = (
-            _apply_ivfpq_tombstones(
-                spark.read.parquet(f"{path}/codes"), tombs
-            )
+            _apply_ivfpq_tombstones(codes_now, tombs)
             .select("vec_id")
             .distinct()
         )
-        dead = tombs.select("vec_id").join(alive, "vec_id", "left_anti")
+        # semi-join to ids the code table HELD: a tombstone for a
+        # never-indexed id is a no-op and must not drop a later
+        # legitimate corpus entry (round-13 review; band twin above)
+        dead = (
+            tombs.select("vec_id")
+            .join(codes_now.select("vec_id").distinct(),
+                  "vec_id", "left_semi")
+            .join(alive, "vec_id", "left_anti")
+        )
         emb = emb.join(F.broadcast(dead), "vec_id", "left_anti")
     n = emb.count()
     n_cells = ivfpq_scaled_cells(n)
@@ -2382,8 +2389,10 @@ def probe_band_scan(
     cost (correct — rebuild/compact migrates them).
 
     This is the SCAN utility (diagnostics, band-restricted reads, the
-    poison gates); the production probes go through
-    ``_band_candidates``, which additionally keeps the candidate JOIN
+    poison gates); it returns RAW index rows — including rows whose id
+    carries a pending tombstone (delete_from_band_index). The
+    production probes go through ``_band_candidates``, which applies
+    the tombstones and additionally keeps the candidate JOIN
     exchange-free on the index side."""
     full = spark.table(table)
     if meta.get("layout") != "band_partitioned":
@@ -3407,7 +3416,19 @@ def rebuild_band_index(
             .select(id_col)
             .distinct()
         )
-        dead = tombs.select(id_col).join(alive, id_col, "left_anti")
+        # dead = tombstoned ids the index HELD whose every generation
+        # the tombstone kills. Restricting to ids actually present
+        # matters: a tombstone for a never-indexed id is documented a
+        # no-op, and without the semi-join a LATER legitimate corpus
+        # entry under that id would be silently dropped here — and the
+        # swap would then clear the tombstone, erasing the evidence
+        # (round-13 review).
+        present = spark.table(table).select(id_col).distinct()
+        dead = (
+            tombs.select(id_col)
+            .join(present, id_col, "left_semi")
+            .join(alive, id_col, "left_anti")
+        )
         corpus = corpus.join(F.broadcast(dead), id_col, "left_anti")
     n = corpus.select(id_col).distinct().count()
     bits = neardup_scaled_bits(n, meta["target_bucket_rows"])

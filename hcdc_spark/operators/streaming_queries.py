@@ -1516,13 +1516,18 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
     of the gate, and the recompute is byte-identical (round-12 advice;
     certified by the mid-drain-kill test):
 
-    - the batch's OWN ids are excluded from the probe's old side
-      (left_anti on doc_old): on replay the band index already holds
-      the batch's admitted rows, and without the exclusion every
-      replayed doc would self-match at Jaccard 1.0, be rejected, and
-      the partition overwrite would rewrite the batch WITHOUT it. On
-      a first run the exclusion is a no-op — the index cannot contain
-      the batch's ids before the batch admits them.
+    - THIS batch's own PRIOR ADMISSIONS are excluded from the probe's
+      old side: admitted/coupling rows carry a batch stamp (`b`), and
+      hits whose doc_old was admitted under the CURRENT batch id —
+      possible only on a replay — are dropped (left_anti). Without
+      the exclusion every replayed doc would self-match its own
+      admitted band rows at Jaccard 1.0, be rejected, and the
+      partition overwrite would rewrite the batch WITHOUT it. The
+      stamp keeps the exclusion EXACT: a doc_id recurring across
+      batches (a re-crawled page) still gates against its own earlier
+      admission on a first run — anti-joining ALL batch ids would
+      silently skip that gate and admit near-dups of re-crawled docs
+      (round-13 review).
     - the admitted/coupling frame is written BEFORE the band-index
       append, so the index can never hold a doc the verify-join
       corpus lacks (the ordering that used to make a kill between the
@@ -1583,9 +1588,19 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
             # structurally cannot see (q105; batch-sized, O(|batch|))
             t_b = D.batch_self_neardup_keep_first(t_b, threshold=0.9)
         corpus_cur = corpus_t.select("doc_id", "ws")
+        own_prior = None
         try:
+            admitted = spark.read.parquet(admitted_dir)
             corpus_cur = corpus_cur.unionByName(
-                spark.read.parquet(admitted_dir)
+                admitted.select("doc_id", "ws")
+            )
+            # rows THIS batch id already admitted — non-empty only on
+            # a replay (the batch stamp makes the exclusion exact; see
+            # docstring)
+            own_prior = (
+                admitted.where(F.col("b") == batch_id)
+                .select(F.col("doc_id").alias("doc_old"))
+                .distinct()
             )
         except AnalysisException:
             pass  # nothing admitted yet (batch 0)
@@ -1593,13 +1608,11 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
             spark, t_b.select("doc_id", "ws"), table, corpus_cur,
             threshold=0.9,
         )
-        # replay safety: drop hits whose OLD side is one of the
-        # batch's own ids (present in the index only when this batch
-        # already admitted — i.e. on a replay; see docstring)
-        hits = hits.join(
-            t_b.select(F.col("doc_id").alias("doc_old")),
-            "doc_old", "left_anti",
-        )
+        # replay safety: drop hits whose OLD side is one of THIS
+        # batch's own prior admissions (present in the index only on
+        # a replay; see docstring)
+        if own_prior is not None:
+            hits = hits.join(own_prior, "doc_old", "left_anti")
         (
             hits.select(
                 F.col("doc_new"), F.col("doc_old"),
@@ -1661,8 +1674,11 @@ def _c30_gate(spark: SparkSession, table: str, chunk_table: str,
             landed_batch.select("doc_id"), "doc_id", "left_semi"
         ).select("doc_id", "ws")
         # coupling frame FIRST, index second: the index must never
-        # hold a doc the verify-join corpus lacks (see docstring)
-        adm.write.mode("append").parquet(admitted_dir)
+        # hold a doc the verify-join corpus lacks (see docstring);
+        # the batch stamp `b` is the replay-exclusion key
+        adm.withColumn("b", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(admitted_dir)
         if fault:
             fault("post_admit_write", batch_id)
         D.append_doc_band_index(spark, adm, table, batch_id=batch_id)
@@ -2273,19 +2289,28 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", "lang", distinct_words("text").alias("ws")
             ).where(F.size("ws") > 0)
             corpus_cur = corpus_t.select("doc_id", "ws")
+            own_prior = None
             try:
+                admitted = spark.read.parquet(admitted_dir)
                 corpus_cur = corpus_cur.unionByName(
-                    spark.read.parquet(admitted_dir)
+                    admitted.select("doc_id", "ws")
+                )
+                own_prior = (
+                    admitted.where(F.col("b") == batch_id)
+                    .select(F.col("doc_id").alias("doc_old"))
+                    .distinct()
                 )
             except AnalysisException:
                 pass  # nothing admitted yet (batch 0)
             hits = D.incremental_doc_neardup(
                 spark, t_b.select("doc_id", "ws"), table, corpus_cur,
                 threshold=0.9,
-            ).join(  # replay safety: c30's own-id exclusion
-                t_b.select(F.col("doc_id").alias("doc_old")),
-                "doc_old", "left_anti",
             )
+            # replay safety: c30's batch-stamped own-admission
+            # exclusion (exact — a re-crawled doc_id still gates
+            # against its own earlier-batch admission on a first run)
+            if own_prior is not None:
+                hits = hits.join(own_prior, "doc_old", "left_anti")
             (
                 hits.select(
                     "doc_new", "doc_old", F.lit(batch_id).alias("batch")
@@ -2311,7 +2336,9 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             adm = t_b.join(
                 landed_b.select("doc_id"), "doc_id", "left_semi"
             ).select("doc_id", "ws")
-            adm.write.mode("append").parquet(admitted_dir)
+            adm.withColumn("b", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(admitted_dir)
             D.append_doc_band_index(spark, adm, table, batch_id=batch_id)
             spark.catalog.refreshTable(table)
 

@@ -129,6 +129,7 @@ def _run_ttl_continuous(
         deleted_ttl_ms=ttl_ms,
     )
     converged_at = None
+    peak = 0
     try:
         deadline = t0 + 2400
         while time.perf_counter() < deadline:
@@ -139,7 +140,12 @@ def _run_ttl_continuous(
                 continue
             t = time.perf_counter() - t0
             series.append([round(t, 1), rows])
-            if rows == live_inodes:
+            peak = max(peak, rows)
+            # converged = AT the live count on the way DOWN: a sample
+            # can equal live transiently while the store is still
+            # RISING through it (the peak guard prevents stopping the
+            # query mid-fold and recording a truncated series)
+            if rows == live_inodes and peak > live_inodes:
                 converged_at = t
                 break
             time.sleep(1.0)

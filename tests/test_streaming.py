@@ -1265,3 +1265,100 @@ def test_c30_replay_safe_at_every_admission_prefix(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {chunk_table}")
+
+
+def test_c30_gate_recrawl_still_gates_on_first_run(
+    spark, tmp_path, sf_dir
+):
+    """Round-13 review: the replay-safety exclusion must be EXACT — a
+    doc_id recurring across batches (a re-crawled page) still gates
+    against its own earlier-batch admission on a FIRST run. Batch 1
+    re-delivers batch 0's docs byte-identically: every one must be
+    REJECTED (Jaccard 1.0 vs its own admitted row), not silently
+    re-admitted. (An anti-join on ALL batch ids — the first cut —
+    would skip that gate; the batch-stamped admitted frame keeps only
+    true replays excluded.)"""
+    import glob
+    import os as _os
+
+    from hcdc_spark.operators import streaming_queries as SQ
+
+    table = "hcdc_band_c30_recrawl"
+    chunk_table = "hcdc_chunk_c30_recrawl"
+    work = str(tmp_path / "w")
+    _os.makedirs(work)
+    try:
+        from hcdc_spark.functions.text import distinct_words
+        from hcdc_spark.operators import dedup as D
+        from hcdc_spark.operators.text import write_chunk_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t = docs.select(
+            "doc_id", "lang", "text", distinct_words("text").alias("ws")
+        ).where(F.size("ws") > 0)
+        corpus_t = t.where(F.col("doc_id") % 10 != 3)
+        crawl = t.where(F.col("doc_id") % 30 == 3).limit(20)
+        crawl_ids = {r["doc_id"] for r in crawl.select("doc_id").collect()}
+        crawl = t.where(F.col("doc_id").isin(list(crawl_ids)))
+        D.write_doc_band_index(
+            spark, corpus_t.select("doc_id", "ws"), table,
+            _os.path.join(work, "doc_index"),
+        )
+        write_chunk_index(
+            spark, docs.where(F.col("doc_id") % 10 != 3), chunk_table,
+            _os.path.join(work, "chunk_index"),
+        )
+        delta_dir = _os.path.join(work, "delta")
+        _os.makedirs(delta_dir)
+        now = int(_os.stat(work).st_mtime)
+        for i in range(2):  # the SAME docs, twice — batch 1 re-crawls
+            stage = _os.path.join(work, f"stage_{i}")
+            crawl.select("doc_id", "lang", "text").coalesce(
+                1
+            ).write.parquet(stage)
+            (part,) = glob.glob(_os.path.join(stage, "part-*.parquet"))
+            dst = _os.path.join(delta_dir, f"d{i}.parquet")
+            _os.rename(part, dst)
+            _os.utime(dst, (now - 300 + i * 100,) * 2)
+        clean_dir = _os.path.join(work, "clean")
+        admitted_dir = _os.path.join(work, "adm")
+        rejected_dir = _os.path.join(work, "rej")
+        gate = SQ._c30_gate(
+            spark, table, chunk_table, corpus_t,
+            clean_dir, admitted_dir, rejected_dir,
+        )
+        q = (
+            spark.readStream
+            .schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(delta_dir)
+            .writeStream.foreachBatch(gate)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        landed = spark.read.parquet(clean_dir)
+        adm0 = {
+            r["doc_id"]
+            for r in landed.where(F.col("batch") == "0")
+            .select("doc_id").collect()
+        }
+        assert adm0, "batch 0 admitted nothing — test is vacuous"
+        readmitted = landed.where(
+            (F.col("batch") == "1") & F.col("doc_id").isin(list(adm0))
+        ).count()
+        assert readmitted == 0, (
+            f"{readmitted} re-crawled doc(s) skipped the gate against "
+            "their own earlier admission on a FIRST run"
+        )
+        # and the rejections cite the doc's OWN earlier admission
+        rej = spark.read.parquet(rejected_dir)
+        self_rej = rej.where(
+            (F.col("batch") == 1)
+            & (F.col("doc_new") == F.col("doc_old"))
+        ).count()
+        assert self_rej >= len(adm0)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {chunk_table}")

@@ -1968,10 +1968,16 @@ def test_delete_from_doc_band_index_lifecycle(spark, sf_dir, tmp_path):
     )
     corpus_t = t.where(F.col("doc_id") % 10 != 3)
     # batch = EXACT COPIES of corpus docs, so every batch doc has a
-    # guaranteed >= 0.9 hit against its own parent
-    parents = corpus_t.where(F.col("doc_id") % 20 == 4).limit(6)
-    parent_ids = sorted(r["doc_id"] for r in parents.collect())
+    # guaranteed >= 0.9 hit against its own parent. Pin the parent set
+    # by id (an unordered .limit() is re-evaluated per action and can
+    # pick different rows across jobs — round-13 review)
+    parent_ids = sorted(
+        r["doc_id"]
+        for r in corpus_t.where(F.col("doc_id") % 20 == 4)
+        .select("doc_id").collect()
+    )[:6]
     assert len(parent_ids) >= 4, "need enough parents to split"
+    parents = corpus_t.where(F.col("doc_id").isin(parent_ids))
     batch = parents.select(
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "ws"
     )
@@ -2092,3 +2098,53 @@ def test_delete_from_ivfpq_index_lifecycle(spark, sf_dir, tmp_path):
         spark, emb.where(F.col("vec_id") == victim), idx, batch_id=2
     )
     assert topk() == base, "re-ingested vector did not return"
+
+
+def test_rebuild_never_resurrects_or_invents_takedowns(
+    spark, sf_dir, tmp_path
+):
+    """Round-13 review: rebuild_band_index's tombstone handling must
+    be exact in BOTH directions — (a) a genuinely dead id (tombstoned,
+    no later re-admission) is dropped even if the caller's corpus
+    still carries it (no resurrection), and (b) a tombstone for an id
+    the index NEVER held is the documented no-op: a later legitimate
+    corpus entry under that id must survive the rebuild (the first cut
+    silently dropped it and the swap erased the tombstone — the
+    evidence — with it)."""
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    newcomer = emb.where(F.col("vec_id") % 10 == 7).limit(1)
+    new_id = newcomer.collect()[0]["vec_id"]
+    dead_id = corpus.select("vec_id").orderBy("vec_id").limit(1).collect()[
+        0
+    ]["vec_id"]
+    tbl = "hcdc_band_rebuild_tomb"
+    try:
+        n = corpus.count()
+        bits = S.neardup_scaled_bits(n)
+        bands = S.neardup_scaled_bands(bits)
+        S.write_band_index(
+            spark, corpus, tbl, str(tmp_path / "bi"),
+            n_bands=bands, bits=bits, geometry="hyperplane",
+        )
+        # one real takedown + one tombstone for a never-indexed id
+        S.delete_from_band_index(spark, tbl, [dead_id, new_id],
+                                 batch_id=1)
+        # the caller's corpus: still carries the dead id (stale
+        # bookkeeping) AND legitimately gains the newcomer
+        S.rebuild_band_index(
+            spark, corpus.unionByName(newcomer), tbl
+        )
+        ids = {
+            r["vec_id"]
+            for r in spark.table(tbl).select("vec_id").distinct().collect()
+        }
+        assert dead_id not in ids, "rebuild resurrected a takedown"
+        assert new_id in ids, (
+            "a no-op tombstone (never-indexed id) dropped a later "
+            "legitimate corpus entry"
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
