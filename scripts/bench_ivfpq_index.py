@@ -139,6 +139,48 @@ def main() -> None:
                     probed_rows_sized=probed_rows(sized, cells),
                     search_sized=round(search_sized, 3),
                 )
+
+                # round-13 TAKEDOWN arm (delete_from_ivfpq_index):
+                # deleting 1/20th of the corpus must be O(|ids|) — a
+                # tombstone append — the tombstoned search keeps its
+                # cell partition pruning (plan-gated) and pays only a
+                # broadcast anti-join, and compaction drops the dead
+                # rows physically, clearing the tombstones with the
+                # codes swap.
+                del_ids = emb.where(
+                    F.col("vec_id") % 20 == 14
+                ).select("vec_id")
+                n_del = del_ids.count()
+                t0 = time.time()
+                S.delete_from_ivfpq_index(spark, idx, del_ids,
+                                          batch_id=1)
+                delete_s = time.time() - t0
+                search_tomb = _best(
+                    lambda: S.ivfpq_index_search(
+                        spark, idx, qv, exclude_id=0
+                    ).collect(),
+                    passes,
+                )
+                t0 = time.time()
+                S.compact_ivfpq_index(spark, idx)
+                compact_tomb = time.time() - t0
+                tomb_cleared = not pathlib.Path(
+                    idx, "codes", "_tombstones"
+                ).is_dir()
+                search_post = _best(
+                    lambda: S.ivfpq_index_search(
+                        spark, idx, qv, exclude_id=0
+                    ).collect(),
+                    passes,
+                )
+                out[sf].update(
+                    n_deleted=int(n_del),
+                    delete=round(delete_s, 3),
+                    search_tombstoned=round(search_tomb, 3),
+                    compact_tombstoned=round(compact_tomb, 3),
+                    tombstones_cleared=tomb_cleared,
+                    search_post_compact=round(search_post, 3),
+                )
         finally:
             shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
