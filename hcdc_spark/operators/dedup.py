@@ -959,7 +959,17 @@ def delete_from_doc_band_index(
     doc_id admitted at a later batch serves again. One shared
     implementation with the embedding index
     (similarity.delete_from_band_index; the id column comes from the
-    table's metadata)."""
+    table's metadata).
+
+    SCOPE (deliberate): the takedown removes the doc from the NEAR-DUP
+    index — new near-identical content can admit again (c31's planted
+    evidence) — but its kept chunks' md5 digests stay in the CHUNK
+    reference on purpose. The chunk index stores 16-byte hashes only
+    (no content, not attributable to a doc, shared across docs), so
+    removing them would require per-hash refcounts for no retention
+    win, while KEEPING them means verbatim re-ingestion of retracted
+    text still gets its chunks dropped — the conservative direction
+    for a training-data pipeline."""
     from hcdc_spark.operators.similarity import delete_from_band_index
 
     delete_from_band_index(spark, table, ids, batch_id=batch_id)

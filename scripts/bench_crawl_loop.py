@@ -99,6 +99,19 @@ def main() -> None:
                 admitted_dir = os.path.join(work, "admitted")
                 cycles = []
                 for i, t_b in enumerate(cycles_src):
+                    # round-13: the self_dedup arm (c32's composed
+                    # step) measured STANDALONE per cycle — the claim
+                    # is that it is batch-sized: the batches are
+                    # byte-identical at every scale point, so its wall
+                    # must be corpus-independent (flat across sf),
+                    # unlike the probe whose index grows 40x. Kept out
+                    # of the gate timing so the gate/admit series stays
+                    # comparable with the round-12 numbers.
+                    t0 = time.time()
+                    n_sd = D.batch_self_neardup_keep_first(
+                        t_b, threshold=0.9
+                    ).count()
+                    sd_s = time.time() - t0
                     t0 = time.time()
                     corpus_cur = corpus_t.select("doc_id", "ws")
                     if os.path.exists(admitted_dir):
@@ -146,6 +159,8 @@ def main() -> None:
                         "admit": round(admit_s, 3),
                         "landed": landed_b.count(),
                         "rejected": n_rej,
+                        "self_dedup": round(sd_s, 3),
+                        "self_survivors": n_sd,
                     })
                 if best is None or sum(
                     c["gate"] + c["admit"] for c in cycles
