@@ -1459,3 +1459,62 @@ def test_ivfpq_tombstone_keeps_partition_pruning(spark, sf_dir, tmp_path):
     assert any("cell" in f for f in pf), I.simple_plan(out)
     assert "BroadcastHashJoin" in I.plan(out, "formatted")
     assert victim not in {r["vec_id"] for r in out.collect()}
+
+
+def test_flat_layout_probe_applies_tombstones(spark, sf_dir, tmp_path):
+    """The legacy FLAT probe path must honor pending tombstones too —
+    a pre-migration table is still a live index, and a takedown
+    against it must take effect immediately (the flat branch of
+    _band_candidates carries its own tombstone wiring; this pins it)."""
+    import pytest as _pytest
+
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") % 10 != 7)
+    batch = emb.where(F.col("vec_id") % 10 == 7).limit(4)
+    table = "hcdc_band_flat_tomb_gate"
+    try:
+        _write_flat_band_index(
+            spark, corpus, table, str(tmp_path / "flat_tomb_bi")
+        )
+        meta = S.read_band_index_meta(spark, table)
+        assert meta["layout"] == "flat"
+        nbx = S._band_explode(batch).select(
+            F.col("vec_id").alias("vec_new"), "band", "bucket"
+        )
+
+        def pairs():
+            with _pytest.warns(UserWarning, match="legacy flat layout"):
+                return {
+                    (r["vec_new"], r["vec_old"])
+                    for r in S._band_candidates(
+                        spark, table, nbx, meta, "vec_new", "vec_old"
+                    ).collect()
+                }
+
+        before = pairs()
+        assert before, "no candidates — gate is vacuous"
+        victims = sorted({o for _, o in before})[:2]
+        S.delete_from_band_index(spark, table, victims, batch_id=1)
+        after = pairs()
+        assert after == {
+            (n, o) for n, o in before if o not in victims
+        }, "flat probe ignored pending tombstones"
+        # and the migration (a compaction) physically drops them,
+        # clearing the tombstones with the swap
+        meta2 = S.migrate_band_index(spark, table)
+        assert meta2["layout"] == "band_partitioned"
+        left = {
+            r["vec_id"]
+            for r in spark.table(table).select("vec_id")
+            .distinct().collect()
+        }
+        assert not (left & set(victims))
+        import os as _os
+
+        assert not _os.path.isdir(
+            _os.path.join(S._table_location(spark, table), "_tombstones")
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
