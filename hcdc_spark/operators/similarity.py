@@ -1830,6 +1830,8 @@ def rebuild_ivfpq_index(
     # rebuild of an older snapshot). Same guard runs from the
     # search/compact/append entry points so they self-heal too.
     _recover_ivfpq_swap(path)
+    _recover_ivfpq_codes_swap(path)  # a crashed compact swap: the
+    # dead-id filter below reads the code table
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     # apply pending tombstones: drop DEAD ids (tombstoned, no later
@@ -1979,6 +1981,7 @@ def ivfpq_index_search(
     automatically only via ivfpq_scaled_cells' floor — pass
     n_cells=16 explicitly below the crossover."""
     _recover_ivfpq_swap(path)  # self-heal a crashed rebuild swap
+    _recover_ivfpq_codes_swap(path)  # and a crashed compact swap
     q = [float(x) for x in query_vec]
     qarr = F.array(*[F.lit(x).cast("double") for x in q])
     cents = spark.read.parquet(f"{path}/centroids")
@@ -2777,6 +2780,8 @@ def append_ivfpq_delta(
     from pyspark.sql import Window
 
     _recover_ivfpq_swap(path)  # self-heal a crashed rebuild swap
+    _recover_ivfpq_codes_swap(path)  # and a crashed compact swap —
+    # this append would otherwise recreate codes/ beside the stage
     cents = spark.read.parquet(f"{path}/centroids").select(
         "ccid", F.col("c").alias("c")
     )
@@ -2883,6 +2888,54 @@ def _ivfpq_gen() -> Column:
     ).otherwise(F.expr("try_cast(batch AS long)"))
 
 
+def _recover_ivfpq_codes_swap(path: str) -> None:
+    """Finish compact_ivfpq_index's interrupted CODES-level swap from
+    ANY entry point that reads or writes the code table. A crash
+    between compact's two renames leaves ``codes`` missing with the
+    fully-written compacted generation staged at ``codes.compact`` —
+    and a WRITE that then mkdirs ``codes/`` (a tombstone append, a
+    delta append) would make compact's old recovery check
+    (`not isdir(codes)`) miss, after which its stale-stage cleanup
+    rmtree's BOTH surviving generations: permanent index loss
+    (round-13 review). So: whenever the stage exists and the live
+    codes dir holds no DATA (it may hold only post-crash underscore
+    dirs like ``_tombstones``), finish the swap forward — preserving
+    any tombstones appended into the resurrected dir."""
+    import os
+
+    codes = os.path.join(path, "codes")
+    tmp = codes + ".compact"
+    if not os.path.isdir(tmp):
+        return
+
+    def has_data(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(d)
+        )
+
+    if has_data(codes):
+        return  # live table serving: the stage is stale (compact
+        # crashed before its first rename); compact's cleanup drops it
+    if os.path.isdir(codes):
+        tombs = os.path.join(codes, "_tombstones")
+        if os.path.isdir(tombs):
+            # appended after the crash — carry them into the finished
+            # generation (the stage never holds tombstones; a repeated
+            # partial recovery merges file-by-file: parquet part names
+            # are UUID-unique, markers overwrite)
+            dst = os.path.join(tmp, "_tombstones")
+            if os.path.isdir(dst):
+                for f in os.listdir(tombs):
+                    os.replace(os.path.join(tombs, f),
+                               os.path.join(dst, f))
+            else:
+                os.rename(tombs, dst)
+        import shutil
+
+        shutil.rmtree(codes, ignore_errors=True)
+    os.rename(tmp, codes)
+
+
 def _ivfpq_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     """Pending IVF-PQ tombstones as (vec_id, _tomb_gen) — max
     generation per id — or None when none exist. Stored under
@@ -2950,12 +3003,20 @@ def delete_from_ivfpq_index(
             "tombstone below it would kill nothing)"
         )
     _recover_ivfpq_swap(path)
+    _recover_ivfpq_codes_swap(path)  # NEVER mkdir codes/ over an
+    # interrupted compact swap (round-13 review)
+    # empty takedown sets write nothing (the band twin's contract):
+    # the mere existence of codes/_tombstones costs every search a
+    # broadcast anti-join until the next compaction
     if isinstance(ids, DataFrame):
         df = ids.select(F.col("vec_id").cast("long").alias("vec_id"))
+        if df.isEmpty():
+            return
     else:
-        df = spark.createDataFrame(
-            [(int(i),) for i in ids], "vec_id long"
-        )
+        ids = [int(i) for i in ids]
+        if not ids:
+            return
+        df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
     (
         df.withColumn("gen", F.lit(int(batch_id)).cast("long"))
         .coalesce(1)
@@ -2997,13 +3058,14 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> int:
     from pyspark.sql import Window
 
     _recover_ivfpq_swap(path)  # a crashed path-level REBUILD swap too
+    _recover_ivfpq_codes_swap(path)  # ... and a crashed CODES swap —
+    # the shared guard also handles a codes dir resurrected by a
+    # post-crash tombstone/delta append (round-13 review: the old
+    # `not isdir(codes)` check missed that case and the cleanup below
+    # then deleted both surviving generations)
     codes_path = f"{path}/codes"
     tmp = codes_path + ".compact"
     old = codes_path + ".old"
-    if not os.path.isdir(codes_path) and os.path.isdir(tmp):
-        # finish an interrupted swap: the stage is only ever renamed in
-        # after being fully written, so it IS the compacted generation
-        os.rename(tmp, codes_path)
     shutil.rmtree(old, ignore_errors=True)  # stale post-swap leftover
     shutil.rmtree(tmp, ignore_errors=True)  # stale pre-swap stage
     codes = spark.read.parquet(codes_path)
@@ -3647,12 +3709,19 @@ def delete_from_band_index(
     _finish_interrupted_band_swap(spark, table)
     meta = read_band_index_meta(spark, table)
     id_col = meta["id_col"]
+    # empty takedown sets write NOTHING: creating the tombstone
+    # directory for zero ids would cost every subsequent probe the
+    # broadcast anti-join until the next compaction, for nothing
+    # (round-13 review)
     if isinstance(ids, DataFrame):
         df = ids.select(F.col(id_col).cast("long").alias(id_col))
+        if df.isEmpty():
+            return
     else:
-        df = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
-        )
+        ids = [int(i) for i in ids]
+        if not ids:
+            return
+        df = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
     path = os.path.join(_table_location(spark, table), "_tombstones")
     (
         df.withColumn("gen", F.lit(int(batch_id)).cast("long"))

@@ -2277,7 +2277,12 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         rejected_dir = os.path.join(work, "rejected")
 
         def gate(batch_df: DataFrame, batch_id: int) -> None:
-            # the takedown arrives WITH cycle 2 — before its probe, so
+            # KEEP IN SYNC WITH _c30_gate: this is its probe/admit
+            # core minus the chunk leg and quality filter, plus the
+            # takedown hook — any change to the replay contract there
+            # (own-prior exclusion, admit-before-index ordering) must
+            # land here too.
+            # The takedown arrives WITH cycle 2 — before its probe, so
             # this cycle's and every later cycle's gates see it.
             # Replayed deletes append duplicate tombstone rows: same
             # max-generation, same decisions.

@@ -2115,11 +2115,15 @@ def test_rebuild_never_resurrects_or_invents_takedowns(
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     corpus = emb.where(F.col("vec_id") % 10 != 7)
-    newcomer = emb.where(F.col("vec_id") % 10 == 7).limit(1)
-    new_id = newcomer.collect()[0]["vec_id"]
-    dead_id = corpus.select("vec_id").orderBy("vec_id").limit(1).collect()[
-        0
-    ]["vec_id"]
+    # pin the newcomer BY ID: an unordered limit(1) plan re-evaluates
+    # per action and could hand rebuild a different row than the one
+    # asserted on (the same hazard fixed in the sibling test)
+    new_id = (
+        emb.where(F.col("vec_id") % 10 == 7)
+        .agg(F.min("vec_id").alias("m")).collect()[0]["m"]
+    )
+    newcomer = emb.where(F.col("vec_id") == new_id)
+    dead_id = corpus.agg(F.min("vec_id").alias("m")).collect()[0]["m"]
     tbl = "hcdc_band_rebuild_tomb"
     try:
         n = corpus.count()
@@ -2148,3 +2152,102 @@ def test_rebuild_never_resurrects_or_invents_takedowns(
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_ivfpq_delete_during_interrupted_compact_swap(
+    spark, sf_dir, tmp_path
+):
+    """Round-13 review (high): a tombstone or delta append that lands
+    DURING compact_ivfpq_index's crash window (between its two renames
+    the live codes dir is missing, the compacted generation staged at
+    codes.compact) used to resurrect codes/ as an underscore-only
+    shell — the next compaction's `not isdir(codes)` recovery check
+    then missed, and its stale-stage cleanup deleted BOTH surviving
+    generations: permanent index loss. Every entry point now finishes
+    the codes swap first (preserving post-crash tombstones), so the
+    sequence delete-in-window → compact → search serves the compacted
+    generation minus the deleted id."""
+    import os
+
+    from hcdc_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        "embedding"
+    ).collect()[0][0]
+    idx = str(tmp_path / "ivfpq_crash")
+    S.write_ivfpq_index(spark, emb, idx)
+    base = [
+        r["vec_id"]
+        for r in S.ivfpq_index_search(spark, idx, qv, exclude_id=0)
+        .collect()
+    ]
+    victim = base[0]
+
+    # simulate the exact crash window: the stage is fully written,
+    # the live dir renamed away, the stage not yet renamed in
+    codes = os.path.join(idx, "codes")
+    os.rename(codes, codes + ".old")
+    import shutil as _sh
+
+    _sh.copytree(codes + ".old", codes + ".compact")
+
+    # the takedown arrives IN the window
+    S.delete_from_ivfpq_index(spark, idx, [victim], batch_id=1)
+    assert os.path.isdir(codes), "recovery did not finish the swap"
+    assert os.path.isdir(os.path.join(codes, "_tombstones")), (
+        "the in-window tombstone was lost by the recovery"
+    )
+
+    # the next compaction must NOT destroy the index (the old bug) —
+    # and must apply the in-window tombstone physically
+    n = S.compact_ivfpq_index(spark, idx)
+    assert n > 0
+    got = [
+        r["vec_id"]
+        for r in S.ivfpq_index_search(spark, idx, qv, exclude_id=0)
+        .collect()
+    ]
+    assert victim not in got
+    assert got[: len(base) - 1] == [v for v in base if v != victim][
+        : len(base) - 1
+    ]
+
+
+def test_delete_empty_ids_is_a_true_noop(spark, sf_dir, tmp_path):
+    """An empty takedown set must not create the tombstone directory —
+    its mere existence costs every probe/search a broadcast anti-join
+    until the next compaction (round-13 review)."""
+    import os
+
+    from hcdc_spark.functions.text import distinct_words
+    from hcdc_spark.operators import dedup, similarity as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", distinct_words("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    tbl = "hcdc_band_empty_del"
+    try:
+        dedup.write_doc_band_index(
+            spark, t.where(F.col("doc_id") % 10 != 3), tbl,
+            str(tmp_path / "bi"),
+        )
+        dedup.delete_from_doc_band_index(spark, tbl, [], batch_id=1)
+        dedup.delete_from_doc_band_index(
+            spark, tbl, t.select("doc_id").where(F.lit(False)),
+            batch_id=1,
+        )
+        loc = S._table_location(spark, tbl)
+        assert not os.path.isdir(os.path.join(loc, "_tombstones"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq_empty")
+    S.write_ivfpq_index(spark, emb.limit(200), idx)
+    S.delete_from_ivfpq_index(spark, idx, [], batch_id=1)
+    S.delete_from_ivfpq_index(
+        spark, idx, emb.select("vec_id").where(F.lit(False)), batch_id=1
+    )
+    assert not os.path.isdir(os.path.join(idx, "codes", "_tombstones"))
