@@ -16,15 +16,22 @@ an append-only parquet log, so maintenance is batch rewrites:
 - ``gc_change_data`` — drop superseded pointer rows and delete staging
   batch directories no pointer references (the byte-level analogue of
   deleting replaced block files).
+
+Storage-scheme-safe (round-13 verdict #1, applied to the T27 legs the
+index takedown inherited its discipline from): all existence/list/
+delete calls route through the Hadoop FS API (hcdc_spark.fsutil), and
+the rename-as-commit directory swaps are fenced to atomic-rename
+filesystems (file:/hdfs:) — on object storage these jobs are the
+table format's rewrite/expire operations, and the fence says so
+instead of half-running a copy+delete "rename".
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from hcdc_spark import fsutil
 
 
 def compact_state_log(
@@ -39,7 +46,8 @@ def compact_state_log(
     (the reference's age-based compaction, keyed by tx instead of
     wall-clock so it is deterministic and replay-safe).
     """
-    log_path = os.path.join(out_dir, "file_state_log")
+    log_path = fsutil.join(out_dir, "file_state_log")
+    fsutil.require_atomic_rename(log_path, "compact_state_log")
     log = spark.read.parquet(log_path)
     # The streaming reconciler stamps batch_id; batch outputs written by
     # the CLI's bootstrap/reconcile commands don't carry it — compaction
@@ -73,16 +81,17 @@ def compact_state_log(
     latest.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
     old = log_path + ".old"
-    os.rename(log_path, old)
-    os.rename(tmp, log_path)
-    shutil.rmtree(old, ignore_errors=True)
+    fsutil.rename(log_path, old)
+    fsutil.rename(tmp, log_path)
+    fsutil.delete(old)
     return n
 
 
 def gc_change_data(spark: SparkSession, staging_dir: str) -> int:
     """Drop superseded pointers; delete unreferenced batch dirs.
     Returns the number of live pointer rows."""
-    ptr_path = os.path.join(staging_dir, "change_data")
+    ptr_path = fsutil.join(staging_dir, "change_data")
+    fsutil.require_atomic_rename(ptr_path, "gc_change_data")
     ptr = spark.read.parquet(ptr_path)
     # batch_tag desc as tie-breaker: re-materializations of the same
     # file carry the same last_tx_id, and the kept pointer must be the
@@ -106,23 +115,21 @@ def gc_change_data(spark: SparkSession, staging_dir: str) -> int:
         .distinct()
         .collect()
     }
-    data_root = os.path.join(staging_dir, "data")
-    if os.path.isdir(data_root):
-        for domain in os.listdir(data_root):
-            dpath = os.path.join(data_root, domain)
-            for entity in os.listdir(dpath):
-                epath = os.path.join(dpath, entity)
-                for batch in os.listdir(epath):
+    data_root = fsutil.join(staging_dir, "data")
+    if fsutil.is_dir(data_root):
+        for domain in fsutil.list_names(data_root):
+            dpath = fsutil.join(data_root, domain)
+            for entity in fsutil.list_names(dpath):
+                epath = fsutil.join(dpath, entity)
+                for batch in fsutil.list_names(epath):
                     if not batch.startswith("batch="):
                         continue
                     tag = batch.split("=", 1)[1]
                     if (domain, entity, tag) not in live_batches:
-                        shutil.rmtree(
-                            os.path.join(epath, batch), ignore_errors=True
-                        )
+                        fsutil.delete(fsutil.join(epath, batch))
 
     old = ptr_path + ".old"
-    os.rename(ptr_path, old)
-    os.rename(tmp, ptr_path)
-    shutil.rmtree(old, ignore_errors=True)
+    fsutil.rename(ptr_path, old)
+    fsutil.rename(tmp, ptr_path)
+    fsutil.delete(old)
     return n

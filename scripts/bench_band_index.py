@@ -254,9 +254,11 @@ def main() -> None:
                 t0 = time.time()
                 S.compact_band_index(spark, table)
                 compact_tomb_s = round(time.time() - t0, 3)
-                tomb_cleared = not pathlib.Path(
+                from hcdc_spark import fsutil
+
+                tomb_cleared = not fsutil.is_dir(fsutil.join(
                     S._table_location(spark, table), "_tombstones"
-                ).is_dir()
+                ))
                 post_wall, cand_post = probe_sized()
 
                 # (b) BAND_SMJ_GROUP_CAP re-key — probe_stale above IS

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from hcdc_spark import fsutil
 from hcdc_spark.operators import analytics, analytics_ext, cdc_queries
 from hcdc_spark.plans import inspect as I
 
@@ -1109,7 +1110,9 @@ def test_migrate_band_index_retires_flat_full_scans(
 
         # poison gate on the migrated table: a band dir no probed
         # band touches is never opened
-        path2 = S._table_location(spark, table)
+        # _table_location is a URI since round 14; the poison writes
+        # below need an OS path
+        path2 = fsutil.local_path(S._table_location(spark, table))
         probed_bands = {r["band"] for r in
                         nbx.select("band").distinct().collect()}
         victims = [b for b in range(6) if b not in probed_bands]
@@ -1511,10 +1514,8 @@ def test_flat_layout_probe_applies_tombstones(spark, sf_dir, tmp_path):
             .distinct().collect()
         }
         assert not (left & set(victims))
-        import os as _os
-
-        assert not _os.path.isdir(
-            _os.path.join(S._table_location(spark, table), "_tombstones")
+        assert not fsutil.is_dir(
+            fsutil.join(S._table_location(spark, table), "_tombstones")
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from hcdc_spark import fsutil
 from hcdc_spark.operators import dedup, similarity, text
 from tests.conftest import assert_matches_oracle
 
@@ -2019,7 +2020,9 @@ def test_delete_from_doc_band_index_lifecycle(spark, sf_dir, tmp_path):
         }
         assert not (left & set(deleted)), "dead rows survived compaction"
         loc = similarity._table_location(spark, tbl)
-        assert not os.path.isdir(os.path.join(loc, "_tombstones")), (
+        # loc is a URI (file:/...) since round 14 — check through the
+        # same scheme-safe layer the probe's discovery uses
+        assert not fsutil.is_dir(fsutil.join(loc, "_tombstones")), (
             "compaction swap did not clear the tombstones"
         )
         assert hits() == after
@@ -2239,7 +2242,7 @@ def test_delete_empty_ids_is_a_true_noop(spark, sf_dir, tmp_path):
             batch_id=1,
         )
         loc = S._table_location(spark, tbl)
-        assert not os.path.isdir(os.path.join(loc, "_tombstones"))
+        assert not fsutil.is_dir(fsutil.join(loc, "_tombstones"))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
