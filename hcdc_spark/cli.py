@@ -11,6 +11,8 @@ the driver process itself, so the surface is a CLI of batch jobs:
         --rules <csv> --staging <dir> [--checkpoint <dir>]
     python -m hcdc_spark.cli compact    --out <dir> [--delta-min-tx N]
     python -m hcdc_spark.cli gc-staging --staging <dir>
+    python -m hcdc_spark.cli takedown   --ids <file> --batch-id N \
+        [--index TABLE ...] [--ivfpq PATH ...] [--compact]
 
 Each command is a thin wrapper over a library function, so everything
 is equally scriptable from a notebook or Airflow DAG.
@@ -104,6 +106,53 @@ def cmd_gc_staging(args) -> int:
     return 0
 
 
+def cmd_takedown(args) -> int:
+    """Right-to-be-forgotten / crawl-retraction across every index
+    serving an id, in one call (round-13 verdict 'next' #5): routes
+    the id set to delete_from_band_index for every --index (embedding
+    AND doc MinHash band tables — one shared delete, id column from
+    each table's metadata) and delete_from_ivfpq_index for every
+    --ivfpq path. Each is an O(|ids|) tombstone append; probes stop
+    serving the ids immediately, compaction reclaims the rows.
+    CHUNK-REFERENCE digests are retained BY DESIGN (content-free
+    16-byte hashes shared across docs; keeping them means verbatim
+    re-ingestion of retracted text still gets its chunks dropped) —
+    the scope contract in operators/similarity.takedown. --batch-id
+    is the delete's GENERATION: it kills admissions at or below it,
+    and a later re-admission (higher batch id) serves again — pass
+    the current ingest cycle's id, exactly as appends do."""
+    from hcdc_spark.operators.similarity import (
+        compact_band_index,
+        compact_ivfpq_index,
+        takedown,
+    )
+
+    spark = _spark("hcdc-takedown")
+    if args.ids.endswith((".parquet", ".pq")) or os.path.isdir(args.ids):
+        ids = spark.read.parquet(args.ids)
+    else:
+        with open(args.ids) as fh:
+            ids = [int(ln) for ln in fh if ln.strip()]
+    res = takedown(
+        spark, ids,
+        band_tables=args.index or (),
+        ivfpq_paths=args.ivfpq or (),
+        batch_id=args.batch_id,
+    )
+    if args.compact:
+        for t in args.index or ():
+            compact_band_index(spark, t)
+        for p in args.ivfpq or ():
+            compact_ivfpq_index(spark, p)
+    tgts = len(res["band_tables"]) + len(res["ivfpq_paths"])
+    print(
+        f"takedown of {res['n_ids']} ids across {tgts} index(es)"
+        f"{' + compacted' if args.compact else ''}; "
+        f"chunk refs {res['chunk_refs']} (see scope contract)"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hcdc_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -139,6 +188,40 @@ def build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("gc-staging", help="drop superseded staging batches")
     g.add_argument("--staging", required=True)
     g.set_defaults(fn=cmd_gc_staging)
+
+    t = sub.add_parser(
+        "takedown",
+        help="delete ids from every band/IVF-PQ index in one call "
+        "(tombstone appends; chunk-reference digests retained by "
+        "design — see cmd_takedown)",
+    )
+    t.add_argument(
+        "--ids", required=True,
+        help="newline-delimited id file, or a parquet path whose "
+        "first column is the id",
+    )
+    t.add_argument(
+        "--index", action="append",
+        help="band index CATALOG TABLE (embedding or doc MinHash; "
+        "repeatable)",
+    )
+    t.add_argument(
+        "--ivfpq", action="append",
+        help="IVF-PQ artifact PATH (repeatable)",
+    )
+    t.add_argument(
+        "--batch-id", type=int, default=0,
+        help="delete generation: kills admissions <= this id; a "
+        "later re-admission serves again (default 0 = build + "
+        "batch-0 rows only)",
+    )
+    t.add_argument(
+        "--compact", action="store_true",
+        help="also compact each target now (physically drop the "
+        "dead rows and clear the tombstones) instead of leaving "
+        "reclamation to the next scheduled compaction",
+    )
+    t.set_defaults(fn=cmd_takedown)
     return p
 
 

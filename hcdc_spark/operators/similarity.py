@@ -3792,6 +3792,61 @@ def delete_from_band_index(
     )
 
 
+def takedown(
+    spark: SparkSession,
+    ids,
+    band_tables: tuple[str, ...] | list[str] = (),
+    ivfpq_paths: tuple[str, ...] | list[str] = (),
+    batch_id: int = 0,
+) -> dict:
+    """ONE-CALL takedown across every index family serving an id —
+    the deployment entry point for the right-to-be-forgotten /
+    crawl-retraction verb (round-13 verdict 'next' #5: c31 drives the
+    per-index functions directly; an operator reaches them in one
+    call here or via ``python -m hcdc_spark.cli takedown``).
+
+    ``ids`` is a DataFrame with one id column or a plain iterable;
+    ``band_tables`` are catalog band indexes — EMBEDDING and DOC
+    MinHash indexes alike (one shared delete: the id column comes
+    from each table's persisted metadata), ``ivfpq_paths`` are IVF-PQ
+    artifact locations. Each delete is the O(|ids|) tombstone append
+    with the generation discipline of its index (the tombstone kills
+    generations <= ``batch_id``; a later re-admission serves again) —
+    no scan, no rewrite; the next compaction reclaims.
+
+    SCOPE CONTRACT (delete_from_doc_band_index's documented policy):
+    the takedown removes ids from the NEAR-DUP and ANN indexes — new
+    near-identical content can admit again, deleted vectors stop
+    being returned — but CHUNK-REFERENCE digests deliberately survive
+    retraction: the chunk index stores 16-byte content-free md5s
+    shared across docs, so removing them would need per-hash
+    refcounts for no retention win, while keeping them means verbatim
+    re-ingestion of retracted text still gets its chunks dropped —
+    the conservative direction for a training-data pipeline. The
+    returned dict records that as ``chunk_refs='retained'``.
+
+    Returns per-target counts: {'n_ids': ..., 'band_tables': {...},
+    'ivfpq_paths': {...}, 'chunk_refs': 'retained'}."""
+    if isinstance(ids, DataFrame):
+        id_rows = ids.select(ids.columns[0]).distinct()
+        id_list = [r[0] for r in id_rows.collect()]
+    else:
+        id_list = sorted({int(i) for i in ids})
+    out: dict = {
+        "n_ids": len(id_list),
+        "band_tables": {},
+        "ivfpq_paths": {},
+        "chunk_refs": "retained",
+    }
+    for table in band_tables:
+        delete_from_band_index(spark, table, id_list, batch_id=batch_id)
+        out["band_tables"][table] = len(id_list)
+    for path in ivfpq_paths:
+        delete_from_ivfpq_index(spark, path, id_list, batch_id=batch_id)
+        out["ivfpq_paths"][path] = len(id_list)
+    return out
+
+
 def migrate_band_index(spark: SparkSession, table: str) -> dict:
     """Migrate a legacy FLAT band index (the pre-round-11
     ``bucketBy(band, bucket)`` layout, ``hcdc.layout`` absent →

@@ -2095,28 +2095,42 @@ def c32_crawl_self_dedup_gate(
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _c31_oracle() -> str:
+def _c31_oracle(self_dedup: bool = False) -> str:
     """c30's ordered-batch admission fold with a DELETE SET applied
     between iterations: iteration 0's old side is the corpus, and
     every later iteration's old side is (corpus ∪ admissions so far)
     EXCEPT the takedown set — the relational mirror of
     delete_from_doc_band_index firing at the top of cycle 2 (batch 1).
     No chunk leg (c31 isolates the index-lifecycle verb; c30 carries
-    the chunk story)."""
+    the chunk story). With ``self_dedup`` (c33 — the COMPOSITION row
+    the round-13 verdict mandated, 'next' #4) batch 1 additionally
+    carries exact SAME-batch copies of its own docs and each batch
+    CTE first applies q105's monotone keep-first rule — the two new
+    round-13 verbs (takedown, self-dedup) proven in ONE gate, both
+    firing in cycle 2."""
     from hcdc_spark.operators.dedup import _DW, Q73_BANDS, Q73_HASHES
 
     rows = Q73_HASHES // Q73_BANDS
+    selfp = f"""
+      UNION ALL
+      SELECT documents.doc_id + {_C32_SELF} AS doc_id, lang, text
+      FROM documents WHERE doc_id % 30 = 13 AND len({_DW}) > 0
+    """ if self_dedup else ""
+    self_case = (
+        f"WHEN doc_id >= {_C32_SELF} THEN 1\n                          "
+        if self_dedup else ""
+    )
     head = f"""
     WITH raw AS (
       SELECT doc_id, lang, text FROM documents
       UNION ALL
       SELECT documents.doc_id + {_C30_COPY} AS doc_id, lang, text
-      FROM documents WHERE doc_id % 30 = 3 AND len({_DW}) > 0
+      FROM documents WHERE doc_id % 30 = 3 AND len({_DW}) > 0{selfp}
     ), t AS (
       SELECT doc_id, lang, {_DW} AS ws FROM raw
       WHERE len({_DW}) > 0
     ), bat AS (
-      SELECT doc_id, CASE WHEN doc_id >= {_C30_COPY} THEN 2
+      SELECT doc_id, CASE {self_case}WHEN doc_id >= {_C30_COPY} THEN 2
                           WHEN doc_id % 30 = 3 THEN 0
                           WHEN doc_id % 30 = 13 THEN 1
                           ELSE 2 END AS bno
@@ -2143,11 +2157,34 @@ def _c31_oracle() -> str:
         live = old_ids if i == 0 else (
             f"{old_ids} EXCEPT SELECT doc_id FROM del"
         )
+        if self_dedup:
+            # q105's monotone keep-first rule over ALL within-batch
+            # pairs BEFORE the corpus gate — same CTE shape as c32's
+            # oracle, so a hash match also certifies banding recall
+            parts.append(f""", selfrej_{i} AS (
+      SELECT DISTINCT y.doc_id
+      FROM sized x JOIN bat bx ON x.doc_id = bx.doc_id
+      JOIN sized y ON x.doc_id < y.doc_id
+      JOIN bat bb ON y.doc_id = bb.doc_id
+      WHERE bx.bno = {i} AND bb.bno = {i}
+        AND CAST(len(list_intersect(x.ws, y.ws)) AS DOUBLE)
+            / (x.n + y.n - len(list_intersect(x.ws, y.ws))) >= 0.9
+    )""")
+            self_filter = (
+                f"\n        AND a.doc_id NOT IN "
+                f"(SELECT doc_id FROM selfrej_{i})"
+            )
+            self_gate = (
+                f"\n        AND t.doc_id NOT IN "
+                f"(SELECT doc_id FROM selfrej_{i})"
+            )
+        else:
+            self_filter = self_gate = ""
         parts.append(f""", cand_{i} AS (
       SELECT DISTINCT a.doc_id AS doc_new, o.doc_id AS doc_old
       FROM bands a JOIN bands o
         ON a.band = o.band AND a.bucket = o.bucket
-      WHERE a.doc_id IN (SELECT doc_id FROM bat WHERE bno = {i})
+      WHERE a.doc_id IN (SELECT doc_id FROM bat WHERE bno = {i}){self_filter}
         AND o.doc_id IN ({live})
     ), rejected_{i} AS (
       SELECT DISTINCT doc_new FROM cand_{i}
@@ -2158,7 +2195,7 @@ def _c31_oracle() -> str:
     ), gated_{i} AS (
       SELECT t.doc_id, t.lang, len(t.ws) AS n_words
       FROM t JOIN bat ON t.doc_id = bat.doc_id
-      WHERE bat.bno = {i}
+      WHERE bat.bno = {i}{self_gate}
         AND t.doc_id NOT IN (SELECT doc_new FROM rejected_{i})
     )""")
         old_ids += f" UNION SELECT doc_id FROM gated_{i}"
@@ -2211,6 +2248,20 @@ def _c31_oracle() -> str:
     tags=("streaming", "dedup", "index", "maintenance"),
 )
 def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _c31_run(spark, sf_dir, self_dedup=False)
+
+
+def _c31_run(
+    spark: SparkSession, sf_dir: str, self_dedup: bool
+) -> DataFrame:
+    """Shared engine for c31 (takedown alone) and c33 (takedown
+    COMPOSED with the self-dedup arm): the c30-style admission loop
+    with delete_from_doc_band_index firing at the top of cycle 2 —
+    and, when ``self_dedup``, batch 1 carrying exact SAME-batch copies
+    of its own docs (parent + _C32_SELF) that only the pre-probe
+    keep-first step can catch. Both verbs therefore act in the SAME
+    cycle, which is the composition c31/c32 each proved only half of
+    (round-13 verdict 'next' #4)."""
     import glob
 
     from pyspark.errors import AnalysisException
@@ -2220,8 +2271,9 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hcdc_spark.operators import dedup as D
     from hcdc_spark.operators import similarity as S
 
-    table = "hcdc_doc_band_index_c31"
-    work = tempfile.mkdtemp(prefix="hcdc_c31_")
+    tag = "c33" if self_dedup else "c31"
+    table = f"hcdc_doc_band_index_{tag}"
+    work = tempfile.mkdtemp(prefix=f"hcdc_{tag}_")
     try:
         docs = spark.read.parquet(table_path(sf_dir, "documents"))
         parents = docs.where(
@@ -2234,20 +2286,37 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lang", "text",
             )
         )
+        if self_dedup:
+            # c32's same-batch plants: exact copies of batch-1 docs
+            # riding IN batch 1 (parent + _C32_SELF keeps % 10 == 3)
+            raw = raw.unionByName(
+                docs.where(F.col("doc_id") % 30 == 13).select(
+                    (F.col("doc_id") + F.lit(_C32_SELF)).alias("doc_id"),
+                    "lang", "text",
+                )
+            )
         t = raw.select(
             "doc_id", "lang", "text", distinct_words("text").alias("ws")
         ).where(F.size("ws") > 0)
         corpus_t = t.where(F.col("doc_id") % 10 != 3)
+        # the _C32_SELF bounds are no-ops when self_dedup is off (no
+        # row reaches the offset) — one batch split for both arms,
+        # mirroring _c30_setup's assignment exactly
         batches = [
             t.where(
                 (F.col("doc_id") % 30 == 3) & (F.col("doc_id") < _C30_COPY)
             ),
             t.where(
-                (F.col("doc_id") % 30 == 13) & (F.col("doc_id") < _C30_COPY)
+                ((F.col("doc_id") % 30 == 13)
+                 & (F.col("doc_id") < _C30_COPY))
+                | (F.col("doc_id") >= _C32_SELF)
             ),
             t.where(
                 ((F.col("doc_id") % 30 == 23) & (F.col("doc_id") < _C30_COPY))
-                | (F.col("doc_id") >= _C30_COPY)
+                | (
+                    (F.col("doc_id") >= _C30_COPY)
+                    & (F.col("doc_id") < _C32_SELF)
+                )
             ),
         ]
         D.write_doc_band_index(
@@ -2293,6 +2362,12 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             t_b = batch_df.select(
                 "doc_id", "lang", distinct_words("text").alias("ws")
             ).where(F.size("ws") > 0)
+            if self_dedup:
+                # the within-batch keep-first step FIRST (q105's
+                # monotone rule, batch-sized, replay-safe) — exactly
+                # c32's arm, here composed with the takedown firing
+                # in the same cycle
+                t_b = D.batch_self_neardup_keep_first(t_b, threshold=0.9)
             corpus_cur = corpus_t.select("doc_id", "ws")
             own_prior = None
             try:
@@ -2360,15 +2435,15 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            _await_drained(q, "c31_index_takedown")
+            _await_drained(q, f"{tag}_index_takedown")
 
         # teeth 1: no rejection anywhere cites a deleted doc_old
         rej = spark.read.parquet(rejected_dir)
         ghosts = rej.where(F.col("doc_old").isin(del_ids)).count()
         if ghosts:
             raise AssertionError(
-                f"c31: {ghosts} rejection(s) cite a DELETED doc_old — "
-                "the tombstone anti-join is not reaching the probe"
+                f"{tag}: {ghosts} rejection(s) cite a DELETED doc_old "
+                "— the tombstone anti-join is not reaching the probe"
             )
         landed_all = spark.read.parquet(landed_dir)
         adm0 = set(
@@ -2380,7 +2455,7 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parent ADMITS in cycle 3
         deleted_admitted = [d for d in del_ids if d in adm0]
         if not deleted_admitted:
-            raise AssertionError("c31: takedown set hit no admission")
+            raise AssertionError(f"{tag}: takedown set hit no admission")
         readmitted = landed_all.where(
             F.col("doc_id").isin(
                 [d + _C30_COPY for d in deleted_admitted]
@@ -2388,8 +2463,8 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).count()
         if readmitted == 0:
             raise AssertionError(
-                "c31: no copy of a deleted parent was re-admitted — "
-                "the takedown did not free its near-dup slot"
+                f"{tag}: no copy of a deleted parent was re-admitted "
+                "— the takedown did not free its near-dup slot"
             )
         # teeth 3: copies of KEPT parents still reject AGAINST them
         kept = [d for d in sorted(adm0) if d not in del_ids]
@@ -2400,31 +2475,57 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).count()
         if targeted == 0:
             raise AssertionError(
-                "c31: no kept parent rejected its own copy — the "
+                f"{tag}: no kept parent rejected its own copy — the "
                 "delete wiped more than its id set"
             )
-        # teeth 4 (the ANN half): a deleted vector stops being returned
-        emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
-        qv = emb.where(F.col("vec_id") == 0).select(
-            "embedding"
-        ).collect()[0][0]
-        idx = os.path.join(work, "ivfpq")
-        S.write_ivfpq_index(spark, emb, idx)
-        victim = S.ivfpq_index_search(
-            spark, idx, qv, exclude_id=0
-        ).collect()[0]["vec_id"]
-        S.delete_from_ivfpq_index(spark, idx, [victim], batch_id=1)
-        still = {
-            r["vec_id"]
-            for r in S.ivfpq_index_search(
+        if self_dedup:
+            # teeth 5 (c33, the COMPOSITION): no same-batch plant may
+            # land — its parent rides in the same delta at Jaccard
+            # 1.0, so the keep-first step must drop it even while the
+            # takedown is freeing batch-0 slots in the same cycle —
+            # and the parents themselves must still be subject to the
+            # normal gates (at least one landed proves keep-first
+            # didn't nuke the batch)
+            leaked = landed_all.where(
+                F.col("doc_id") >= _C32_SELF
+            ).count()
+            if leaked:
+                raise AssertionError(
+                    f"c33: {leaked} same-batch cop(ies) co-admitted "
+                    "alongside the takedown — self_dedup and delete "
+                    "do not compose"
+                )
+            if landed_all.where(
+                (F.col("batch") == "1") & (F.col("doc_id") < _C30_COPY)
+            ).count() == 0:
+                raise AssertionError(
+                    "c33: no batch-1 parent landed — keep-first "
+                    "dropped originals, not just copies"
+                )
+        else:
+            # teeth 4 (the ANN half, c31 only — c33 isolates the doc
+            # gate): a deleted vector stops being returned
+            emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+            qv = emb.where(F.col("vec_id") == 0).select(
+                "embedding"
+            ).collect()[0][0]
+            idx = os.path.join(work, "ivfpq")
+            S.write_ivfpq_index(spark, emb, idx)
+            victim = S.ivfpq_index_search(
                 spark, idx, qv, exclude_id=0
-            ).collect()
-        }
-        if victim in still:
-            raise AssertionError(
-                f"c31: deleted vector {victim} still returned by the "
-                "IVF-PQ search"
-            )
+            ).collect()[0]["vec_id"]
+            S.delete_from_ivfpq_index(spark, idx, [victim], batch_id=1)
+            still = {
+                r["vec_id"]
+                for r in S.ivfpq_index_search(
+                    spark, idx, qv, exclude_id=0
+                ).collect()
+            }
+            if victim in still:
+                raise AssertionError(
+                    f"c31: deleted vector {victim} still returned by "
+                    "the IVF-PQ search"
+                )
         out = (
             landed_all.groupBy(
                 F.col("batch").cast("int").alias("batch"), "lang"
@@ -2439,6 +2540,38 @@ def c31_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(work, ignore_errors=True)
+
+
+@REG.add(
+    "c33_takedown_self_dedup_gate",
+    _c31_oracle(self_dedup=True),
+    doc="The two round-13 lifecycle verbs COMPOSED in one admission "
+    "gate (round-13 verdict 'next' #4): c31 proved the takedown "
+    "inside a c30-style loop WITHOUT the self-dedup arm, c32 proved "
+    "the self-dedup arm WITHOUT a takedown — this row runs BOTH in "
+    "the same cycle. Batch 1 carries exact SAME-batch copies of its "
+    "own docs (parent + 3e6 — the pair the corpus probe structurally "
+    "cannot catch) while delete_from_doc_band_index fires at the top "
+    "of that very cycle (tombstoning half of batch 0's admissions), "
+    "and batch 2 carries byte-identical copies of every batch-0 doc. "
+    "All the individual teeth hold simultaneously: no rejection "
+    "cites a deleted doc_old, deleted parents' copies RE-ADMIT, kept "
+    "parents' copies still REJECT, and — the composition tooth — no "
+    "same-batch plant ever lands (q105's keep-first rule drops it "
+    "against its in-batch parent even while the takedown is freeing "
+    "slots in the same trigger). Oracle: c31's ordered-batch CTE "
+    "chain with BOTH the per-batch keep-first selfrej CTE (c32's "
+    "extension) and the delete set EXCEPTed from later old sides — "
+    "hash-exact per (batch, lang) rollup. Both oracles already "
+    "existed as parameters of the shared builder; the composition is "
+    "one flag, which is the point: the verbs were designed to "
+    "commute.",
+    tags=("streaming", "dedup", "index", "maintenance"),
+)
+def c33_takedown_self_dedup_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _c31_run(spark, sf_dir, self_dedup=True)
 
 
 def _c28_oracle() -> str:

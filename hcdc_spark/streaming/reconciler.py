@@ -345,7 +345,21 @@ def run_reconciler(
     append-only pattern that scales (no read-modify-write of a 100 TB
     table per micro-batch) and keeps history queryable, the same
     event-sourcing shape the reference gets from ZK versioned nodes.
-    """
+
+    ``deleted_ttl_ms`` — the price of bounded state, measured
+    (scripts/bench_ttl_reconciler.py, round 13, 100k inodes / 75%
+    churn-deleted): eviction keeps the store at the LIVE set (peak
+    91,069 entries -> 8,959 == live at drain end, evictions observed
+    mid-run), while the un-TTL'd fold retains every Deleted key
+    forever; the cost is ~25% micro-batch throughput vs the NoTimeout
+    drain (ProcessingTimeTimeout bookkeeping + re-serialization of
+    expiring groups). Opt IN for long-running continuous reconcilers
+    whose delete churn would otherwise grow state without bound;
+    and NEVER pass one with ``available_now=True``: a drain under
+    ProcessingTimeTimeout does not self-terminate in this Spark (it
+    keeps committing no-data batches indefinitely — the measured
+    caveat at DEFAULT_DELETED_TTL_MS); drains keep the NoTimeout fold
+    and let compact_state_log (c24) reclaim Deleted rows offline."""
     from hcdc_spark.streaming.source import read_event_stream
 
     events = read_event_stream(spark, source_dir, max_files_per_trigger)

@@ -91,3 +91,89 @@ def test_cli_pipeline(spark, tmp_path, capsys):
         assert cli.main(["gc-staging", "--staging", f"{root}/staging"]) == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cli_takedown(spark, sf_dir, tmp_path, capsys):
+    """The one-call takedown entry point (round-13 verdict 'next'
+    #5): ids from a file, routed to a doc band index AND an IVF-PQ
+    artifact in one invocation; deleted ids stop serving both; with
+    --compact the tombstones are reclaimed in the same call."""
+    from pyspark.sql import functions as F
+
+    from hcdc_spark import fsutil
+    from hcdc_spark.functions.text import distinct_words
+    from hcdc_spark.operators import dedup, similarity as S
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t = docs.select("doc_id", distinct_words("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    corpus_t = t.where(F.col("doc_id") % 10 != 3)
+    parent_ids = sorted(
+        r["doc_id"]
+        for r in corpus_t.where(F.col("doc_id") % 20 == 4)
+        .select("doc_id").collect()
+    )[:4]
+    batch = corpus_t.where(F.col("doc_id").isin(parent_ids)).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "ws"
+    )
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).limit(300)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    tbl = "hcdc_doc_bi_cli_takedown"
+    idx = str(tmp_path / "ivfpq")
+    try:
+        dedup.write_doc_band_index(spark, corpus_t, tbl,
+                                   str(tmp_path / "bi"))
+        S.write_ivfpq_index(spark, emb, idx)
+        victim = S.ivfpq_index_search(
+            spark, idx, qv, exclude_id=0
+        ).collect()[0]["vec_id"]
+        # one id file drives both indexes (id spaces differ — the doc
+        # ids double as vec ids here only to prove the routing; a
+        # deployment passes per-family files or a parquet column)
+        ids_file = tmp_path / "takedown_ids.txt"
+        ids_file.write_text(
+            "\n".join(str(i) for i in [*parent_ids[:2], victim])
+        )
+        rc = cli.main([
+            "takedown", "--ids", str(ids_file),
+            "--index", tbl, "--ivfpq", idx, "--batch-id", "1",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "2 index(es)" in out and "retained" in out
+        old = {
+            r["doc_old"]
+            for r in dedup.incremental_doc_neardup(
+                spark, batch, tbl, corpus_t, threshold=0.9
+            ).collect()
+        }
+        assert not (old & set(parent_ids[:2])), "deleted ids still serve"
+        assert set(parent_ids[2:]) <= old, "takedown over-deleted"
+        got = {
+            r["vec_id"]
+            for r in S.ivfpq_index_search(
+                spark, idx, qv, exclude_id=0
+            ).collect()
+        }
+        assert victim not in got
+        # --compact reclaims in the same call
+        rc = cli.main([
+            "takedown", "--ids", str(ids_file),
+            "--index", tbl, "--ivfpq", idx, "--batch-id", "1",
+            "--compact",
+        ])
+        assert rc == 0
+        assert not fsutil.is_dir(
+            fsutil.join(S._table_location(spark, tbl), "_tombstones")
+        )
+        assert not fsutil.is_dir(fsutil.join(idx, "codes", "_tombstones"))
+        left = {
+            r["doc_id"]
+            for r in spark.table(tbl).select("doc_id").distinct().collect()
+        }
+        assert not (left & set(parent_ids[:2]))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

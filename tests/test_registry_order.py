@@ -1,14 +1,14 @@
 """Gate the driver-budget registry ordering.
 
 The external correctness harness checks exactly the first 50 registry
-entries per round (flat count — observed in rounds 1-12). These tests
-pin the round-13 contract: every query whose implementation or oracle
+entries per round (flat count — observed in rounds 1-13). These tests
+pin the round-14 contract: every query whose implementation or oracle
 is new or changed sits inside that prefix (a green row that predates
-the code is not evidence), plus the currency-rotation block (ALL 40
-r10-dated greens — the verdict's enumerated queue) and the spine. If
-the round-13 window goes green, every oracle-bearing query's latest
-driver green is r11 or newer — the two-round steady state holds a
-third consecutive round.
+the code is not evidence), plus the currency-rotation block (ALL 42
+r11-dated greens — the verdict's enumerated queue) and the spine. If
+the round-14 window goes green, every oracle-bearing query's latest
+driver green is r12 or newer — the two-round steady state holds a
+fourth consecutive round.
 """
 
 from __future__ import annotations
@@ -18,66 +18,63 @@ import pathlib
 
 import __spark_entry__ as E
 
-#: Round-13 must-verify set: queries whose CODE changed this round —
-#: c30's gate became replay-safe at every crash prefix (own-id
-#: exclusion, admit-before-index ordering, chunk-ref correction —
-#: round-12 advice, high), q105's planted-copy offset moved to the 1M
-#: convention, c28's rebuild policy now fires on the legacy flat
-#: layout — plus the NEW rows c31 (index takedown) and c32 (the crawl
-#: gate's self_dedup arm). The SHARED probe/search changes (tombstone
-#: anti-joins in _band_candidates / ivfpq_index_search / the
-#: compactions) are covered in-window by c22/c28/c31/c32 and the
-#: IVF-PQ queue block q102/q104/c20/c25 (all scheduled below);
-#: q103/c21/c26/c27 (r12-green, same shared probe core, re-verified
-#: against the oracle during the round) ride that representation
-#: exactly as round 12 carried c22 by c26.
+#: Round-14 must-verify set: queries whose CODE changed this round —
+#: the index lifecycle's file-op layer moved from os.*/shutil to the
+#: Hadoop FS API (hcdc_spark.fsutil; round-13 verdict 'next' #1):
+#: c20/c25/q104 (IVF-PQ write/append/search/compact + both
+#: swap-recovery guards), c28 (band rebuild/migrate through the
+#: catalog stage-and-swap + fsutil cleanup), c31 (both DELETE verbs
+#: and the tombstone discovery the verdict flagged as silently
+#: scheme-blind), c24 (cdc/maintenance.compact_state_log — same
+#: fsutil routing + atomic-rename fence), plus the NEW composition
+#: row c33 (takedown + self-dedup in one gate, 'next' #4; it shares
+#: _c31_run with c31, so both sit in-window). The band-probe
+#: discovery change (_band_tombstones via fsutil) is covered
+#: in-window by c31/c33/c28; q103/c21/c22/c26/c27/c30/c32
+#: (r12/r13-green, same shared probe core, re-verified against the
+#: oracle during the round) ride that representation exactly as
+#: earlier rounds carried c22 by c26.
 CHANGED_THIS_ROUND = {
-    "c30_crawl_batch_admission",
-    "q105_batch_self_dedup",
+    "c20_stream_index_upsert",
+    "c24_state_gc",
+    "c25_index_compaction",
     "c28_stream_rebuild_cycle",
     "c31_index_takedown",
-    "c32_crawl_self_dedup_gate",
-    "c22_stream_doc_ingest_dedup",
-    "c20_stream_index_upsert",
-    "c25_index_compaction",
-    "q102_ivfpq_index_ann",
     "q104_ivfpq_index_upsert",
+    "c33_takedown_self_dedup_gate",
 }
 
-#: The 40 queries whose latest driver green still dates to round 10 —
-#: the verdict's enumerated rotation queue (round-12 'next' #1). After
-#: this window goes green the currency tripwire tightens to r11.
-R10_DATED = {
-    "c20_stream_index_upsert", "c22_stream_doc_ingest_dedup",
-    "c23_backlog_replay", "c24_state_gc", "c25_index_compaction",
-    "q01_pricing_summary", "q05_star_join", "q10_agg_distinct",
-    "q11_rollup", "q12_cube", "q16_set_ops", "q22_explode_wordcount",
-    "q24_latest_per_key", "q25_sessionization", "q26_interval_merge",
-    "q28_jaccard_pairs", "q35_embedding_neardup", "q42_media_analyze",
-    "q43_media_embed_knn", "q44_grouping_sets", "q45_collect_sets",
-    "q47_asof_join", "q48_range_join", "q49_percentiles",
-    "q63_sequence_packing", "q64_embedding_quantization",
-    "q69_ngram_topk", "q70_salted_join_agg", "q71_media_resize",
-    "q72_skew_safe_distinct", "q90_chunk_dedup", "q93_ivf_ann_fixed",
-    "q94_chunk_dedup_rewrite", "q95_vocab_oov", "q96_bigram_dup_rate",
-    "q97_pq_ann_adc", "q98_ingest_pipeline", "q101_ivfpq_ann",
-    "q102_ivfpq_index_ann", "q104_ivfpq_index_upsert",
+#: The 42 queries whose latest driver green still dates to round 11 —
+#: the verdict's enumerated rotation queue (round-13 'next' #2). After
+#: this window goes green the currency tripwire tightens to r12.
+R11_DATED = {
+    "c05_stream_window_agg", "c09_stream_static_join",
+    "c10_stream_stream_join", "c11_protobuf_roundtrip",
+    "c12_fsimage_bootstrap", "c13_stream_session_window",
+    "c14_stream_dedup", "c15_tx_gaps", "c16_editlog_decode",
+    "c18_editlog_layout64", "q04_left_outer_join", "q06_semi_join",
+    "q09_cross_join", "q13_window_rank", "q14_window_analytic",
+    "q15_sort_limit", "q17_string_functions", "q21_hash_functions",
+    "q39_avro_roundtrip", "q41_binary_listing", "q51_approx_distinct",
+    "q54_hash_split", "q55_corpus_composition", "q56_repetition",
+    "q57_quality_funnel", "q58_dedup_clusters", "q61_block_range_read",
+    "q62_pii_redaction", "q74_bucketed_join", "q75_scd2_history",
+    "q76_doc_chunking", "q77_approx_percentile", "q78_weighted_sample",
+    "q79_zorder_cluster", "q80_histogram", "q81_corr_stats",
+    "q82_fuzzy_search", "q83_date_rollup_gapfill",
+    "q84_retention_cohorts", "q85_event_funnel", "q87_array_lambdas",
+    "q88_robust_stats",
 }
 
 #: Long-green canary that must stay in the prefix as a regression
 #: tripwire (c01 carries the relational-fold oracle family the
-#: streaming codecs share), plus the md5-twin ANN/near-dup block —
-#: the hash-exact twins whose greenness carries the five structural
-#: rows-only shapes (q29/q36/q38/q52/q53 + q100) rotate FORWARD with
-#: the window instead of aging toward the tripwire.
+#: streaming codecs share). The md5-twin ANN/near-dup block
+#: (q73/q89/q91/q92 — r13-green, code untouched this round) rotates
+#: forward in round 15 with the r12-dated cohort, per the verdict's
+#: overflow instruction: the 42-row queue plus the changed-code set
+#: fills the window exactly.
 SPINE = {
     "c01_cdc_file_state",
-    "q73_minhash_lsh_md5",
-    "q89_ann_lsh_md5",
-    "q91_simhash_md5",
-    "q92_embedding_neardup_md5",
-    # c29/c04/c08 (r12-green) rotated out this round: the reconciler
-    # change is a non-default-codec error message, pytest-gated.
 }
 
 #: Rows-only by design (xxhash64 has no DuckDB equivalent). Their
@@ -116,7 +113,7 @@ def _union_green() -> set[str]:
 def test_changed_and_spine_inside_first_50():
     names = list(E.queries().keys())
     first = set(names[:50])
-    missing = (CHANGED_THIS_ROUND | R10_DATED | SPINE) - first
+    missing = (CHANGED_THIS_ROUND | R11_DATED | SPINE) - first
     assert not missing, f"starved of driver signal: {sorted(missing)}"
 
 
@@ -147,12 +144,12 @@ def test_new_queries_land_inside_first_50():
 
 
 def test_no_green_older_than_two_rounds_after_this_window():
-    """The round-13 currency bar (tightened from round 12's r10 per
+    """The round-14 currency bar (tightened from round 13's r11 per
     the verdict): assuming the window goes green, every oracle-bearing
-    query's latest green must be r11 or newer — i.e. the set of
-    queries whose latest green predates r11 must be a subset of the
-    verified prefix. Round 13 schedules the ENTIRE 40-row r10 queue,
-    so the two-round steady state holds a third round."""
+    query's latest green must be r12 or newer — i.e. the set of
+    queries whose latest green predates r12 must be a subset of the
+    verified prefix. Round 14 schedules the ENTIRE 42-row r11 queue,
+    so the two-round steady state holds a fourth round."""
     latest: dict[str, int] = {}
     root = pathlib.Path(__file__).resolve().parent.parent
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -160,7 +157,7 @@ def test_no_green_older_than_two_rounds_after_this_window():
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match") and row.get("rows_match"):
                 latest[name] = max(latest.get(name, 0), rnd)
-    stale = {n for n, r in latest.items() if r < 11}
+    stale = {n for n, r in latest.items() if r < 12}
     names = list(E.queries().keys())
     first = set(names[:50])
     left_out = stale - first
@@ -182,11 +179,11 @@ def test_priority_names_all_exist_and_unique():
 
 def test_registry_complete():
     qs = E.queries()
-    assert len(qs) >= 140
+    assert len(qs) >= 141
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # round 13: c31 (index takedown, delete-aware admission oracle)
-    # and c32 (self-dedup crawl arm, q105-rule-extended admission
-    # oracle) join the oracle-bearing set — 134/140 (q100 + the r3
+    # round 14: c33 (takedown composed with the self-dedup arm —
+    # the shared c31 CTE chain with selfrej CTEs AND the delete-set
+    # EXCEPT) joins the oracle-bearing set — 135/141 (q100 + the r3
     # five stay rows-only by structure)
-    assert len(oracles) >= 134
+    assert len(oracles) >= 135
