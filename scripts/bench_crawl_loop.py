@@ -19,6 +19,16 @@ Prints one JSON line:
                    ...]}}
 
 Usage: python scripts/bench_crawl_loop.py [passes=2] [sf_label=sf4]
+                                          [takedown=0]
+
+With ``takedown=1`` (round-14: the c33 composition's scale evidence)
+cycle 2 additionally DELETES half of cycle-1's admissions via
+delete_from_doc_band_index before its probe — the c31/c33 shape. The
+claim measured: the delete is O(|ids|) (batch-sized wall, flat
+across scale points) and the later cycles' gate walls stay in the
+same family with tombstones pending (the probe's anti-join is a
+broadcast against O(|ids|) rows). Off by default so the gate/admit
+series stays comparable with the round-12/13 numbers.
 """
 
 from __future__ import annotations
@@ -42,6 +52,7 @@ CYCLE_RANGES = [(0, 1670), (1670, 3340), (3340, 5000)]
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     big = sys.argv[2] if len(sys.argv) > 2 else "sf4"
+    takedown = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
     sf_dirs = {"sf0.1": "/root/testdata/sf0.1",
                big: str(ROOT / ".benchdata" / big)}
     from pyspark.sql import functions as F
@@ -112,6 +123,27 @@ def main() -> None:
                         t_b, threshold=0.9
                     ).count()
                     sd_s = time.time() - t0
+                    del_s, n_del = None, 0
+                    if takedown and i == 1:
+                        # the c31/c33 shape: delete HALF of the prior
+                        # cycle's admissions before this cycle's probe
+                        # (doc_id % 20 == 3 — the batch universe is
+                        # % 10 == 3, so ids split ~evenly between the
+                        # 3 and 13 residues mod 20; deterministic,
+                        # batch-sized); later probes run with the
+                        # tombstones pending
+                        del_ids = [
+                            r["doc_id"]
+                            for r in spark.read.parquet(admitted_dir)
+                            .where(F.col("doc_id") % 20 == 3)
+                            .select("doc_id").distinct().collect()
+                        ]
+                        n_del = len(del_ids)
+                        t0 = time.time()
+                        D.delete_from_doc_band_index(
+                            spark, table, del_ids, batch_id=i
+                        )
+                        del_s = time.time() - t0
                     t0 = time.time()
                     corpus_cur = corpus_t.select("doc_id", "ws")
                     if os.path.exists(admitted_dir):
@@ -154,14 +186,18 @@ def main() -> None:
                     spark.catalog.refreshTable(chunk_table)
                     spark.catalog.refreshTable(table)
                     admit_s = time.time() - t0
-                    cycles.append({
+                    row = {
                         "gate": round(gate_s, 3),
                         "admit": round(admit_s, 3),
                         "landed": landed_b.count(),
                         "rejected": n_rej,
                         "self_dedup": round(sd_s, 3),
                         "self_survivors": n_sd,
-                    })
+                    }
+                    if del_s is not None:
+                        row["delete"] = round(del_s, 3)
+                        row["n_deleted"] = n_del
+                    cycles.append(row)
                 if best is None or sum(
                     c["gate"] + c["admit"] for c in cycles
                 ) < sum(c["gate"] + c["admit"] for c in best):
