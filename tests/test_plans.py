@@ -1519,3 +1519,25 @@ def test_flat_layout_probe_applies_tombstones(spark, sf_dir, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ids_df_is_local_table_scan_not_python_rdd(spark):
+    """The takedown id frame must never be Python-RDD-backed
+    (round-14 profiling: a pickled-rows frame makes EVERY tombstone
+    write spin up Python workers — ~5 s per delete call for a 28-id
+    list vs ~0.3 s JVM-side, 16x). _ids_df converts through pandas
+    with Arrow forced on, which plans as a LocalTableScan: data
+    embedded JVM-side, no RDD, no Python stage. The naive
+    spark.createDataFrame(list) plans as Scan ExistingRDD — the
+    shape this gate exists to keep out of delete_from_band_index /
+    delete_from_ivfpq_index."""
+    from hcdc_spark.operators.similarity import _ids_df
+
+    plan = _ids_df(spark, [1, 2, 3], "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    assert "ExistingRDD" not in plan, plan
+    # and the conf override restored the session's previous value
+    assert spark.conf.get(
+        "spark.sql.execution.arrow.pyspark.enabled"
+    ) == "true"  # get_spark sets it; _ids_df must not clobber it
