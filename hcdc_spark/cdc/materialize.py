@@ -43,6 +43,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hcdc_spark.functions.localframe import local_df
+
 #: file_type → Spark batch reader format (EFileType,
 #: core/.../model/EFileType.java:5-11; ORC is declared there without a
 #: converter — Spark has one built in, so it is first-class here).
@@ -244,7 +246,10 @@ def materialize(
         if registry_dir is not None:
             register_schema(spark, registry_dir, domain, entity, schema)
 
-    pdf = spark.createDataFrame(pointers, _POINTER_SCHEMA)
+    # JVM-local frame (LocalTableScan), not createDataFrame(list):
+    # this append fires per materialize batch, and a pickled-rows
+    # frame costs a Python-worker stage per write (localframe)
+    pdf = local_df(spark, pointers, _POINTER_SCHEMA)
     if pointers:
         pdf.coalesce(1).write.mode("append").parquet(
             os.path.join(staging_dir, "change_data")
@@ -418,8 +423,8 @@ def register_schema(
         prev_version = prev[0]["version"] if prev else 0
     except Exception:
         pass  # first write
-    spark.createDataFrame(
-        [(domain, entity, prev_version + 1, sj)],
+    local_df(
+        spark, [(domain, entity, prev_version + 1, sj)],
         "domain string, entity string, version int, schema_json string",
     ).coalesce(1).write.mode("append").parquet(path)
 

@@ -345,8 +345,14 @@ def expand_directory_events(
         if not dir_rows:
             break
         safe, deferred = _safe_dir_ops(dir_rows)
+        from hcdc_spark.functions.localframe import local_df
+
         spark = events.sparkSession
-        safe_df = spark.createDataFrame(
+        # JVM-local frame: this loop runs once per cascade round and a
+        # pickled-rows frame would add a Python-worker stage to every
+        # round's expansion joins (localframe)
+        safe_df = local_df(
+            spark,
             [tuple(d[c] for c in _DIR_COLS) for d in safe],
             "d_tx long, d_op string, d_path string, d_dest string,"
             " d_ts long, d_ns string",

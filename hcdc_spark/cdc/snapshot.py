@@ -72,8 +72,10 @@ def contiguous_rank(df: DataFrame, order_col: str) -> DataFrame:
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = df.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "_pid int, _off long"
+    from hcdc_spark.functions.localframe import local_df
+
+    off_df = local_df(
+        df.sparkSession, offsets or [(0, 0)], "_pid int, _off long"
     )
     return (
         local.join(F.broadcast(off_df), "_pid", "left")

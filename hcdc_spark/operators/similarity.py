@@ -1781,8 +1781,14 @@ def read_ivfpq_meta(spark: SparkSession, path: str) -> dict | None:
 def _write_ivfpq_meta(
     spark: SparkSession, path: str, n_rows: int, n_cells: int
 ) -> None:
-    spark.createDataFrame(
-        [(int(n_rows), int(n_cells))], "n_rows long, n_cells int"
+    # one JVM-side row (Project over OneRowRelation), NOT
+    # createDataFrame(list): a pickled-rows frame runs a Python
+    # worker stage per write — ~4 s on this path, which fires per
+    # micro-batch in the c20 upsert stream (round-14 profiling; the
+    # takedown twin is _ids_df)
+    spark.sql(
+        f"SELECT CAST({int(n_rows)} AS BIGINT) AS n_rows, "
+        f"CAST({int(n_cells)} AS INT) AS n_cells"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -3744,25 +3750,14 @@ def _ids_df(spark: SparkSession, ids, col: str) -> DataFrame:
     JVM-side (a deliberate conf override: the driver's plain session
     has Arrow off by default, and this one conversion is exactly
     where it matters; the previous value is restored immediately —
-    conversion is eager, so the scope is safe)."""
-    import pandas as pd
+    conversion is eager, so the scope is safe). One shared
+    implementation for every driver-local metadata frame:
+    functions/localframe.local_df."""
+    from hcdc_spark.functions.localframe import local_df
 
-    key = "spark.sql.execution.arrow.pyspark.enabled"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
-    spark.conf.set(key, "true")
-    try:
-        return spark.createDataFrame(
-            pd.DataFrame({col: pd.Series([int(i) for i in ids],
-                                         dtype="int64")})
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    return local_df(
+        spark, [(int(i),) for i in ids], f"{col} long"
+    )
 
 
 def delete_from_band_index(
