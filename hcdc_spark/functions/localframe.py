@@ -20,6 +20,13 @@ Scope: flat scalar schemas (long/int/string/…) — exactly the
 metadata-row shapes this repo writes. Nested rows (e.g. the CDC event
 fixtures' blocks arrays) keep the classic path: they are test/demo
 inputs, not per-batch hot writes.
+
+The override touches a SESSION conf for the duration of one eager
+conversion, so two threads racing local_df could briefly observe each
+other's setting — harmless for correctness (the non-Arrow path
+produces the same rows, just slower), and no call site here runs it
+from a thread pool (materialize's pointer/registry writes are
+deliberately serial; the reconcile cascade loop is serial).
 """
 
 from __future__ import annotations
