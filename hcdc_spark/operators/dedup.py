@@ -171,6 +171,25 @@ def _signatures_from_ws(ws_df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame
     return _signatures_from_hashed_ws(hashed, n_hashes)
 
 
+def _minhash_parts_sql(n_hashes: int = N_HASHES) -> str:
+    """The 72 per-hash ``array_min(transform(hs, ...))`` SQL fragments
+    over a column named ``hs`` (words already folded to ``pmod(w, p)``).
+    Shared by the projection form below and q29's checkpoint-time
+    signature computation so the two can never drift."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    coeffs = [
+        (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME))
+        for _ in range(n_hashes)
+    ]
+    # stage 1: hash words once; stage 2: n_hashes mins over `hs`
+    return ", ".join(
+        f"array_min(transform(hs, h -> pmod({a}L * h + {b}L, {_PRIME}L)))"
+        for (a, b) in coeffs
+    )
+
+
 def _signatures_from_hashed_ws(
     ws_df: DataFrame, n_hashes: int = N_HASHES, keep_size: bool = False
 ) -> DataFrame:
@@ -188,18 +207,7 @@ def _signatures_from_hashed_ws(
     Built as ONE SQL string, not n_hashes py4j Column trees — with 72
     hash functions the tree form costs visible driver time per call
     (the round-1 lesson from hyperplane_bands/ivf_assign)."""
-    import random
-
-    rng = random.Random(0xC0FFEE)
-    coeffs = [
-        (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME))
-        for _ in range(n_hashes)
-    ]
-    # stage 1: hash words once; stage 2: n_hashes mins over `hs`
-    parts = ", ".join(
-        f"array_min(transform(hs, h -> pmod({a}L * h + {b}L, {_PRIME}L)))"
-        for (a, b) in coeffs
-    )
+    parts = _minhash_parts_sql(n_hashes)
     staged = ws_df.select(
         "doc_id",
         F.expr(f"transform(ws, w -> pmod(w, {_PRIME}L))").alias("hs"),
@@ -223,6 +231,7 @@ def lsh_candidate_pairs(
     n_bands: int = N_BANDS,
     size_ratio: float | None = None,
     n_hashes: int = N_HASHES,
+    materialize_banded: bool = True,
 ) -> DataFrame:
     """Band the signatures and join within buckets → candidate pairs.
 
@@ -262,10 +271,23 @@ def lsh_candidate_pairs(
         )
         for bi in range(n_bands)
     )
+    # ``materialize_banded`` (default on): localCheckpoint the banded
+    # frame before the self-join. Left lazy, the a- and b-sides each
+    # re-derive the whole upstream subtree — for a caller whose ``sig``
+    # is a lazy 72-hash projection that means computing the signatures
+    # twice per query (measured 0.54 s doubled at sf0.1 before round
+    # 14). The banded rows are narrow (2 longs + int per band), same
+    # eager-once pattern as _collapse_verify_expand's grp. Callers
+    # whose ``sig`` is already materialized (q29 computes signatures
+    # inside the collapse checkpoint) pass False: re-deriving 6
+    # xxhash64 bucket keys from a checkpointed sig array is cheaper
+    # than another blocking job.
     banded = sig.select(
         *carry,
         F.expr(f"explode(array({bands_sql}))").alias("bb"),
     ).select(*carry, "bb.band", "bb.bucket")
+    if materialize_banded:
+        banded = banded.localCheckpoint(eager=True)
     ren_a = {"doc_id": "doc_a", "n": "n_a"}
     ren_b = {"doc_id": "doc_b", "n": "n_b"}
     a = banded.select(
@@ -286,7 +308,9 @@ def lsh_candidate_pairs(
     return joined.select("doc_a", "doc_b").distinct()
 
 
-def _collapse_verify_expand(t: DataFrame, candidates_fn, threshold: float = 0.9) -> DataFrame:
+def _collapse_verify_expand(
+    t: DataFrame, candidates_fn, threshold: float = 0.9, prep_fn=None
+) -> DataFrame:
     """Shared tail of the MinHash-LSH pipelines (q29 xxhash64 mode /
     q73 md5 mode) — only the candidate generator differs.
 
@@ -304,6 +328,15 @@ def _collapse_verify_expand(t: DataFrame, candidates_fn, threshold: float = 0.9)
     Verification cost is rep-pairs (~k), not doc-pairs (~k * dup^2) —
     on corpora with heavy duplication that is the difference between
     touching thousands and millions of array intersections.
+
+    ``prep_fn``, if given, maps the grouped frame (ws, rep, members) to
+    the same frame plus extra per-rep columns derived from ``ws`` (e.g.
+    minhash signatures). They are computed INSIDE the one checkpoint
+    materialization — i.e. exactly once per query — and surface on the
+    ``reps`` frame handed to ``candidates_fn``. Without this, a
+    candidate generator that derives an expensive projection from
+    ``ws`` re-computes it on each side of its band self-join (measured
+    2x the 72-hash signature cost in q29 before round 14).
     """
     # Eagerly materialize: grp feeds two branches of one action (reps →
     # LSH/verify, members → expansion); left lazy, both branches race
@@ -313,11 +346,14 @@ def _collapse_verify_expand(t: DataFrame, candidates_fn, threshold: float = 0.9)
     # plan is garbage-collected instead of pinning executor storage for
     # the session's lifetime (the driver harness runs q29 and q73
     # back-to-back in one long-lived session — review r4).
-    grp = t.groupBy("ws").agg(
+    base = t.groupBy("ws").agg(
         F.min("doc_id").alias("rep"),
         F.collect_list("doc_id").alias("members"),
-    ).localCheckpoint(eager=True)
-    reps = grp.select(F.col("rep").alias("doc_id"), "ws")
+    )
+    if prep_fn is not None:
+        base = prep_fn(base)
+    grp = base.localCheckpoint(eager=True)
+    reps = grp.drop("members").withColumnRenamed("rep", "doc_id")
 
     cand = candidates_fn(reps)
 
@@ -388,12 +424,33 @@ def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(distinct_words("text"), lambda w: F.xxhash64(w))
         ).alias("ws"),
     )
+
+    # The 72-hash signature projection is the expensive per-rep step
+    # (~0.54 s of q29's 2.0 s at sf0.1). Computing it lazily inside the
+    # candidate generator re-evaluates it on each side of the band
+    # self-join, so it rides along in the one collapse checkpoint via
+    # prep_fn — computed exactly once per query (same signatures as
+    # _signatures_from_hashed_ws: shared _minhash_parts_sql).
+    def prep(g: DataFrame) -> DataFrame:
+        staged = g.select(
+            "*", F.expr(f"transform(ws, w -> pmod(w, {_PRIME}L))").alias("hs")
+        )
+        return staged.select(
+            "ws",
+            "rep",
+            "members",
+            F.expr(f"array({_minhash_parts_sql()})").alias("sig"),
+            F.size("ws").alias("n"),
+        )
+
     return _collapse_verify_expand(
         t,
         lambda reps: lsh_candidate_pairs(
-            _signatures_from_hashed_ws(reps, keep_size=True),
+            reps.select("doc_id", "sig", "n"),
             size_ratio=0.9,
+            materialize_banded=False,
         ),
+        prep_fn=prep,
     )
 
 
@@ -819,12 +876,20 @@ def q73_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = reps.select(
             "doc_id", F.expr(_md5_signature_sql(Q73_HASHES)).alias("sig")
         )
-        banded = sig.select(
-            "doc_id",
-            F.expr(
-                f"explode({_md5_band_sql(Q73_BANDS, rows_per_band)})"
-            ).alias("bb"),
-        ).select("doc_id", "bb.band", "bb.bucket")
+        # Materialized once: left lazy, the a/b aliases below would each
+        # re-derive the md5 signature projection (the q29 lesson — see
+        # lsh_candidate_pairs(materialize_banded=...)). Deterministic
+        # expressions, so the oracle hash is unchanged.
+        banded = (
+            sig.select(
+                "doc_id",
+                F.expr(
+                    f"explode({_md5_band_sql(Q73_BANDS, rows_per_band)})"
+                ).alias("bb"),
+            )
+            .select("doc_id", "bb.band", "bb.bucket")
+            .localCheckpoint(eager=True)
+        )
         return (
             banded.alias("a")
             .join(banded.alias("b"), ["band", "bucket"])

@@ -61,6 +61,18 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing sizes post-shuffle partitions by BYTES, which is
+    # wrong for compute-dense intermediates: a collapsed rep frame of a
+    # few MB (LSH signatures, array_intersect verification, window
+    # packs) lands on ONE partition and serializes a 32-core box
+    # (measured: q29 1.8 s -> 0.66 s, q73 3.4 s -> 0.96 s at sf0.1
+    # from this key alone). With parallelismFirst (default on) Spark
+    # already prefers parallelism over the advisory size and only
+    # respects this FLOOR — the default 1 MB floor is what forced the
+    # single partition. 64 KB is scale-invariant: at 100 TB every
+    # partition is >> 64 KB so the floor never binds; it only stops
+    # small-but-expensive stages from losing the cluster's parallelism.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Dimension tables (region/nation/supplier/part at any SF, the domain
     # filter registry) must broadcast — never shuffle a fact table to join
     # a dim.
