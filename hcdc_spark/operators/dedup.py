@@ -1140,18 +1140,27 @@ def batch_self_neardup_keep_first(
     the exact-Jaccard verify joins the word sets back. Batch-sized
     everywhere: at 100 TB the batch is a micro-batch, so this is a
     per-trigger O(|batch| log |batch|)-ish step, never corpus-touching.
+
+    The batch is materialized ONCE with its 72-hash md5 signatures
+    (localCheckpoint): ``t_b`` is referenced by the banding chain, the
+    verify pass, and the final anti-join, and the band self-join
+    references its own input twice — left lazy, the tokenize upstream
+    and the md5 signature projection (72 md5 calls per word — the
+    single most expensive expression in the gate) are re-evaluated per
+    reference. Deterministic on batch content, so replay semantics and
+    oracle hashes are unchanged (round 14).
     """
     rows_per_band = Q73_HASHES // Q73_BANDS
     # q73's signature SQL names its input array `ws` — sort in place
     # under the same name (signatures are permutation-invariant, the
     # sort just pins the md5 operand order for determinism, exactly as
-    # q73 does)
-    reps = t_b.select("doc_id", F.array_sort("ws").alias("ws"))
-    sig = reps.select(
-        "doc_id",
-        F.expr(_md5_signature_sql(Q73_HASHES)).alias("sig"),
+    # q73 does). Carry every input column so survivors keep schema.
+    t_c = (
+        t_b.withColumn("ws", F.array_sort("ws"))
+        .withColumn("sig", F.expr(_md5_signature_sql(Q73_HASHES)))
+        .localCheckpoint(eager=True)
     )
-    banded = sig.select(
+    banded = t_c.select(
         "doc_id",
         F.expr(
             f"explode({_md5_band_sql(Q73_BANDS, rows_per_band)})"
@@ -1167,7 +1176,7 @@ def batch_self_neardup_keep_first(
         )
         .distinct()
     )
-    w = t_b.select("doc_id", "ws")
+    w = t_c.select("doc_id", "ws")
     x = w.select(F.col("doc_id").alias("doc_keep"),
                  F.col("ws").alias("ws_a"))
     y = w.select(F.col("doc_id").alias("doc_dup"),
@@ -1183,7 +1192,7 @@ def batch_self_neardup_keep_first(
         .select(F.col("doc_dup").alias("doc_id"))
         .distinct()
     )
-    return t_b.join(rejected, "doc_id", "left_anti")
+    return t_c.drop("sig").join(rejected, "doc_id", "left_anti")
 
 
 # planted-copy offset: 1,000,000 (c30's convention), safely above any
