@@ -128,6 +128,7 @@ def asof_join(
     right_time: str,
     right_cols: list[str],
     direction: str = "backward",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_time <= left_time`` (backward) per key.
@@ -136,7 +137,15 @@ def asof_join(
     ordered window pass carrying the last-seen right values forward
     (``last(ignorenulls=True)``), keep left rows. O(n log n) per key
     partition, no inequality join, no broadcast cap. Right side must be
-    unique per (key, time) — pre-aggregate if not.
+    unique per (key, time) — pre-aggregate if not, OR pass ``tie_break``.
+
+    ``tie_break``: name of a right column appended to the window
+    ordering. With duplicate right rows per (key, time), the row with
+    the GREATEST tie_break value sorts last and wins the carry — the
+    same result as pre-aggregating the right side with max_by on that
+    column, without the extra shuffle the pre-aggregation costs (the
+    dedup rides in the sort the window pays anyway; left rows carry
+    NULL in the column, which is irrelevant to their relative order).
     """
     if direction != "backward":
         raise ValueError("only backward as-of is implemented")
@@ -160,9 +169,10 @@ def asof_join(
     cols = list(dict.fromkeys(left.columns + right_cols + ["_t", "_side"]))
     u = l_tagged.select(cols).unionByName(r_tagged.select(cols))
     # right rows sort before left rows at equal time → `<=` semantics
+    order = ["_t", "_side"] + ([tie_break] if tie_break else [])
     w = (
         Window.partitionBy(on)
-        .orderBy("_t", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = [
@@ -210,22 +220,29 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         F.expr("ts div 1000").alias("tus"),
     )
-    clicks = (
-        base.where(F.col("event_type") == "click")
-        .groupBy("user_id", "tus")
-        .agg(F.max("event_id").alias("click_id"))
-        .withColumn("click_us", F.col("tus"))
+    # The oracle's MAX(event_id)-per-(user, ts) click dedup rides in
+    # the as-of window's ordering (tie_break) instead of a standalone
+    # groupBy: sorted by (_t, _side, click_id), the same-µs click with
+    # the greatest event_id is the last one the carry sees — identical
+    # result, one exchange instead of two (the clicks stream was
+    # shuffled once to dedup and again, unioned, for the window).
+    clicks = base.where(F.col("event_type") == "click").select(
+        "user_id",
+        "tus",
+        F.col("event_id").alias("click_id"),
+        F.col("tus").alias("click_us"),
     )
     purchases = base.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("tus").alias("purchase_us")
     )
     joined = asof_join(
         purchases,
-        clicks.select("user_id", "tus", "click_id", "click_us"),
+        clicks,
         on="user_id",
         left_time="purchase_us",
         right_time="tus",
         right_cols=["click_id", "click_us"],
+        tie_break="click_id",
     )
     return joined.select(
         "event_id", "user_id",

@@ -346,23 +346,34 @@ def c24_state_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ) WHERE rn = 1
     """,
-    doc="T4 latest-per-key dedup as a ranking window: the per-file "
-    "last-txid guard generalized (SURVEY §2B windows row).",
+    doc="T4 latest-per-key dedup (SURVEY §2B windows row). Two-phase "
+    "max_by aggregation, not a ranking window: the ROW_NUMBER form "
+    "ships EVERY event through the shuffle and sorts each key "
+    "partition just to keep one row, while max_by keeps one candidate "
+    "row per key per map task (partial aggregation) — at 100 TB the "
+    "shuffle carries |keys|, not |events|. max_by's struct ordering "
+    "key (ts_ms, event_id) is exactly the window's DESC/DESC rank, so "
+    "results are identical (oracle stays the ROW_NUMBER form; the "
+    "ranking-window operator itself remains covered by q13/q14/q25).",
     tags=("cdc-pattern", "window"),
 )
 def q24_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts_ms").desc(), F.col("event_id").desc()
-    )
-    return (
+    picked = (
         ev.select(
             "user_id", "event_id", "event_type",
             event_ts_ms().alias("ts_ms"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "event_type", "ts_ms"),
+                F.struct("ts_ms", "event_id"),
+            ).alias("_r")
+        )
+    )
+    return picked.select(
+        "user_id", "_r.event_id", "_r.event_type", "_r.ts_ms"
     )
 
 

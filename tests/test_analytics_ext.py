@@ -65,6 +65,29 @@ def test_asof_join_semantics(spark):
     assert out == {"a": "r10", "b": "r15", "c": None, "d": None}
 
 
+def test_asof_join_tie_break(spark):
+    """Duplicate right rows per (key, time): tie_break makes the
+    greatest-valued row win the carry — the max_by-pre-agg semantics
+    without the pre-agg shuffle (the r14 q47 shape)."""
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b")], "k int, t long, lbl string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7, "lo"), (1, 10, 9, "hi"), (1, 15, 1, "mid")],
+        "k int, rt long, pri long, rv string",
+    )
+    out = {
+        r["lbl"]: (r["pri"], r["rv"])
+        for r in X.asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            right_cols=["pri", "rv"], tie_break="pri",
+        ).collect()
+    }
+    # a(t=10): two right rows at rt=10 -> pri=9 wins; b(t=20): the
+    # latest right row overall (rt=15) wins regardless of pri.
+    assert out == {"a": (9, "hi"), "b": (1, "mid")}
+
+
 def test_scd2_interval_invariants(spark, sf_dir):
     """SCD2 contract: per user, versions are dense 1..k, intervals chain
     exactly (valid_to == next valid_from), exactly one open row, and no

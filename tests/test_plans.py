@@ -55,10 +55,36 @@ def test_range_join_broadcasts_band_dim(spark, sf_dir):
 def test_asof_join_single_shuffle_no_join_node(spark, sf_dir):
     df = analytics_ext.q47_asof_join(spark, sf_dir)
     p = I.simple_plan(df)
-    # union-merge asof: no join operator at all, one shuffle per side
-    # feeding the window (union-in-partition), then the window sort.
+    # union-merge asof: no join operator at all, and exactly ONE
+    # exchange — the click dedup rides in the window's tie_break
+    # ordering (r14), so the standalone groupBy shuffle of the clicks
+    # stream must not come back.
     assert "Join" not in p
-    assert I.count_exchanges(df) <= 2
+    assert I.count_exchanges(df) == 1
+
+
+def test_latest_per_key_aggregates_before_shuffle(spark, sf_dir):
+    # q24 is the two-phase max_by form (r14): partial aggregation on
+    # the map side, no Window/Sort of the full event stream. A ranking
+    # window sneaking back means |events| rows through the shuffle.
+    df = cdc_queries.q24_latest_per_key(spark, sf_dir)
+    p = I.simple_plan(df)
+    assert "Window" not in p
+    assert I.count_exchanges(df) == 1
+
+
+def test_set_ops_scan_fact_table_once_per_side(spark, sf_dir):
+    # q16's distinct key-sets are materialized once each (r14): the
+    # final plan runs set ops over the collapsed frames, so the orders
+    # fact table must not appear in it at all — while the set-op
+    # operators themselves must survive (they are the operator family
+    # q16 exists to exercise).
+    df = analytics.q16_set_ops(spark, sf_dir)
+    p = I.plan(df)
+    assert "Scan parquet" not in p
+    low = p.lower()
+    assert "intersect" in low or "leftsemi" in low
+    assert "except" in low or "generate" in low or "leftanti" in low
 
 
 def test_codegen_covers_relational_queries(spark, sf_dir):
