@@ -71,7 +71,11 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     sketch families collapse a cheap fixed-width hash, but here the
     group key is the full word-set ARRAY, and shuffling those arrays
     cost more at sf1.0 than the duplicate token-join rows they
-    remove.)"""
+    remove. Likewise a localCheckpoint of the tokenized frame before
+    the self-join — tokenize once instead of once per side — measured
+    NEUTRAL at sf0.1, 13.3 vs 13.4 s min-of-3: the join+aggregate
+    dominates, and materializing the tokenized corpus only adds
+    memory pressure at scale. Both rejected, round 14.)"""
     t = docs.select(
         "doc_id", "lang", distinct_words("text").alias("ws")
     ).withColumn("n_words", F.size("ws").cast("long"))

@@ -131,16 +131,30 @@ def q34_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     emb = emb.where(F.col("vec_id") < QUAD_TWIN_VEC_ID_CAP)  # shared twin cap
-    a = emb.select(F.col("vec_id").alias("vec_a"), _emb().alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), _emb().alias("eb"))
-    sim = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
+    # Each side's sqrt-norm is computed ONCE per row before the pair
+    # join instead of once per PAIR: sqrt(norm2(x)) is deterministic,
+    # and na*nb multiplies the exact same doubles the inline form
+    # multiplied, so every cos_sim bit is unchanged — but the O(n²)
+    # pair stage now evaluates one O(d) aggregate (the dot) per pair
+    # instead of three.
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), _emb().alias("ea"),
+        F.sqrt(_norm2(_emb())).alias("na"),
     )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", sim.alias("cos_sim"))
-        .where(F.col("cos_sim") > 0.45)
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), _emb().alias("eb"),
+        F.sqrt(_norm2(_emb())).alias("nb"),
     )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # The threshold filter goes INTO the join condition, AFTER the
+    # cheap id inequality: a `.where` above the join gets pushed into
+    # the NLJ condition BEFORE `vec_a < vec_b`, so every one of the n²
+    # ordered pairs paid the O(d) dot fold; codegen ANDs short-circuit
+    # left-to-right, so this order skips the fold for the half with
+    # vec_a >= vec_b. Same inner-join predicate set — identical rows.
+    return a.join(
+        b, (F.col("vec_a") < F.col("vec_b")) & (sim > 0.45)
+    ).select("vec_a", "vec_b", sim.alias("cos_sim"))
 
 
 # ------------------------------------------------------------- LSH / ANN
@@ -451,6 +465,11 @@ def q92_embedding_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = banded.select(
         "vec_id", F.explode(pairs).alias("bb")
     ).select("vec_id", "bb.band", "bb.bucket")
+    # materialize the band rows once: both candidate-join sides derive
+    # from `exploded`, and left lazy each side re-runs the md5 band
+    # projection over the corpus (the neardup_pairs_scaled fix; its
+    # comment has the measured 8.5 → 6.3 s rationale)
+    exploded = exploded.localCheckpoint(eager=False)
     a = exploded.select("band", "bucket", F.col("vec_id").alias("vec_a"))
     b = exploded.select("band", "bucket", F.col("vec_id").alias("vec_b"))
     cand = (
@@ -459,11 +478,17 @@ def q92_embedding_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), _emb().alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), _emb().alias("eb"))
-    sim = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
+    # sqrt-norms once per row, not per candidate pair (bit-identical:
+    # na*nb multiplies the same doubles the inline form did — see q35)
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), _emb().alias("ea"),
+        F.sqrt(_norm2(_emb())).alias("na"),
     )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), _emb().alias("eb"),
+        F.sqrt(_norm2(_emb())).alias("nb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -497,6 +522,11 @@ def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = banded.select(
         "vec_id", F.explode(pairs).alias("bk")
     ).select("vec_id", "bk.band", "bk.key")
+    # materialize the band rows once: both candidate-join sides derive
+    # from `exploded`, and left lazy each side re-runs the 24 plane
+    # folds over the corpus (the neardup_pairs_scaled fix; its comment
+    # has the measured 8.5 → 6.3 s rationale)
+    exploded = exploded.localCheckpoint(eager=False)
     a = exploded.select("band", "key", F.col("vec_id").alias("vec_a"))
     b = exploded.select("band", "key", F.col("vec_id").alias("vec_b"))
     # distinct over bare id pairs — a pair colliding in several bands
@@ -510,11 +540,17 @@ def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), _emb().alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), _emb().alias("eb"))
-    sim = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
+    # sqrt-norms once per row, not per candidate pair (bit-identical:
+    # na*nb multiplies the same doubles the inline form did — see q35)
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), _emb().alias("ea"),
+        F.sqrt(_norm2(_emb())).alias("na"),
     )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), _emb().alias("eb"),
+        F.sqrt(_norm2(_emb())).alias("nb"),
+    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -688,12 +724,18 @@ def q93_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 7 == 1)
         .orderBy("vec_id")
         .limit(16)
-        .select(F.col("vec_id").alias("cid"), _emb().alias("c"))
+        .select(
+            F.col("vec_id").alias("cid"), _emb().alias("c"),
+            F.sqrt(_norm2(_emb())).alias("cn"),
+        )
     )
-    e = emb.select("vec_id", "label", _emb().alias("v"))
-    s = _dot(F.col("v"), F.col("c")) / (
-        F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("c")))
+    # sqrt-norms once per row/centroid, not per (vector, centroid)
+    # pair (bit-identical: vn*cn multiplies the same doubles — q35)
+    e = emb.select(
+        "vec_id", "label", _emb().alias("v"),
+        F.sqrt(_norm2(_emb())).alias("vn"),
     )
+    s = _dot(F.col("v"), F.col("c")) / (F.col("vn") * F.col("cn"))
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "label", "v", "cid", s.alias("s")
     )
@@ -948,22 +990,29 @@ def q68_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ivf_assign(emb, cents).select(
         "vec_id", F.col("cell"), _emb().alias("v")
     )
+    # sqrt-norms once per row, not per within-cell pair (bit-identical:
+    # na*nb multiplies the same doubles the inline form did — see q35)
     left = a.select(
         F.col("vec_id").alias("lo"), F.col("cell").alias("cl"),
-        F.col("v").alias("va"),
+        F.col("v").alias("va"), F.sqrt(_norm2(F.col("v"))).alias("na"),
     )
     right = a.select(
         F.col("vec_id").alias("hi"), F.col("cell").alias("cr"),
-        F.col("v").alias("vb"),
+        F.col("v").alias("vb"), F.sqrt(_norm2(F.col("v"))).alias("nb"),
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_norm2(F.col("va"))) * F.sqrt(_norm2(F.col("vb")))
-    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # The tau filter goes INTO the join condition, AFTER the cheap id
+    # inequality (same reorder as q35): pushed from a `.where` it lands
+    # BEFORE `lo < hi`, making every ordered same-cell pair pay the
+    # O(d) dot fold; in-condition and last, the AND short-circuits the
+    # fold away for the lo >= hi half. Identical predicate set.
     dropped = (
         left.join(
-            right, (F.col("cl") == F.col("cr")) & (F.col("lo") < F.col("hi"))
+            right,
+            (F.col("cl") == F.col("cr"))
+            & (F.col("lo") < F.col("hi"))
+            & (cos > SEMDEDUP_TAU),
         )
-        .where(cos > SEMDEDUP_TAU)
         .select("hi")
         .distinct()
     )
@@ -1206,12 +1255,17 @@ def q99_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 11 == 3)
         .orderBy("vec_id")
         .limit(KM_K)
-        .select(F.col("vec_id").alias("cid"), _emb().alias("c"))
+        .select(
+            F.col("vec_id").alias("cid"), _emb().alias("c"),
+            F.sqrt(_norm2(_emb())).alias("cn"),
+        )
     )
-    e = emb.select("vec_id", _emb().alias("v"))
-    s = _dot(F.col("v"), F.col("c")) / (
-        F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("c")))
+    # sqrt-norms once per row/centroid, not per (vector, centroid)
+    # pair (bit-identical: vn*cn multiplies the same doubles — q35)
+    e = emb.select(
+        "vec_id", _emb().alias("v"), F.sqrt(_norm2(_emb())).alias("vn")
     )
+    s = _dot(F.col("v"), F.col("c")) / (F.col("vn") * F.col("cn"))
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "cid", s.alias("s")
     )
@@ -1521,17 +1575,18 @@ def neardup_pairs_scaled(
         .select("vec_a", "vec_b")
         .distinct()
     )
+    # sqrt-norms once per row, not per candidate pair (bit-identical:
+    # na*nb multiplies the same doubles the inline form did — q35)
+    varr = F.col(vec_col).cast("array<double>")
     ea = emb.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).cast("array<double>").alias("ea"),
+        F.col(id_col).alias("vec_a"), varr.alias("ea"),
+        F.sqrt(_norm2(varr)).alias("na"),
     )
     eb = emb.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).cast("array<double>").alias("eb"),
+        F.col(id_col).alias("vec_b"), varr.alias("eb"),
+        F.sqrt(_norm2(varr)).alias("nb"),
     )
-    sim = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
-    )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     out = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -1645,10 +1700,14 @@ def _ivfpq_coarse(
         .limit(n_cells)
         .select(F.col("vec_id").alias("ccid"), F.col("v").alias("c"))
     )
-    cs = _dot(F.col("v"), F.col("c")) / (
-        F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("c")))
-    )
-    cscored = e.crossJoin(F.broadcast(cents)).select(
+    # sqrt-norms once per row/centroid, not per (vector, centroid)
+    # pair — computed on DERIVED frames so the returned cents keeps
+    # its persisted (ccid, c) schema (bit-identical: vn*cn multiplies
+    # the same doubles the inline form did — see q35)
+    cw = cents.withColumn("cn", F.sqrt(_norm2(F.col("c"))))
+    ew = e.withColumn("vn", F.sqrt(_norm2(F.col("v"))))
+    cs = _dot(F.col("v"), F.col("c")) / (F.col("vn") * F.col("cn"))
+    cscored = ew.crossJoin(F.broadcast(cw)).select(
         "vec_id", "ccid", cs.alias("cs")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "ccid")
@@ -2660,13 +2719,18 @@ def incremental_neardup_pairs(
     cand = _band_candidates(
         spark, index_table, nbx, meta, "vec_new", "vec_old"
     )
+    # sqrt-norms once per row, not per candidate pair (bit-identical:
+    # na*nb multiplies the same doubles the inline form did — q35);
+    # nb is NULL for a missing corpus row, but that case raises below
     ea = new_batch.select(
-        F.col("vec_id").alias("vec_new"), _emb().alias("ea")
+        F.col("vec_id").alias("vec_new"), _emb().alias("ea"),
+        F.sqrt(_norm2(_emb())).alias("na"),
     )
-    eb = corpus.select(F.col("vec_id").alias("vec_old"), _emb().alias("eb"))
-    sim = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
+    eb = corpus.select(
+        F.col("vec_id").alias("vec_old"), _emb().alias("eb"),
+        F.sqrt(_norm2(_emb())).alias("nb"),
     )
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     checked = F.when(
         F.col("eb").isNull(),
         F.raise_error(
@@ -2817,17 +2881,19 @@ def append_ivfpq_delta(
     _recover_ivfpq_swap(path)  # self-heal a crashed rebuild swap
     _recover_ivfpq_codes_swap(path)  # and a crashed compact swap —
     # this append would otherwise recreate codes/ beside the stage
+    # sqrt-norms once per row/centroid, not per (vector, centroid)
+    # pair (bit-identical: vn*cn multiplies the same doubles — q35)
     cents = spark.read.parquet(f"{path}/centroids").select(
-        "ccid", F.col("c").alias("c")
+        "ccid", F.col("c").alias("c"),
+        F.sqrt(_norm2(F.col("c"))).alias("cn"),
     )
     cb = spark.read.parquet(f"{path}/codebook")  # (j, code, cid, cv)
     e = delta.select("vec_id", "label", _emb().alias("v"))
-    cs = _dot(F.col("v"), F.col("c")) / (
-        F.sqrt(_norm2(F.col("v"))) * F.sqrt(_norm2(F.col("c")))
-    )
+    ew = e.withColumn("vn", F.sqrt(_norm2(F.col("v"))))
+    cs = _dot(F.col("v"), F.col("c")) / (F.col("vn") * F.col("cn"))
     w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "ccid")
     cells = (
-        e.crossJoin(F.broadcast(cents))
+        ew.crossJoin(F.broadcast(cents))
         .select("vec_id", "ccid", cs.alias("cs"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
