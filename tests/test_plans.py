@@ -1567,3 +1567,58 @@ def test_ids_df_is_local_table_scan_not_python_rdd(spark):
     assert spark.conf.get(
         "spark.sql.execution.arrow.pyspark.enabled"
     ) == "true"  # get_spark sets it; _ids_df must not clobber it
+
+
+def _pair_join_conditions(df):
+    import re as _re
+
+    return [
+        c
+        for c in _re.findall(r"Join condition: (.+)", I.plan(df, "formatted"))
+        if "aggregate(" in c
+    ]
+
+
+def test_q35_pair_condition_short_circuits_single_fold(spark, sf_dir):
+    """Round-14 changes 7+10: the O(n²) twin's pair-join condition must
+    keep exactly ONE O(d) array fold (the dot — norms are per-row
+    projections, never per-pair) and evaluate the 8-byte id inequality
+    FIRST so codegen's AND short-circuit skips the fold for half the
+    ordered pairs."""
+    from hcdc_spark.operators import similarity
+
+    df = similarity.q35_embedding_neardup(spark, sf_dir)
+    conds = _pair_join_conditions(df)
+    assert len(conds) == 1, conds
+    cond = conds[0]
+    assert cond.count("aggregate(") == 1, cond  # the dot only
+    assert " < " in cond and cond.index(" < ") < cond.index("aggregate("), cond
+
+
+def test_q68_pair_condition_short_circuits_single_fold(spark, sf_dir):
+    """Same gate for the SemDeDup within-cell pair join (the cell
+    equi-key itself is gated by test_q68_pairs_join_on_cell_key)."""
+    from hcdc_spark.operators import similarity
+
+    df = similarity.q68_semantic_dedup(spark, sf_dir)
+    conds = _pair_join_conditions(df)
+    assert len(conds) == 1, conds
+    cond = conds[0]
+    assert cond.count("aggregate(") == 1, cond
+    assert " < " in cond and cond.index(" < ") < cond.index("aggregate("), cond
+
+
+def test_q52_q92_band_frames_materialized_once(spark, sf_dir):
+    """Round-14 change 9: the banded-explode frame feeds BOTH candidate
+    join sides from one localCheckpoint (Scan ExistingRDD), so the band
+    projection (24 hyperplane folds for q52, per-word md5 for q92) is
+    never re-derived per side — q92's plan must be md5-free end to
+    end."""
+    from hcdc_spark.operators import similarity
+
+    q52 = similarity.q52_embedding_neardup_lsh(spark, sf_dir)
+    assert I.simple_plan(q52).count("Scan ExistingRDD") >= 2
+    q92 = similarity.q92_embedding_neardup_md5(spark, sf_dir)
+    p92 = I.simple_plan(q92)
+    assert p92.count("Scan ExistingRDD") >= 2
+    assert "md5" not in p92, "md5 banding re-derived outside the checkpoint"
