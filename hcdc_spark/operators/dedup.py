@@ -3,9 +3,10 @@
 Four families over `documents`:
 
 - exact (hash-groupBy) — one shuffle on the content hash;
-- n-gram/word Jaccard via an inverted-index token join — the scalable
-  exact-similarity formulation: pairs are only generated for documents
-  that *share a token*, never the full cross product;
+- n-gram/word Jaccard via prefix-filtered candidates + exact verify —
+  the scalable exact-similarity formulation: pairs are generated only
+  for documents sharing a *rare-prefix* token (never the cross
+  product, and immune to corpus-wide hot tokens);
 - MinHash + LSH banding — the sub-quadratic candidate generator
   (shingle → minhash signature → band buckets → bucket join);
 - SimHash — bit-sign aggregate of hashed tokens, hamming-close pairs.
@@ -18,7 +19,7 @@ pytest against the exact-Jaccard oracle (candidates ⊇ high-sim pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hcdc_spark.catalog import load_tables
@@ -55,63 +56,107 @@ def q27_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """(doc_a, doc_b, jaccard) same-lang pairs with exact word-set
-    Jaccard >= threshold, via the inverted-index token join — pairs are
-    generated only for documents that SHARE a token (explode tokens,
-    self-join on token, count shared), linear in corpus + shared-token
-    pairs, never the cross product. One implementation, two callers:
-    q28 (top pairs) and q58 (cluster edges) previously duplicated it.
+    Jaccard >= threshold, via PREFIX-FILTERED candidate generation +
+    exact verification (the prefix-filtering principle of the exact
+    set-similarity-join literature — Chaudhuri/Bayardo/PPJoin). One
+    implementation, two callers: q28 (top pairs) and q58 (cluster
+    edges) previously duplicated it.
 
-    The token-join output is size-ratio-prefiltered BEFORE the
-    per-pair aggregate: J >= t implies min(n)/max(n) >= t, so join
-    rows whose set sizes already rule the pair out never enter the
-    groupBy shuffle — pure-win, the emitted pair set is unchanged.
-    (A collapse-first variant — route one representative per distinct
-    (lang, word-set) through the join and expand members after, like
-    the minhash/simhash families — was measured and REJECTED: the
-    sketch families collapse a cheap fixed-width hash, but here the
-    group key is the full word-set ARRAY, and shuffling those arrays
-    cost more at sf1.0 than the duplicate token-join rows they
-    remove. Likewise a localCheckpoint of the tokenized frame before
-    the self-join — tokenize once instead of once per side — measured
-    NEUTRAL at sf0.1, 13.3 vs 13.4 s min-of-3: the join+aggregate
-    dominates, and materializing the tokenized corpus only adds
-    memory pressure at scale. Both rejected, round 14.)"""
-    t = docs.select(
-        "doc_id", "lang", distinct_words("text").alias("ws")
-    ).withColumn("n_words", F.size("ws").cast("long"))
+    Why not the plain inverted-index token self-join: its output is
+    sum(df(w)^2) rows over ALL tokens, and one corpus-wide hot token
+    makes that quadratic in the corpus (measured at sf0.1: 471M raw
+    join rows -> 13.3 s). Prefix filtering joins only each document's
+    p rarest tokens, p = n - floor(t*n) + 1 (~5% of tokens + 1 at
+    t=0.95), under one global (document-frequency asc, token) order.
+
+    EXACTNESS: J(x,y) >= t implies |x∩y| >= ceil(t*max(nx,ny)) =: α,
+    and if two sets under a common total token order share >= α
+    elements, their (n-α+1)-prefixes intersect (suppose not; let w, v
+    be the last prefix tokens of x, y, wlog w <= v; any common token
+    u in x's prefix has u <= w <= v, so u sits in y's v-bounded
+    prefix — contradiction; hence ALL common tokens sit in x's
+    (α-1)-token suffix, capping the overlap at α-1 < α). Our
+    p = n - floor(t*n) + 1 >= n - α + 1, so the prefix join generates
+    a SUPERSET of the qualifying pairs (floor, not ceil, so float
+    rounding can only lengthen the prefix — never drop a pair); the
+    verify step then recomputes the exact same size(array_intersect)
+    / union jaccard the old per-pair count produced, bit-identical
+    doubles. Gated against a brute-force all-pairs oracle on random
+    borderline corpora in test_text_dedup_similarity.py.
+
+    The size-ratio bound (J >= t implies min(n)/max(n) >= t, spelled
+    least/greatest) stays in the candidate join, and lang moves INTO
+    the join key. (A collapse-first variant — one representative per
+    distinct (lang, word-set) through the join, expand after — was
+    measured and REJECTED: shuffling full word-set arrays as group
+    keys cost more at sf1.0 than the duplicate rows they remove.)"""
+    t = (
+        docs.select("doc_id", "lang", distinct_words("text").alias("ws"))
+        .withColumn("n_words", F.size("ws").cast("long"))
+        # referenced three times below (df pass, prefix pass, verify):
+        # tokenize once
+        .localCheckpoint(eager=False)
+    )
     tokens = t.select(
         "doc_id", "lang", "n_words", F.explode("ws").alias("w")
     )
-    a = tokens.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
+    # global token order = (corpus document frequency asc, token) —
+    # any total order is correct; rarest-first minimizes candidates
+    doc_freq = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    prefix_len = (
+        F.col("n_words") - F.floor(F.lit(threshold) * F.col("n_words")) + 1
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("_df", "w")
+    )
+    pref = (
+        tokens.join(doc_freq, "w")
+        .withColumn("_rn", rank)
+        .where(F.col("_rn") <= prefix_len)
+        .select("w", "lang", "doc_id", "n_words")
+    )
+    a = pref.select(
+        "w", "lang", F.col("doc_id").alias("doc_a"),
         F.col("n_words").alias("n_a"),
-        "w",
     )
-    b = tokens.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
+    b = pref.select(
+        "w", "lang", F.col("doc_id").alias("doc_b"),
         F.col("n_words").alias("n_b"),
-        "w",
     )
-    shared = (
-        a.join(b, ["w"])
+    cand = (
+        a.join(b, ["w", "lang"])
         .where(
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
+            (F.col("doc_a") < F.col("doc_b"))
             & (
                 F.least("n_a", "n_b").cast("double")
                 >= F.lit(threshold) * F.greatest("n_a", "n_b")
             )
         )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    va = t.select(
+        F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"),
+        F.col("n_words").alias("n_a"),
+    )
+    vb = t.select(
+        F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"),
+        F.col("n_words").alias("n_b"),
     )
     jac = F.col("shared").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("shared")
     )
-    return shared.select("doc_a", "doc_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_a", "n_b",
+            F.size(F.array_intersect("ws_a", "ws_b"))
+            .cast("long")
+            .alias("shared"),
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -132,10 +177,10 @@ def exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     LIMIT 200
     """,
     doc="Near-dup detection by exact word-set Jaccard. Spark side uses "
-    "the inverted-index join (explode tokens, self-join on token, "
-    "count shared) — linear in corpus + shared-token pairs, not "
-    "quadratic; the oracle cross-joins within lang, feasible only at "
-    "test scale.",
+    "prefix-filtered candidates (join on each doc's rarest "
+    "n-floor(t*n)+1 tokens) verified by array_intersect — exact, and "
+    "immune to hot-token join blowup; the oracle cross-joins within "
+    "lang, feasible only at test scale.",
     tags=("dedup", "similarity"),
 )
 def q28_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

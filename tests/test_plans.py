@@ -347,24 +347,28 @@ def test_q96_bigram_dup_rate_three_shuffles_no_join(spark, sf_dir):
 
 
 def test_q28_jaccard_size_ratio_prefilter_before_pair_agg(spark, sf_dir):
-    """The inverted-index token join must apply the size-ratio bound
-    (J >= t implies min(n)/max(n) >= t, spelled least/greatest) as part
-    of the join stage — BEFORE the per-pair groupBy — so ruled-out
-    pairs never enter the pair-count shuffle. And the pair generation
-    must stay an equi-join on the token, never a cartesian."""
+    """The prefix-filtered candidate join must apply the size-ratio
+    bound (J >= t implies min(n)/max(n) >= t, spelled least/greatest)
+    as part of the join stage — BEFORE the candidate distinct — so
+    ruled-out pairs never enter the dedup shuffle; pair generation
+    stays an equi-join (token, lang), never a cartesian; and the
+    verify stage recomputes the exact jaccard via array_intersect
+    (round 14: candidates come from each doc's rarest-token prefix,
+    immune to corpus-wide hot tokens)."""
     from hcdc_spark.operators import dedup
 
     df = dedup.q28_jaccard_pairs(spark, sf_dir)
     p = I.simple_plan(df)
     assert not I.has_cartesian(df)
     assert "pythonudf" not in p.lower()
+    assert "array_intersect" in p, "exact verify stage missing"
     join_lines = [
         ln for ln in p.splitlines() if "Join [" in ln or "Join (" in ln
     ]
     assert join_lines, "token equi-join missing from the plan"
     assert any("least(" in ln and "greatest(" in ln for ln in join_lines), (
         "size-ratio bound is not part of the join condition — ruled-out "
-        "pairs would enter the pair-count shuffle"
+        "pairs would enter the candidate-dedup shuffle"
     )
 
 

@@ -2254,3 +2254,52 @@ def test_delete_empty_ids_is_a_true_noop(spark, sf_dir, tmp_path):
         spark, idx, emb.select("vec_id").where(F.lit(False)), batch_id=1
     )
     assert not os.path.isdir(os.path.join(idx, "codes", "_tombstones"))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_exact_jaccard_pairs_matches_bruteforce(spark, seed):
+    """Prefix filtering must be an EXACT candidate bound: on random
+    corpora dense with borderline near-threshold pairs (clone chains
+    with 0-3 substitutions, truncations exercising the size-ratio
+    bound, two langs), the prefix-filtered implementation emits
+    exactly the brute-force all-pairs result — pair set AND jaccard
+    values — at thresholds spanning prefix lengths from ~30% of the
+    set down to a single token."""
+    import itertools
+    import random
+
+    rnd = random.Random(seed)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    base = rnd.sample(vocab, 20)
+    rows = []
+    for i in range(60):
+        ws = list(base)
+        for _ in range(rnd.randrange(4)):
+            ws[rnd.randrange(len(ws))] = rnd.choice(vocab)
+        ws = list(dict.fromkeys(ws))
+        if rnd.random() < 0.3:
+            ws = ws[: rnd.randrange(15, len(ws) + 1)]
+        rows.append((i, "en" if i % 3 else "de", " ".join(ws)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    sets = {i: (lang, set(t.split())) for i, lang, t in rows}
+    for thr in (0.7, 0.8, 0.95, 1.0):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.exact_jaccard_pairs(docs, thr).collect()
+        }
+        want = {}
+        for (ia, (la, sa)), (ib, (lb, sb)) in itertools.combinations(
+            sets.items(), 2
+        ):
+            if la != lb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= thr:
+                want[(min(ia, ib), max(ia, ib))] = j
+        assert set(got) == set(want), (
+            thr, sorted(set(got) ^ set(want))
+        )
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-12, (thr, k, got[k], v)
