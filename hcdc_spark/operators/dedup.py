@@ -770,28 +770,35 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    # Convergence is probed only every other round: propagation past the
-    # fixpoint is a no-op (min-label is monotone + idempotent), so a late
-    # detection costs one redundant join round while probing every round
-    # costs a driver-blocking isEmpty job per round (flagged by the r2
-    # review). Near-dup components are shallow (diameter ~2-4), so this
-    # halves the blocking job count for free; the 20-round cap bounds
-    # pathological chains. test_text_dedup_similarity gates the job count.
-    for rnd in range(20):
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"),
-                    F.col("label").alias("nbr_label"),
-                ),
-                "dst",
+    # TWO propagation rounds are planned lazily per blocking cycle and
+    # materialized by ONE localCheckpoint (round-14 optimization, guide
+    # §2.4/§5): min-label propagation is monotone + idempotent, so
+    # fusing a pair of rounds changes no label — only the driver-side
+    # job count. Per 2 rounds, 3 blocking jobs (checkpoint, checkpoint,
+    # isEmpty — the every-other-round probe cadence from the r2 review)
+    # become 2 (checkpoint, isEmpty), and the pair's two join+agg
+    # rounds are pipelined inside one job instead of two driver
+    # round-trips. Convergence is probed on the SECOND round of each
+    # pair: a full round with zero label changes is a fixpoint, and
+    # propagation past the fixpoint is a no-op, so detection semantics
+    # are exactly the unfused loop's. Near-dup components are shallow
+    # (diameter ~2-4); the 20-round cap bounds pathological chains.
+    # test_text_dedup_similarity gates the round count.
+    for it in range(10):
+        cur = labels
+        for half in range(2):
+            nbr = (
+                edges.join(
+                    cur.select(
+                        F.col("doc_id").alias("dst"),
+                        F.col("label").alias("nbr_label"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("doc_id"))
+                .agg(F.min("nbr_label").alias("nbr_min"))
             )
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("nbr_label").alias("nbr_min"))
-        )
-        new = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
+            cur = cur.join(nbr, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     "label", F.coalesce("nbr_min", "label")
@@ -800,10 +807,11 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("nbr_min", "label") < F.col("label")
                 ).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
-        )
+            if half == 0:
+                cur = cur.drop("_chg")
+        new = cur.localCheckpoint(eager=True)
         labels = new.drop("_chg")
-        if rnd % 2 == 1 and new.where(F.col("_chg")).isEmpty():
+        if new.where(F.col("_chg")).isEmpty():
             break
     else:
         # Cap exhausted: if labels were STILL changing, the clusters
@@ -818,7 +826,7 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     # test hook: rounds actually executed (job-count gates are too
     # AQE-noisy — every adaptive query stage is its own job)
-    q58_dedup_clusters.last_rounds = rnd + 1
+    q58_dedup_clusters.last_rounds = 2 * (it + 1)
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
