@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -236,12 +237,9 @@ def bucketed_join_frame(
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     work = tempfile.mkdtemp(prefix="hcdc_bucketed_")
     names = ("hcdc_b_orders", "hcdc_b_lineitem")
-    for name, df, key in (
-        (names[0], t["orders"].select("o_orderkey", "o_orderpriority"),
-         "o_orderkey"),
-        (names[1], t["lineitem"].select("l_orderkey", "l_quantity"),
-         "l_orderkey"),
-    ):
+
+    def _write(spec) -> None:
+        name, df, key = spec
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             df.write.bucketBy(n_buckets, key)
@@ -250,6 +248,27 @@ def bucketed_join_frame(
             .mode("overwrite")
             .format("parquet")
             .saveAsTable(name)
+        )
+
+    # The two bucketed writes are independent jobs on distinct tables;
+    # submitting them from two driver threads lets the second job's
+    # tasks back-fill executors freed by the first job's straggler tail
+    # (guide §2.6) instead of serializing two full job latencies. The
+    # Spark scheduler is made for concurrent jobs; catalog ops touch
+    # different table names.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write,
+                (
+                    (names[0],
+                     t["orders"].select("o_orderkey", "o_orderpriority"),
+                     "o_orderkey"),
+                    (names[1],
+                     t["lineitem"].select("l_orderkey", "l_quantity"),
+                     "l_orderkey"),
+                ),
+            )
         )
     joined = (
         spark.table(names[0])
