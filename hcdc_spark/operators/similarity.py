@@ -47,6 +47,27 @@ def _emb(col: str = "embedding") -> Column:
     return F.col(col).cast("array<double>")
 
 
+def _argmax(payload: Column, score: Column, tie_id: Column) -> Column:
+    """The (score DESC, tie_id ASC) argmax as ONE ``max_by`` aggregate
+    — replaces the ``row_number().over(partitionBy(g).orderBy(score
+    DESC, tie_id)) == 1`` window every quantizer assignment used
+    (round-14, guide §2.3 "aggregate before you shuffle"): a
+    declarative aggregate gets map-side PARTIAL aggregation, so each
+    map task ships one candidate per group and nothing is sorted,
+    where the window form sorted every scored row per group (twice:
+    below and above its exchange, via WindowGroupLimit) just to keep
+    rank 1.
+
+    Picks exactly the row the window picked: ``max_by`` maximizes
+    ``struct(score, -tie_id)`` under Spark's one SQL ordering (structs
+    compare field-by-field; NaN > any value; a null field sorts first)
+    — max score, ties to the smallest tie_id, the same total order as
+    (score DESC NULLS LAST, tie_id ASC), and tie_id uniqueness within
+    a group makes it deterministic. ``tie_id`` must be a numeric id
+    (negation must be lossless)."""
+    return F.max_by(payload, F.struct(score, -tie_id))
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
 
@@ -717,8 +738,6 @@ def _q93_oracle() -> str:
     tags=("similarity", "ivf"),
 )
 def q93_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     cents = (
         emb.where(F.col("vec_id") % 7 == 1)
@@ -739,11 +758,23 @@ def q93_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "label", "v", "cid", s.alias("s")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), "cid")
+    # (s DESC, cid) argmax as a max_by aggregate (see _argmax): one
+    # pre-collapsed row per vector crosses the shuffle — carrying ONE
+    # copy of the vector, where the window form sorted and shipped all
+    # 16 scored copies per vector through its exchange.
     cells = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "v", F.col("cid").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(
+            _argmax(
+                F.struct("label", "v", "cid"), F.col("s"), F.col("cid")
+            ).alias("_m")
+        )
+        .select(
+            "vec_id",
+            F.col("_m.label").alias("label"),
+            F.col("_m.v").alias("v"),
+            F.col("_m.cid").alias("cell"),
+        )
     )
     qscores = scored.where(F.col("vec_id") == 0).select("cid", "s").collect()
     probes = [
@@ -1113,8 +1144,6 @@ def _q97_oracle() -> str:
     tags=("similarity", "pq"),
 )
 def q97_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     e = emb.select("vec_id", "label", _emb().alias("v"))
     sub = _pq_subvectors(e)
@@ -1132,11 +1161,11 @@ def q97_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         _dot(F.col("sv"), F.col("cv")).alias("s"),
     )
-    w = Window.partitionBy("vec_id", "j").orderBy(F.col("s").desc(), "cid")
-    codes = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "j", "cid")
+    # (s DESC, cid) argmax per subvector as a max_by aggregate (see
+    # _argmax): one candidate per (vector, j) crosses the shuffle, no
+    # per-group sort.
+    codes = scored.groupBy("vec_id", "label", "j").agg(
+        _argmax(F.col("cid"), F.col("s"), F.col("cid")).alias("cid")
     )
     lut = scored.where(F.col("vec_id") == 0).select(
         "j", "cid", F.col("s").alias("ld")
@@ -1248,8 +1277,6 @@ def _q99_oracle() -> str:
     tags=("similarity", "kmeans"),
 )
 def q99_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     cents = (
         emb.where(F.col("vec_id") % 11 == 3)
@@ -1269,11 +1296,22 @@ def q99_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "cid", s.alias("s")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), "cid")
+    # (s DESC, cid) argmax as a max_by aggregate (see _argmax): one
+    # pre-collapsed row per vector — carrying ONE copy of the vector —
+    # crosses the shuffle, no per-group sort.
     assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"), "s")
+        scored.groupBy("vec_id")
+        .agg(
+            _argmax(
+                F.struct("v", "cid", "s"), F.col("s"), F.col("cid")
+            ).alias("_m")
+        )
+        .select(
+            "vec_id",
+            F.col("_m.v").alias("v"),
+            F.col("_m.cid").alias("cell"),
+            F.col("_m.s").alias("s"),
+        )
     )
     scale = F.lit(float(KM_SCALE))
     # quantize in DOUBLE (bit-identical cross-engine), then sum as
@@ -1692,8 +1730,6 @@ def _ivfpq_coarse(
     defaults to the q93/q101 oracle constant; the scale path sizes it
     from the corpus (ivfpq_scaled_cells) so per-query probe reads stay
     n_probe/n_cells of the codes as the corpus grows."""
-    from pyspark.sql import Window
-
     cents = (
         e.where(F.col("vec_id") % 7 == 1)
         .orderBy("vec_id")
@@ -1710,11 +1746,11 @@ def _ivfpq_coarse(
     cscored = ew.crossJoin(F.broadcast(cw)).select(
         "vec_id", "ccid", cs.alias("cs")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "ccid")
-    cells = (
-        cscored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("ccid").alias("cell"))
+    # (cs DESC, ccid) argmax as a max_by aggregate — same row the old
+    # row_number window picked (see _argmax), no per-group sort, and
+    # the shuffle carries one pre-collapsed row per vector.
+    cells = cscored.groupBy("vec_id").agg(
+        _argmax(F.col("ccid"), F.col("cs"), F.col("ccid")).alias("cell")
     )
     return cents, cscored, cells
 
@@ -1724,8 +1760,6 @@ def _ivfpq_codes(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     j, cv) — the fixed codebook's subvectors, scored(vec_id, label, j,
     cid, s) — every (vector, codeword) dot, codes(vec_id, label, j,
     cid) — the argmax codeword per subvector, (s DESC, cid) tiebreak)."""
-    from pyspark.sql import Window
-
     sub = _pq_subvectors(e)
     cb = (
         e.where(F.col("vec_id") % 5 == 2)
@@ -1738,11 +1772,11 @@ def _ivfpq_codes(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         "vec_id", "label", "j", "cid",
         _dot(F.col("sv"), F.col("cv")).alias("s"),
     )
-    wj = Window.partitionBy("vec_id", "j").orderBy(F.col("s").desc(), "cid")
-    codes = (
-        scored.withColumn("rn", F.row_number().over(wj))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "j", "cid")
+    # (s DESC, cid) argmax per subvector as a max_by aggregate (see
+    # _argmax): the shuffle carries one candidate per (vector, j), not
+    # the K scored rows, and nothing is sorted.
+    codes = scored.groupBy("vec_id", "label", "j").agg(
+        _argmax(F.col("cid"), F.col("s"), F.col("cid")).alias("cid")
     )
     return cbsub, scored, codes
 
@@ -2876,8 +2910,6 @@ def append_ivfpq_delta(
     test re-appends a batch and pins the table byte-identical).
     Work is O(|delta|); ivfpq_index_search over the merged table
     serves old + new vectors with the same partition-pruned plan."""
-    from pyspark.sql import Window
-
     _recover_ivfpq_swap(path)  # self-heal a crashed rebuild swap
     _recover_ivfpq_codes_swap(path)  # and a crashed compact swap —
     # this append would otherwise recreate codes/ beside the stage
@@ -2891,24 +2923,22 @@ def append_ivfpq_delta(
     e = delta.select("vec_id", "label", _emb().alias("v"))
     ew = e.withColumn("vn", F.sqrt(_norm2(F.col("v"))))
     cs = _dot(F.col("v"), F.col("c")) / (F.col("vn") * F.col("cn"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "ccid")
+    # both argmaxes as max_by aggregates with the build's tiebreaks
+    # (see _argmax): one pre-collapsed candidate per group crosses
+    # each shuffle, no per-group sorts.
     cells = (
         ew.crossJoin(F.broadcast(cents))
         .select("vec_id", "ccid", cs.alias("cs"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("ccid").alias("cell"))
+        .groupBy("vec_id")
+        .agg(_argmax(F.col("ccid"), F.col("cs"), F.col("ccid")).alias("cell"))
     )
     sub = _pq_subvectors(e)
     scored = sub.join(F.broadcast(cb), "j").select(
         "vec_id", "label", "j", "cid", "code",
         _dot(F.col("sv"), F.col("cv")).alias("s"),
     )
-    wj = Window.partitionBy("vec_id", "j").orderBy(F.col("s").desc(), "cid")
-    codes = (
-        scored.withColumn("rn", F.row_number().over(wj))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "j", "code")
+    codes = scored.groupBy("vec_id", "label", "j").agg(
+        _argmax(F.col("code"), F.col("s"), F.col("cid")).alias("code")
     )
     pivoted = codes.groupBy("vec_id", "label").agg(
         *[

@@ -607,6 +607,27 @@ def test_q101_ivfpq_broadcasts_all_artifacts(spark, sf_dir):
     assert "pythonudf" not in p.lower()
 
 
+def test_quantizer_argmax_aggregates_before_shuffle(spark, sf_dir):
+    """Every quantizer assignment (coarse cells, PQ codes, k-means
+    assign) is the max_by aggregate form (r14): partial aggregation on
+    the map side, so one pre-collapsed candidate per group crosses the
+    shuffle and nothing is sorted per group. A ranking window sneaking
+    back means every scored (vector, centroid/codeword) row is sorted
+    below the exchange just to keep rank 1."""
+    from hcdc_spark.operators import similarity
+
+    for fn in (
+        similarity.q93_ivf_ann_fixed,
+        similarity.q97_pq_ann_adc,
+        similarity.q99_kmeans_step,
+        similarity.q101_ivfpq_ann,
+    ):
+        df = fn(spark, sf_dir)
+        p = I.simple_plan(df)
+        assert "Window" not in p, fn.__name__
+        assert "max_by" in I.plan(df), fn.__name__
+
+
 def test_q102_index_search_is_partition_pruning(spark, sf_dir, tmp_path):
     """The materialized IVF-PQ index delivers the claim q101's doc
     makes: the probe filter on the cell-partitioned code table must be
