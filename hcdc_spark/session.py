@@ -73,6 +73,18 @@ ENGINE_CONF: dict[str, str] = {
     # partition is >> 64 KB so the floor never binds; it only stops
     # small-but-expensive stages from losing the cluster's parallelism.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # Whole-stage-codegen class cache (STATIC conf, default 100
+    # entries). The engine serves ~140 distinct query shapes, several
+    # compiling wide generated classes (72-expression MinHash
+    # signatures, 32-agg SimHash votes); at 100 entries a pass over
+    # the query suite evicts every class before its query comes back,
+    # so each run re-generates + re-Janino-compiles its stages
+    # (measured: the bench's third pass 16.7 s -> 11.8 s and q29
+    # 3.0 s -> 1.4 s from this key alone). A long-running production
+    # engine thrashes identically; 4096 compiled classes are tens of
+    # MB of driver/executor metaspace — noise against any real driver
+    # sizing.
+    "spark.sql.codegen.cache.maxEntries": "4096",
     # Dimension tables (region/nation/supplier/part at any SF, the domain
     # filter registry) must broadcast — never shuffle a fact table to join
     # a dim.
