@@ -2041,10 +2041,6 @@ def write_ivfpq_index(
             F.row_number().over(Window.partitionBy("j").orderBy("cid")) - 1
         ).cast("tinyint"),
     )
-    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    dense.select("j", "code", "cid", "cv").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/codebook")
     pivoted = (
         codes.join(
             F.broadcast(dense.select("j", "cid", "code")), ["j", "cid"]
@@ -2059,11 +2055,36 @@ def write_ivfpq_index(
             ]
         )
     )
-    pivoted.join(cells, "vec_id").withColumn(
-        "batch", F.lit("base")
-    ).write.mode("overwrite").partitionBy("batch", "cell").parquet(
-        f"{path}/codes"
-    )
+
+    # The three artifact writes are independent jobs on distinct
+    # directories; submitting them from a small thread pool (guide
+    # §2.6, the q74 pattern) lets the two single-task metadata writes
+    # — whose deterministic-sample subtrees are full corpus passes at
+    # scale (filter + TakeOrdered) — back-fill executors under the big
+    # codes job instead of paying three serial job latencies.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_centroids() -> None:
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+
+    def _w_codebook() -> None:
+        dense.select("j", "code", "cid", "cv").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/codebook")
+
+    def _w_codes() -> None:
+        pivoted.join(cells, "vec_id").withColumn(
+            "batch", F.lit("base")
+        ).write.mode("overwrite").partitionBy("batch", "cell").parquet(
+            f"{path}/codes"
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(f) for f in (_w_codes, _w_centroids, _w_codebook)]
+        for fut in futs:
+            fut.result()
     # growth-policy statistic (the band-index n_rows pattern): the
     # corpus size and cell count the index was built for; upserts
     # maintain n_rows, ivfpq_index_needs_rebuild compares
