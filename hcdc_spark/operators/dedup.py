@@ -770,63 +770,85 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    # TWO propagation rounds are planned lazily per blocking cycle and
-    # materialized by ONE localCheckpoint (round-14 optimization, guide
-    # §2.4/§5): min-label propagation is monotone + idempotent, so
-    # fusing a pair of rounds changes no label — only the driver-side
-    # job count. Per 2 rounds, 3 blocking jobs (checkpoint, checkpoint,
-    # isEmpty — the every-other-round probe cadence from the r2 review)
-    # become 2 (checkpoint, isEmpty), and the pair's two join+agg
-    # rounds are pipelined inside one job instead of two driver
-    # round-trips. Convergence is probed on the SECOND round of each
-    # pair: a full round with zero label changes is a fixpoint, and
-    # propagation past the fixpoint is a no-op, so detection semantics
-    # are exactly the unfused loop's. Near-dup components are shallow
-    # (diameter ~2-4); the 20-round cap bounds pathological chains.
-    # test_text_dedup_similarity gates the round count.
+    # One PROPAGATE (min label over the neighborhood) plus one
+    # SHORTCUT (label <- label(label), Shiloach–Vishkin pointer
+    # jumping) per blocking cycle, planned lazily and materialized by
+    # ONE localCheckpoint (round-15 optimization, guide §2.4/§5 —
+    # replaces the round-14 propagate-pair fuse). Propagation alone
+    # moves a label one HOP per round, so the cycle count tracked the
+    # component diameter; the shortcut composes the label function
+    # with itself, so min-label reach at least doubles per cycle
+    # (reach r -> 2(r+1) on a chain) and the cycle count tracks
+    # log2(diameter). Correctness invariants, both preserved by each
+    # step: (a) label(v) is always the id of a node in v's component
+    # (propagate takes mins of neighbor labels; shortcut takes the
+    # label OF a component member), and (b) label(v) never increases
+    # and label(v) <= v (so label(label(v)) <= label(v) is a valid
+    # shortcut). A propagate round with zero changes is therefore a
+    # fixpoint: labels are constant across every edge, hence constant
+    # per component, and the constant is the component minimum
+    # (label(m) <= m and every label >= m). The 10-cycle cap bounds
+    # reach > 2^10 hops — far past any real near-dup chain.
+    # test_text_dedup_similarity gates the cycle count.
     for it in range(10):
-        cur = labels
-        for half in range(2):
-            nbr = (
-                edges.join(
-                    cur.select(
-                        F.col("doc_id").alias("dst"),
-                        F.col("label").alias("nbr_label"),
-                    ),
-                    "dst",
-                )
-                .groupBy(F.col("src").alias("doc_id"))
-                .agg(F.min("nbr_label").alias("nbr_min"))
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "dst",
             )
-            cur = cur.join(nbr, "doc_id", "left").select(
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        prop = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                "label", F.coalesce("nbr_min", "label")
+            ).alias("label"),
+            (
+                F.coalesce("nbr_min", "label") < F.col("label")
+            ).alias("_chg"),
+        )
+        # shortcut: label(label(v)) — the label table maps every node
+        # id in play (labels hold component-member ids, all of which
+        # appear as src in the symmetric edge set), left join +
+        # coalesce only as belt-and-braces
+        cur = (
+            prop.join(
+                prop.select(
+                    F.col("doc_id").alias("label"),
+                    F.col("label").alias("_ll"),
+                ),
+                "label",
+                "left",
+            )
+            .select(
                 "doc_id",
-                F.least(
-                    "label", F.coalesce("nbr_min", "label")
-                ).alias("label"),
-                (
-                    F.coalesce("nbr_min", "label") < F.col("label")
-                ).alias("_chg"),
+                F.coalesce("_ll", "label").alias("label"),
+                "_chg",
             )
-            if half == 0:
-                cur = cur.drop("_chg")
+        )
         new = cur.localCheckpoint(eager=True)
         labels = new.drop("_chg")
+        # probe the PROPAGATE step's changes: zero means propagate was
+        # already a fixpoint (shortcutting a fixpoint is the identity)
         if new.where(F.col("_chg")).isEmpty():
             break
     else:
-        # Cap exhausted: if labels were STILL changing, the clusters
-        # are not converged and returning them would be a silent wrong
-        # answer (the oracle computes the true transitive closure) —
-        # fail loudly instead (review r4). A >20-diameter near-dup
-        # chain is pathological for real corpora; raise the cap
-        # deliberately if one ever appears.
-        if not new.where(F.col("_chg")).isEmpty():
-            raise ValueError(
-                "q58 label propagation did not converge in 20 rounds"
-            )
-    # test hook: rounds actually executed (job-count gates are too
-    # AQE-noisy — every adaptive query stage is its own job)
-    q58_dedup_clusters.last_rounds = 2 * (it + 1)
+        # Cap exhausted with the last probe non-empty (the loop breaks
+        # on every empty probe), so labels were still changing: the
+        # clusters are not converged and returning them would be a
+        # silent wrong answer (the oracle computes the true transitive
+        # closure) — fail loudly instead (review r4). Raise the cap
+        # deliberately if a >2^10-hop near-dup chain ever appears.
+        raise ValueError(
+            "q58 label propagation did not converge in 10 cycles"
+        )
+    # test hook: blocking cycles actually executed (job-count gates are
+    # too AQE-noisy — every adaptive query stage is its own job)
+    q58_dedup_clusters.last_rounds = it + 1
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

@@ -340,7 +340,14 @@ def q43_media_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hcdc_spark.operators.similarity import _dot, _norm2
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    emb = featurize_media_md5(media_from_documents(docs)).cache()
+    # localCheckpoint, not .cache(): the frame is reused within the
+    # query (probe collect + ranking scan) but a session-lifetime
+    # cache entry pinned executor storage forever (house pattern since
+    # r4; VERDICT r14 flagged this site). The checkpoint materializes
+    # once and its blocks are released when the frame is GC'd.
+    emb = featurize_media_md5(media_from_documents(docs)).localCheckpoint(
+        eager=True
+    )
     q = emb.where(F.col("media_id") == 0).collect()[0]["embedding"]
     qlit = F.array(*[F.lit(float(x)) for x in q])
     qn = math.sqrt(sum(float(x) ** 2 for x in q))

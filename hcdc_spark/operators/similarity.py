@@ -76,6 +76,28 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
 
 
+def probe_vector(emb: DataFrame, vec_id: int = 0) -> list[float]:
+    """Fetch one probe/query vector by key — the shared point-lookup
+    every ANN query's driver side uses (round-15; VERDICT r14 item 6).
+
+    At-scale contract: the equality predicate is a plain comparison on
+    a stored column, so it REACHES the parquet scan (PushedFilters:
+    EqualTo(vec_id, ...) — plan-gated in test_plans.py) and row-group
+    min/max statistics skip every block that cannot contain the key;
+    with the corpus written sorted/clustered by vec_id (the house
+    layout guidance, guide §6) that is an O(1)-ish point read, not a
+    corpus scan. A deployment whose query vectors arrive separately
+    from the corpus should pass a keyed side table here instead — the
+    helper takes any frame with (vec_id, embedding). Kept as a single
+    helper so the lookup shape is one grep away from every consumer."""
+    return [
+        float(x)
+        for x in emb.where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+
+
 #: THE QUADRATIC-TWIN INPUT CAP (round-10 verdict nit (b), shared so
 #: the third future twin can't ship uncapped). The capped-quadratic
 #: family — q35 and q103's sign-geometry oracle rectangle — exists to
@@ -113,7 +135,7 @@ QUAD_TWIN_VEC_ID_CAP = 100_000
 )
 def q34_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = probe_vector(emb)  # pushed-filter point lookup, see the helper
     qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
     qnorm = math.sqrt(sum(float(x) * float(x) for x in qv))
     return (
@@ -784,7 +806,7 @@ def q93_ivf_ann_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = [
         r["cid"] for r in sorted(qscores, key=lambda r: (-r["s"], r["cid"]))
     ][:4]
-    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = probe_vector(emb)  # pushed-filter point lookup, see the helper
     qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
     qn = math.sqrt(sum(float(x) * float(x) for x in qv))
     return (
@@ -935,7 +957,7 @@ HYBRID_TERMS = ("join", "hash", "scan")
 def q66_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents", "embeddings"))
     docs, emb = t["documents"], t["embeddings"]
-    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = probe_vector(emb)  # pushed-filter point lookup, see the helper
     qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
     qnorm = math.sqrt(sum(float(x) * float(x) for x in qv))
     terms = F.array(*[F.lit(w) for w in HYBRID_TERMS])
@@ -1724,7 +1746,7 @@ def _ivfpq_oracle(quantizer_extra: str = "", data_v: str | None = None) -> str:
 
 
 def _ivfpq_coarse(
-    e: DataFrame, n_cells: int = 16
+    e: DataFrame, n_cells: int = 16, cents_src: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """q93's fixed deterministic coarse quantizer over an
     (vec_id, label, v) frame: (cents(ccid, c), cscored(vec_id, ccid,
@@ -1732,12 +1754,19 @@ def _ivfpq_coarse(
     narrow window with the (cs DESC, ccid) tiebreak. ``n_cells``
     defaults to the q93/q101 oracle constant; the scale path sizes it
     from the corpus (ivfpq_scaled_cells) so per-query probe reads stay
-    n_probe/n_cells of the codes as the corpus grows."""
-    cents = (
-        e.where(F.col("vec_id") % 7 == 1)
-        .orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("ccid"), F.col("v").alias("c"))
+    n_probe/n_cells of the codes as the corpus grows. ``cents_src``
+    lets a caller that already materialized the centroid sample rows
+    (write_ivfpq_index's one-pass sample) supply them instead of the
+    default TakeOrdered corpus subtree — it must hold exactly the
+    first ``n_cells`` (vec_id, label, v) rows with vec_id % 7 == 1 in
+    vec_id order."""
+    cents_in = (
+        cents_src
+        if cents_src is not None
+        else e.where(F.col("vec_id") % 7 == 1).orderBy("vec_id").limit(n_cells)
+    )
+    cents = cents_in.select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("c")
     )
     # sqrt-norms once per row/centroid, not per (vector, centroid)
     # pair — computed on DERIVED frames so the returned cents keeps
@@ -1758,17 +1787,26 @@ def _ivfpq_coarse(
     return cents, cscored, cells
 
 
-def _ivfpq_codes(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _ivfpq_codes(
+    e: DataFrame, cb_src: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """q97's PQ encoder over an (vec_id, label, v) frame: (cbsub(cid,
     j, cv) — the fixed codebook's subvectors, scored(vec_id, label, j,
     cid, s) — every (vector, codeword) dot, codes(vec_id, label, j,
-    cid) — the argmax codeword per subvector, (s DESC, cid) tiebreak)."""
+    cid) — the argmax codeword per subvector, (s DESC, cid) tiebreak).
+    ``cb_src`` is the write_ivfpq_index one-pass-sample hook (see
+    _ivfpq_coarse's cents_src): the first PQ_K (vec_id, label, v) rows
+    with vec_id % 5 == 2 in vec_id order, pre-materialized."""
     sub = _pq_subvectors(e)
     cb = (
-        e.where(F.col("vec_id") % 5 == 2)
-        .orderBy("vec_id")
-        .limit(PQ_K)
-        .select(F.col("vec_id").alias("cid"), "v")
+        cb_src.select(F.col("vec_id").alias("cid"), "v")
+        if cb_src is not None
+        else (
+            e.where(F.col("vec_id") % 5 == 2)
+            .orderBy("vec_id")
+            .limit(PQ_K)
+            .select(F.col("vec_id").alias("cid"), "v")
+        )
     )
     cbsub = _pq_subvectors(cb).select("cid", "j", F.col("sv").alias("cv"))
     scored = sub.join(F.broadcast(cbsub), "j").select(
@@ -2033,8 +2071,51 @@ def write_ivfpq_index(
     from pyspark.sql import Window
 
     e = emb.select("vec_id", "label", _emb().alias("v"))
-    cents, _cscored, cells = _ivfpq_coarse(e, n_cells=n_cells)
-    cbsub, _scored, codes = _ivfpq_codes(e)
+    # ONE corpus pass feeds BOTH metadata sample frames (guide §2.4;
+    # round-15): the centroid rows (first n_cells vec_ids with
+    # vec_id%7==1) and the PQ codebook rows (first PQ_K with
+    # vec_id%5==2) were two independent TakeOrdered subtrees — two
+    # full corpus scans per build at scale, re-run again by each
+    # artifact write's broadcast build. A tagged scan + per-tag top-K
+    # (rn <= max(K) fires WindowGroupLimit, so each map task forwards
+    # at most max(K) rows per tag) is one corpus pass; the <=
+    # n_cells+PQ_K surviving sample rows are checkpointed and every
+    # downstream use — centroid broadcast, codebook broadcast, both
+    # metadata writes — reads the checkpoint. Row-for-row identical to
+    # the TakeOrdered subtrees: vec_id is unique, so "first K in
+    # vec_id order" is the same set either way.
+    _c7 = F.col("vec_id") % 7 == 1
+    _c5 = F.col("vec_id") % 5 == 2
+    tagged = e.where(_c7 | _c5).select(
+        "vec_id",
+        "label",
+        "v",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(_c7, F.lit("c")), F.when(_c5, F.lit("b"))
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("g"),
+    )
+    _wg = Window.partitionBy("g").orderBy("vec_id")
+    samp = (
+        tagged.withColumn("rn", F.row_number().over(_wg))
+        .where(F.col("rn") <= max(n_cells, PQ_K))
+        .where(
+            ((F.col("g") == "c") & (F.col("rn") <= n_cells))
+            | ((F.col("g") == "b") & (F.col("rn") <= PQ_K))
+        )
+        .select("g", "vec_id", "label", "v")
+        .localCheckpoint(eager=True)
+    )
+    cents_src = samp.where(F.col("g") == "c").drop("g")
+    cb_src = samp.where(F.col("g") == "b").drop("g")
+    cents, _cscored, cells = _ivfpq_coarse(
+        e, n_cells=n_cells, cents_src=cents_src
+    )
+    cbsub, _scored, codes = _ivfpq_codes(e, cb_src=cb_src)
     dense = cbsub.withColumn(
         "code",
         (
@@ -2081,6 +2162,14 @@ def write_ivfpq_index(
             f"{path}/codes"
         )
 
+    # COMMIT CONTRACT: _write_ivfpq_meta below runs SEQUENTIALLY after
+    # the pool joins — meta-written-last is what keeps a build that
+    # fails partway recoverable (readers and _recover_ivfpq_swap treat
+    # a missing/stale meta as "no committed index"). With the three
+    # artifact writes parallel, a failure in one no longer prevents
+    # the siblings from completing, so partial artifacts under `path`
+    # are possible — safe ONLY while meta stays the last, serial step.
+    # Do not move the meta write into the pool.
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [pool.submit(f) for f in (_w_codes, _w_centroids, _w_codebook)]
         for fut in futs:
@@ -2227,7 +2316,7 @@ def q102_ivfpq_index_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = probe_vector(emb)  # pushed-filter point lookup, see the helper
     work = tempfile.mkdtemp(prefix="hcdc_ivfpq_")
     try:
         idx = os.path.join(work, "ivfpq")
@@ -3021,7 +3110,7 @@ def q104_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     base = emb.where(F.col("vec_id") % 10 != 7)
     delta = emb.where(F.col("vec_id") % 10 == 7)
-    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = probe_vector(emb)  # pushed-filter point lookup, see the helper
     work = tempfile.mkdtemp(prefix="hcdc_ivfpq_upsert_")
     try:
         idx = os.path.join(work, "ivfpq")
@@ -3330,7 +3419,7 @@ def c25_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     reingest = emb.where(F.col("vec_id") % 20 == 14).withColumn(
         "embedding", F.reverse("embedding")
     )
-    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qv = probe_vector(emb)  # pushed-filter point lookup, see the helper
     work = tempfile.mkdtemp(prefix="hcdc_c25_")
     try:
         idx = os.path.join(work, "ivfpq")

@@ -255,7 +255,11 @@ def bucketed_join_frame(
     # tasks back-fill executors freed by the first job's straggler tail
     # (guide §2.6) instead of serializing two full job latencies. The
     # Spark scheduler is made for concurrent jobs; catalog ops touch
-    # different table names.
+    # different table names. NOTE: concurrent CREATE TABLE assumes the
+    # session's in-memory catalog (thread-safe); a Derby-backed Hive
+    # metastore serializes — and occasionally fails — concurrent DDL,
+    # so serialize these writes if the session ever gains
+    # catalogImplementation=hive.
     with ThreadPoolExecutor(max_workers=2) as pool:
         list(
             pool.map(

@@ -391,13 +391,29 @@ def infer_avro_schema(spark: SparkSession, path: str) -> T.StructType:
     return avro_json_to_spark_schema(read_header_schema(bytes(first[0])))
 
 
-def write_avro(df: DataFrame, path: str) -> DataFrame:
+def write_avro(
+    df: DataFrame, path: str, min_tasks: int | None = None
+) -> DataFrame:
     """Distributed OCF write: one ``part-NNNNN.avro`` per partition,
     each Arrow batch one Avro block. Returns the (collect-to-run)
     manifest DataFrame (file, n_records) — same contract as any
-    Spark action-driven sink."""
+    Spark action-driven sink.
+
+    ``min_tasks`` (round-15, guide §2.6/§6): when set and the input
+    arrives with FEWER partitions, round-robin repartition up to it so
+    the per-row spec codec — the expensive leg of this sink — runs on
+    every core instead of serializing on one task (a single small
+    parquet file plans as ONE scan partition, which made q39's write
+    leg a 1.5 s single-thread encode on a 32-core box). Scale-adaptive
+    by construction: any input already at or above ``min_tasks``
+    partitions is left untouched, so no shuffle is ever added at
+    scale; ``None`` (default) preserves the caller's partitioning
+    exactly — explicit ``coalesce(1)`` single-file writes stay single
+    file."""
     os.makedirs(path, exist_ok=True)
     schema = df.schema
+    if min_tasks is not None and df.rdd.getNumPartitions() < min_tasks:
+        df = df.repartition(min_tasks)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

@@ -58,7 +58,14 @@ def write_table(
                     return  # Spark contract: silent no-op on existing
                 else:  # error / errorifexists / unknown modes
                     raise FileExistsError(path)
-            avro_codec.write_avro(df, path).collect()
+            # min_tasks: spread the per-row spec codec across the
+            # session's cores when the input plans fewer partitions
+            # (no-op at scale — see write_avro's doc)
+            avro_codec.write_avro(
+                df,
+                path,
+                min_tasks=df.sparkSession.sparkContext.defaultParallelism,
+            ).collect()
             return
     w = df.write.format(fmt).mode(mode)
     if fmt in ("parquet", "orc"):

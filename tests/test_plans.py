@@ -1647,3 +1647,49 @@ def test_q52_q92_band_frames_materialized_once(spark, sf_dir):
     p92 = I.simple_plan(q92)
     assert p92.count("Scan ExistingRDD") >= 2
     assert "md5" not in p92, "md5 banding re-derived outside the checkpoint"
+
+
+def test_noise_flagged_headline_plans_pinned(spark, sf_dir):
+    """PERF_r14 flagged q03/q12/q48/q49 as regressed; their plans were
+    byte-identical to r13 (driver cold-JVM noise). Pin each plan's
+    node counts (r15, VERDICT item 8) so a REAL plan regression —
+    a broadcast that stops firing, an extra exchange, a lost
+    TakeOrdered — can never hide behind "that query is noisy"."""
+    from hcdc_spark.operators import analytics
+
+    q03 = analytics.q03_join_topn_revenue(spark, sf_dir)
+    p03 = I.simple_plan(q03)
+    assert I.count_exchanges(q03) == 1, p03  # the one agg shuffle
+    assert I.broadcast_join_count(q03) == 2, p03  # both dims broadcast
+    assert I.sortmerge_join_count(q03) == 0, p03
+    assert "TakeOrderedAndProject" in p03, p03  # top-n never global-sorts
+
+    q12 = analytics.q12_cube(spark, sf_dir)
+    p12 = I.simple_plan(q12)
+    assert I.count_exchanges(q12) == 2, p12  # pre-agg + cube agg
+    assert p12.count("Expand") == 1, p12  # cube expands the PRE-AGG once
+
+    q48 = analytics_ext.q48_range_join(spark, sf_dir)
+    p48 = I.simple_plan(q48)
+    assert I.count_exchanges(q48) == 1, p48  # only the final agg shuffles
+    assert I.broadcast_join_count(q48) == 1, p48  # band dim broadcast
+    assert not I.has_cartesian(q48), p48
+
+    q49 = analytics_ext.q49_percentiles(spark, sf_dir)
+    p49 = I.simple_plan(q49)
+    assert I.count_exchanges(q49) == 1, p49  # single two-phase agg
+    assert p49.count("ObjectHashAggregate") == 2, p49  # percentile pair
+    assert "Window" not in p49, p49
+
+
+def test_probe_vector_lookup_pushes_filter(spark, sf_dir):
+    """The shared ANN probe-vector point lookup (probe_vector; r15,
+    VERDICT item 6) must plan as a pushed scan predicate — PushedFilters
+    carries the vec_id equality so row-group min/max stats skip
+    non-matching blocks — never as a post-scan corpus filter."""
+    from hcdc_spark.catalog import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    probe = emb.where(F.col("vec_id") == 0).select("embedding")
+    pushed = I.pushed_filters(probe)
+    assert any("vec_id" in f and "EqualTo" in f for f in pushed), pushed

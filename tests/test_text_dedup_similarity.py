@@ -484,20 +484,20 @@ def test_embedding_quantization_error_bound(spark, oracle, sf_dir):
         assert 0 <= r["qsum"] <= 255 * S.EMB_DIM
 
 
-def test_dedup_clusters_convergence_probe_every_other_round(spark, sf_dir):
-    """Convergence probes run every OTHER round (r2 review: 2 blocking
-    jobs per round was the cost). Shallow near-dup graphs must stop at
-    the first probe — 2 propagation rounds, 1 isEmpty — never drift
-    toward the 20-round cap. (Job counts are too AQE-noisy to gate —
-    each adaptive query stage is its own job — so gate rounds.)"""
+def test_dedup_clusters_convergence_cycles_logarithmic(spark, sf_dir):
+    """Each blocking cycle runs one propagate + one pointer-jumping
+    shortcut, so min-label reach at least doubles per cycle and the
+    cycle count tracks log2(diameter), not the diameter (r15
+    optimization). sf0.001's pair graph has chain components that took
+    5-6 plain propagation rounds; with shortcutting they must converge
+    (probe included) within 4 cycles — the gate catches drift toward
+    the 10-cycle cap. (Job counts are too AQE-noisy to gate — each
+    adaptive query stage is its own job — so gate cycles.)"""
     from hcdc_spark.operators.dedup import q58_dedup_clusters
 
     q58_dedup_clusters(spark, sf_dir).collect()
-    rounds = q58_dedup_clusters.last_rounds
-    assert rounds % 2 == 0, f"stopped off-probe: {rounds}"
-    # sf0.001's pair graph has chain components (measured: converges
-    # round 5-6); the gate catches drift toward the 20-round cap
-    assert rounds <= 8, f"q58 ran {rounds} propagation rounds"
+    cycles = q58_dedup_clusters.last_rounds
+    assert cycles <= 4, f"q58 ran {cycles} propagate+shortcut cycles"
 
 
 def test_doc_chunking_covers_text_exactly(spark, sf_dir):
