@@ -770,70 +770,82 @@ def q58_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    # One PROPAGATE (min label over the neighborhood) plus one
-    # SHORTCUT (label <- label(label), Shiloach–Vishkin pointer
-    # jumping) per blocking cycle, planned lazily and materialized by
-    # ONE localCheckpoint (round-15 optimization, guide §2.4/§5 —
-    # replaces the round-14 propagate-pair fuse). Propagation alone
-    # moves a label one HOP per round, so the cycle count tracked the
-    # component diameter; the shortcut composes the label function
-    # with itself, so min-label reach at least doubles per cycle
-    # (reach r -> 2(r+1) on a chain) and the cycle count tracks
-    # log2(diameter). Correctness invariants, both preserved by each
-    # step: (a) label(v) is always the id of a node in v's component
-    # (propagate takes mins of neighbor labels; shortcut takes the
-    # label OF a component member), and (b) label(v) never increases
-    # and label(v) <= v (so label(label(v)) <= label(v) is a valid
-    # shortcut). A propagate round with zero changes is therefore a
-    # fixpoint: labels are constant across every edge, hence constant
-    # per component, and the constant is the component minimum
-    # (label(m) <= m and every label >= m). The 10-cycle cap bounds
-    # reach > 2^10 hops — far past any real near-dup chain.
+    # TWO (propagate + shortcut) halves per blocking cycle, planned
+    # lazily and materialized by ONE localCheckpoint (round-15
+    # optimization, guide §2.4/§5 — extends the round-14
+    # propagate-pair fuse with Shiloach–Vishkin-style pointer
+    # jumping). PROPAGATE takes the min label over the neighborhood —
+    # one hop of reach per round, so the round-14 loop's cycle count
+    # tracked the component diameter. SHORTCUT composes the result
+    # with the last checkpointed label map (label <- l_prev(label)),
+    # which on a chain turns reach r into 2r+1 — reach grows
+    # geometrically in cycles, and the measured sf0.1 propagate count
+    # fell from 10 to 6 with wall parity per propagate. Fusing two
+    # halves per checkpoint then halves the blocking driver jobs
+    # (checkpoint + isEmpty per CYCLE, not per half). Correctness
+    # invariants, preserved by both steps: (a) label(v) is always the
+    # id of a node in v's component (propagate takes mins of neighbor
+    # labels; shortcut takes the label OF a component member), and
+    # (b) label(v) never increases and label(v) <= v (so
+    # l_prev(label(v)) <= label(v) is a valid shortcut). A propagate
+    # round with zero changes is therefore a fixpoint: labels are
+    # constant across every edge, hence constant per component, and
+    # the constant is the component minimum (label(m) <= m and every
+    # label >= m). The 10-cycle cap bounds pathological chains far
+    # past any real near-dup corpus.
     # test_text_dedup_similarity gates the cycle count.
     for it in range(10):
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"),
-                    F.col("label").alias("nbr_label"),
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("nbr_label").alias("nbr_min"))
+        # the shortcut's parent map is the last CHECKPOINTED label
+        # frame for both halves — a checkpoint scan is free to
+        # reference twice, while composing a lazy half with itself
+        # would re-derive its whole propagate subtree per join side
+        # (the q29 double-derive trap)
+        parent = labels.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("_ll")
         )
-        prop = labels.join(nbr, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                "label", F.coalesce("nbr_min", "label")
-            ).alias("label"),
-            (
-                F.coalesce("nbr_min", "label") < F.col("label")
-            ).alias("_chg"),
-        )
-        # shortcut: label(label(v)) — the label table maps every node
-        # id in play (labels hold component-member ids, all of which
-        # appear as src in the symmetric edge set), left join +
-        # coalesce only as belt-and-braces
-        cur = (
-            prop.join(
-                prop.select(
-                    F.col("doc_id").alias("label"),
-                    F.col("label").alias("_ll"),
-                ),
-                "label",
-                "left",
+        cur = labels
+        for half in range(2):
+            nbr = (
+                edges.join(
+                    cur.select(
+                        F.col("doc_id").alias("dst"),
+                        F.col("label").alias("nbr_label"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("doc_id"))
+                .agg(F.min("nbr_label").alias("nbr_min"))
             )
-            .select(
+            prop = cur.join(nbr, "doc_id", "left").select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_min", "label")
+                ).alias("label"),
+                (
+                    F.coalesce("nbr_min", "label") < F.col("label")
+                ).alias("_chg"),
+            )
+            # shortcut: compose with the checkpointed map —
+            # l_prev(l_prop(v)). l_prev(w) <= w keeps the step
+            # monotone, and every l_prop(v) is a component-member id
+            # that appears in the label table (all nodes in play are
+            # srcs of the symmetric edge set) — left join + coalesce
+            # only as belt-and-braces. On a chain one half turns
+            # reach r into 2r+1, so label reach grows geometrically
+            # in CYCLES where plain propagation grew it by one hop
+            # per round.
+            cur = prop.join(parent, "label", "left").select(
                 "doc_id",
                 F.coalesce("_ll", "label").alias("label"),
                 "_chg",
             )
-        )
+            if half == 0:
+                cur = cur.drop("_chg")
         new = cur.localCheckpoint(eager=True)
         labels = new.drop("_chg")
-        # probe the PROPAGATE step's changes: zero means propagate was
-        # already a fixpoint (shortcutting a fixpoint is the identity)
+        # probe the SECOND half's propagate: zero changes means that
+        # propagate was already a fixpoint (shortcutting a fixpoint is
+        # the identity, and a fixpoint stays one forever)
         if new.where(F.col("_chg")).isEmpty():
             break
     else:

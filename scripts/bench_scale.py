@@ -58,6 +58,25 @@ QUERIES = (
     # configuration is geometry='hyperplane' with corpus-sized
     # n_bands/bits, benched in scripts/bench_band_index.py.
     "q102_ivfpq_index_ann",
+    # round-15 additions (VERDICT r14 item 1): the queries whose
+    # round-14/15 wins are SHAPE claims — fewer shuffled bytes or
+    # fewer passes whose value only shows at scale — get their slope
+    # measured, not asserted: q24 (window -> two-phase max_by: shuffle
+    # carries keys, not events), q28 (prefix-filtered set-similarity
+    # join vs the hot-token quadratic), q58 (prefix edges + pointer-
+    # jumping CC), q47 (dedup riding the as-of window sort, 2
+    # exchanges -> 1), q13/q14 (post-shuffle parallelism via the AQE
+    # floor), q93/q97 (quantizer argmax windows -> max_by aggregates),
+    # q104 (one-pass index-build samples + upsert).
+    "q24_latest_per_key",
+    "q28_jaccard_pairs",
+    "q58_dedup_clusters",
+    "q47_asof_join",
+    "q13_window_rank",
+    "q14_window_analytic",
+    "q93_ivf_ann_fixed",
+    "q97_pq_ann_adc",
+    "q104_ivfpq_index_upsert",
 )
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
